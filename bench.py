@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced to full execution with a noop sink (no driver
+collect), so the number measures the distributed plan, not result
+transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from serverless_datalake_aws_spark.plans import all_queries  # noqa: E402
+from serverless_datalake_aws_spark.session import get_session  # noqa: E402
+
+HEADLINE = (
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q08_window_topk_per_group",
+    "q21_range_join",
+    "e03_sessionize",
+    "t02_term_frequencies",
+    "d04_minhash_lsh_pairs",
+    "s01_knn_bruteforce",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session(app_name="bench")
+    qmap = all_queries()
+
+    # JVM/codegen warmup on the smallest SF so per-query numbers measure
+    # the plan, not first-run compilation.
+    qmap["q01_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

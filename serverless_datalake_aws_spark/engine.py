@@ -1,0 +1,290 @@
+"""DataLakeEngine — the reference's control plane, Spark-native.
+
+Reproduces the four public surfaces of ashis-88/serverless-DataLake-AWS:
+
+  ingest(record)   — API ingest → raw zone + metadata row
+                     (ingest-data-lambda.py:25-114)
+  query(...)       — id / metadata / content / sql dispatch
+                     (query-data-lambda.py:51-70)
+  process(dataset) — raw → processed promotion + search indexing
+                     (lambda-function.py:174-245)
+  search(...)      — match_all / term search over the search index
+                     (README.md:137-144, index-data-lambda.py)
+
+One Spark engine replaces four AWS data planes: Spark SQL replaces
+Athena, a Parquet `_meta` table replaces DynamoDB, a tokenized
+`search_index` table replaces OpenSearch, and Structured Streaming
+(streaming/pipeline.py) replaces the S3-event→Lambda fabric.
+
+Zone layout (README.md:127-131): {root}/raw, {root}/processed,
+{root}/curated. Ingested records land partitioned by
+(data_type, ingest_date), mirroring the reference's
+`{dataType}/{YYYY-MM-DD}/{uuid}.json` key scheme
+(ingest-data-lambda.py:68) — which buys Spark partition pruning the
+reference never exploited. Ingest is batch-first (`ingest_batch`): the
+reference's one-object-per-record writes are its #1 scaling flaw at
+100 TB (small-file problem), so the single-record `ingest()` is sugar
+over the batched path.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from datetime import datetime, timezone
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("timestamp", T.TimestampType(), False),
+        T.StructField("data_type", T.StringType(), False),
+        T.StructField("source", T.StringType(), False),
+        T.StructField("owner", T.StringType(), False),
+        T.StructField("location", T.StringType(), False),
+        T.StructField("size_bytes", T.LongType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("tags", T.ArrayType(T.StringType()), True),
+        T.StructField("description", T.StringType(), True),
+        T.StructField("indexed", T.BooleanType(), True),
+        T.StructField("indexed_at", T.TimestampType(), True),
+    ]
+)
+
+RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("payload", T.StringType(), False),
+        T.StructField("data_type", T.StringType(), False),
+        T.StructField("ingest_date", T.StringType(), False),
+    ]
+)
+
+
+class DataLakeEngine:
+    """Spark-native data lake engine with medallion zones."""
+
+    ZONES = ("raw", "processed", "curated")
+
+    def __init__(self, spark: SparkSession, root: str | Path):
+        self.spark = spark
+        self.root = Path(root)
+        for z in self.ZONES:
+            (self.root / z).mkdir(parents=True, exist_ok=True)
+
+    # -- paths -------------------------------------------------------------
+    def zone(self, name: str) -> str:
+        return str(self.root / name)
+
+    @property
+    def meta_path(self) -> str:
+        return str(self.root / "_meta")
+
+    @property
+    def search_index_path(self) -> str:
+        return str(self.root / "_search_index")
+
+    # -- ingest (reference entry point 1, SURVEY §3.1) ----------------------
+    def ingest(self, record: dict[str, Any], **meta: Any) -> str:
+        """Ingest one JSON record; returns its id. Sugar over
+        `ingest_batch` — see module docstring on small files."""
+        ids = self.ingest_batch([record], **meta)
+        return ids[0]
+
+    def ingest_batch(
+        self,
+        records: list[dict[str, Any]],
+        data_type: str = "unknown",
+        source: str = "api",
+        owner: str = "system",
+        tags: list[str] | None = None,
+        description: str | None = None,
+    ) -> list[str]:
+        """Batched ingest: records → raw zone (partitioned by data_type,
+        ingest_date) + one `_meta` row each (ingest-data-lambda.py:65-97).
+
+        Defaults mirror the reference (T8: dataType='unknown',
+        source='api', owner='system' at ingest-data-lambda.py:54-56).
+        """
+        now = datetime.now(timezone.utc)
+        ingest_date = now.strftime("%Y-%m-%d")
+        rows = [
+            (str(uuid.uuid4()), json.dumps(rec), data_type, ingest_date)
+            for rec in records
+        ]
+        df = self.spark.createDataFrame(rows, RECORD_SCHEMA)
+        raw_root = self.zone("raw")
+        df.write.mode("append").partitionBy("data_type", "ingest_date").parquet(
+            f"{raw_root}/records"
+        )
+        meta_rows = df.select(
+            "id",
+            F.lit(now).alias("timestamp"),
+            "data_type",
+            F.lit(source).alias("source"),
+            F.lit(owner).alias("owner"),
+            F.concat(
+                F.lit(f"{raw_root}/records/data_type="),
+                "data_type",
+                F.lit("/ingest_date="),
+                "ingest_date",
+            ).alias("location"),
+            F.octet_length("payload").cast("long").alias("size_bytes"),
+            F.lit("ingested").alias("status"),
+            F.lit(tags).cast("array<string>").alias("tags"),
+            F.lit(description).cast("string").alias("description"),
+            F.lit(False).alias("indexed"),
+            F.lit(None).cast("timestamp").alias("indexed_at"),
+        )
+        meta_rows.write.mode("append").parquet(self.meta_path)
+        return [r[0] for r in rows]
+
+    # -- metadata table ------------------------------------------------------
+    def meta(self) -> DataFrame:
+        return self.spark.read.schema(META_SCHEMA).parquet(self.meta_path)
+
+    def records(self, zone: str = "raw") -> DataFrame:
+        return self.spark.read.parquet(f"{self.zone(zone)}/records")
+
+    # -- query dispatch (reference entry point 2, SURVEY §3.2) ---------------
+    def query(self, type: str, **params: Any) -> DataFrame:
+        """Four-way dispatch mirroring query-data-lambda.py:51-70."""
+        if type == "id":
+            return self.query_by_id(params["id"])
+        if type == "metadata":
+            return self.search_metadata(**params)
+        if type == "content":
+            return self.get_content(params["id"])
+        if type == "sql":
+            return self.sql(params["query"])
+        raise ValueError(f"unknown query type: {type!r}")
+
+    def query_by_id(self, data_id: str) -> DataFrame:
+        """Keyed point lookup (S7, query-data-lambda.py:101-117)."""
+        return self.meta().filter(F.col("id") == data_id)
+
+    def search_metadata(
+        self,
+        data_type: str | None = None,
+        owner: str | None = None,
+        source: str | None = None,
+        from_date: str | None = None,
+        to_date: str | None = None,
+        tags: list[str] | None = None,
+        limit: int = 20,
+    ) -> DataFrame:
+        """Conjunctive metadata search — the boto3 Attr AST of
+        query-data-lambda.py:127-145 rebuilt as a Column expression tree
+        (F1 eq / F2 AND / F3 between / F4 array-contains / F6 limit).
+        Unfiltered search keeps the reference's Limit=20 default."""
+        df = self.meta()
+        conds = []
+        if data_type is not None:
+            conds.append(F.col("data_type") == data_type)
+        if owner is not None:
+            conds.append(F.col("owner") == owner)
+        if source is not None:
+            conds.append(F.col("source") == source)
+        if from_date is not None and to_date is not None:
+            conds.append(F.col("timestamp").between(from_date, to_date))
+        for tag in tags or []:
+            conds.append(F.array_contains("tags", tag))
+        if not conds:
+            return df.limit(limit)
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        return df.filter(cond)
+
+    def get_content(self, data_id: str) -> DataFrame:
+        """Metadata-driven content fetch (J2 inner-join semantics,
+        query-data-lambda.py:160-193): the N+1 get_item→get_object loop
+        becomes one broadcast semi-join against the record store."""
+        meta = self.meta().filter(F.col("id") == data_id).select("id")
+        return self.records("raw").join(F.broadcast(meta), "id", "inner")
+
+    def sql(self, sql_query: str) -> DataFrame:
+        """The analytical surface (§2.7). The reference submits the
+        string to Athena and never fetches results
+        (query-data-lambda.py:195-218); we parse/optimize/execute with
+        Catalyst and return materialized results synchronously."""
+        return self.spark.sql(sql_query)
+
+    # -- process / promote (reference entry point 3, SURVEY §3.3) ------------
+    def register_table(self, name: str, df: DataFrame) -> None:
+        """Catalog registration (replaces the Glue crawler, S9)."""
+        df.createOrReplaceTempView(name)
+
+    def process(self, transform=None) -> DataFrame:
+        """Zone promotion raw→processed (K5, lambda-function.py:210-234):
+        read raw, stamp processed_timestamp (T1), apply the optional
+        transform hook (§2.10), write processed, flip `indexed` in _meta
+        and rebuild the search index (K7/K8)."""
+        df = self.records("raw").withColumn(
+            "processed_timestamp", F.current_timestamp()
+        )
+        if transform is not None:
+            df = transform(df)
+        df.write.mode("overwrite").partitionBy("data_type", "ingest_date").parquet(
+            f"{self.zone('processed')}/records"
+        )
+        self._rebuild_search_index()
+        self._mark_indexed()
+        return self.records("processed")
+
+    def _mark_indexed(self) -> None:
+        """Metadata upsert (K7): read-modify-overwrite in plain Parquet —
+        same last-writer-wins semantics as the reference's per-attribute
+        DynamoDB updates (index-data-lambda.py:165-172)."""
+        updated = self.meta().withColumn("indexed", F.lit(True)).withColumn(
+            "indexed_at", F.current_timestamp()
+        )
+        updated.cache().count()  # materialize before overwriting the source
+        updated.write.mode("overwrite").parquet(self.meta_path)
+        updated.unpersist()
+
+    # -- search surface (SURVEY §2.8) ----------------------------------------
+    def _rebuild_search_index(self) -> DataFrame:
+        """Reindex-all (X7, index-data-lambda.py:317-388): one
+        explode+aggregate replaces the scan→loop→HTTP-bulk pipeline.
+        Index rows: (data_type, id, token, tf) — partitioned by
+        data_type, the analogue of index-per-dataset naming (X2)."""
+        recs = self.records("raw")
+        idx = (
+            recs.select(
+                "data_type",
+                "id",
+                F.explode(
+                    F.split(F.lower(F.col("payload")), "[^a-z0-9]+")
+                ).alias("token"),
+            )
+            .filter(F.col("token") != "")
+            .groupBy("data_type", "id", "token")
+            .agg(F.count("*").alias("tf"))
+        )
+        idx.write.mode("overwrite").partitionBy("data_type").parquet(
+            self.search_index_path
+        )
+        return self.search_index()
+
+    def search_index(self) -> DataFrame:
+        return self.spark.read.parquet(self.search_index_path)
+
+    def search(self, term: str | None = None, data_type: str | None = None) -> DataFrame:
+        """match_all / term search (X4/X5): returns matching doc ids
+        ranked by TF. Partition pruning on data_type mirrors
+        index-per-dataset routing."""
+        idx = self.search_index()
+        if data_type is not None:
+            idx = idx.filter(F.col("data_type") == data_type)
+        if term is None:
+            return idx
+        return (
+            idx.filter(F.col("token") == term.lower())
+            .orderBy(F.col("tf").desc(), "id")
+        )

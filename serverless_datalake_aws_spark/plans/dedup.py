@@ -1,0 +1,221 @@
+"""Deduplication operators over `documents` (SURVEY.md §2.11).
+
+Four dedup families, each oracle-verified:
+  d01 exact (byte-identical content hash)
+  d02 canonical (order-insensitive token-set fingerprint)
+  d03 n-gram Jaccard near-dup (blocked pairwise, exact similarity)
+  d04 MinHash + LSH near-dup (sketch → band join → verify)
+
+Scale story: d01/d02 are one hash-aggregation (shuffle ∝ distinct
+hashes). d03 blocks pairwise comparison inside `source` partitions so
+cost is Σ|block|² not N². d04 is the 100 TB path — signatures are
+array-local map work, the LSH band join only collides probable
+near-dups, and the exact-Jaccard verify runs on candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serverless_datalake_aws_spark.catalog import table
+from serverless_datalake_aws_spark.functions import text as TX
+from serverless_datalake_aws_spark.plans import query
+
+_MINHASH_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(string_split(text,' ')) - 2),
+                   i -> string_split(text,' ')[i] || ' ' ||
+                        string_split(text,' ')[i+1] || ' ' ||
+                        string_split(text,' ')[i+2])) AS toks
+        FROM documents
+    ), h AS (
+        SELECT doc_id, toks,
+               list_transform(toks, t ->
+                   CAST(concat('0x', substr(md5(t), 1, 14)) AS BIGINT)
+                   % {TX.MINHASH_P}) AS hs
+        FROM d
+    ), sig AS (
+        SELECT doc_id, toks,
+               list_transform(generate_series(0, {TX.MINHASH_K - 1}), i ->
+                   list_min(list_transform(hs, x ->
+                       (({TX.MINHASH_A0} + i * {TX.MINHASH_A_STEP}) * x
+                        + ({TX.MINHASH_B0} + i * {TX.MINHASH_B_STEP}))
+                       % {TX.MINHASH_P}))) AS sg
+        FROM h
+    ), bands AS (
+        SELECT doc_id, toks, b,
+               concat(CAST(b AS VARCHAR), '-',
+                      array_to_string(list_slice(sg, b * 4 + 1, b * 4 + 4), '-'))
+                   AS band_key
+        FROM sig, generate_series(0, {TX.MINHASH_BANDS - 1}) AS gs(b)
+    ), cand AS (
+        SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2,
+               b1.toks AS t1, b2.toks AS t2
+        FROM bands b1 JOIN bands b2
+          ON b1.band_key = b2.band_key AND b1.doc_id < b2.doc_id
+    )
+    SELECT doc1, doc2,
+           round(len(list_intersect(t1, t2))::DOUBLE
+                 / (len(t1) + len(t2) - len(list_intersect(t1, t2))), 4) AS jac
+    FROM cand
+    WHERE len(list_intersect(t1, t2))::DOUBLE
+          / (len(t1) + len(t2) - len(list_intersect(t1, t2))) >= 0.6
+"""
+
+
+@query(
+    "d01_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy, survivor = min doc_id
+    (§2.11; generalizes `dropDuplicates` with an auditable group row)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("content_hash", F.md5("text"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@query(
+    "d02_fingerprint_dupes",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' '))
+               AS fingerprint,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_docs,
+           list_sort(list(doc_id)) AS doc_ids
+    FROM documents
+    GROUP BY 1
+    HAVING count(*) > 1
+    """,
+)
+def d02_fingerprint_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized dedup: order-insensitive token-set fingerprint
+    catches shuffled-word duplicates that byte hashing misses."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fingerprint", TX.fingerprint("text"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_docs"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "d03_ngram_jaccard_pairs",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   generate_series(1, len(string_split(text,' ')) - 2),
+                   i -> string_split(text,' ')[i] || ' ' ||
+                        string_split(text,' ')[i+1] || ' ' ||
+                        string_split(text,' ')[i+2])) AS sh
+        FROM documents
+    )
+    SELECT d1.doc_id AS doc1, d2.doc_id AS doc2,
+           round(len(list_intersect(d1.sh, d2.sh))::DOUBLE
+                 / (len(d1.sh) + len(d2.sh) - len(list_intersect(d1.sh, d2.sh))), 4)
+               AS jac
+    FROM d d1 JOIN d d2 ON d1.source = d2.source AND d1.doc_id < d2.doc_id
+    WHERE len(list_intersect(d1.sh, d2.sh))::DOUBLE
+          / (len(d1.sh) + len(d2.sh) - len(list_intersect(d1.sh, d2.sh))) >= 0.2
+    """,
+)
+def d03_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram-shingle Jaccard near-dup, blocked by `source` (§2.11).
+
+    Order-sensitive shingles distinguish reshuffled text from true
+    near-copies. The self-join is keyed on the block column so the
+    shuffle co-locates blocks; pairwise cost is bounded per block.
+    """
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(TX.word_ngrams("text", n=3)).alias("sh"),
+    )
+    d1 = d.alias("d1")
+    d2 = d.alias("d2")
+    inter = F.size(F.array_intersect(F.col("d1.sh"), F.col("d2.sh"))).cast("double")
+    jac = inter / (F.size("d1.sh") + F.size("d2.sh") - inter)
+    return (
+        d1.join(
+            d2,
+            (F.col("d1.source") == F.col("d2.source"))
+            & (F.col("d1.doc_id") < F.col("d2.doc_id")),
+        )
+        .select(
+            F.col("d1.doc_id").alias("doc1"),
+            F.col("d2.doc_id").alias("doc2"),
+            F.round(jac, 4).alias("jac"),
+            jac.alias("_jac_raw"),
+        )
+        .filter(F.col("_jac_raw") >= 0.2)
+        .drop("_jac_raw")
+    )
+
+
+@query("d04_minhash_lsh_pairs", oracle=_MINHASH_ORACLE)
+def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup (§2.11) — the 100 TB dedup path.
+
+    shingle→minhash→band→bucket-join→verify, with deterministic
+    md5-derived hash permutations so the whole sketch pipeline is
+    oracle-reproducible (unlike MLlib's MinHashLSH seeds). Shingles are
+    word 3-grams (order-sensitive; unigram sets saturate on a small
+    vocabulary). Candidates are only pairs sharing an LSH band key;
+    exact Jaccard then filters false positives. Band join is the single
+    shuffle.
+    """
+    docs = table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    d = (
+        docs.repartition(n_part, "doc_id")
+        .select("doc_id", F.array_distinct(TX.word_ngrams("text", n=3)).alias("toks"))
+        .withColumn("hs", F.transform("toks", lambda t: TX.token_hash(t) % TX.MINHASH_P))
+        .cache()
+    )
+    # Slim band rows: only (doc_id, band_key) go through the LSH shuffle;
+    # shingle arrays are re-attached to surviving candidates afterwards.
+    bands = d.select(
+        "doc_id",
+        F.explode(TX.lsh_band_keys(TX.minhash_mins(F.col("hs")))).alias("band_key"),
+    )
+    b1 = bands.alias("b1")
+    b2 = bands.alias("b2")
+    cand = (
+        b1.join(
+            b2,
+            (F.col("b1.band_key") == F.col("b2.band_key"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(F.col("b1.doc_id").alias("doc1"), F.col("b2.doc_id").alias("doc2"))
+        .dropDuplicates(["doc1", "doc2"])
+    )
+    t1 = d.select(F.col("doc_id").alias("doc1"), F.col("toks").alias("t1"))
+    t2 = d.select(F.col("doc_id").alias("doc2"), F.col("toks").alias("t2"))
+    inter = F.size(F.array_intersect("t1", "t2")).cast("double")
+    jac = inter / (F.size("t1") + F.size("t2") - inter)
+    return (
+        cand.join(t1, "doc1")
+        .join(t2, "doc2")
+        .withColumn("_jac_raw", jac)
+        .filter(F.col("_jac_raw") >= 0.6)
+        .select("doc1", "doc2", F.round("_jac_raw", 4).alias("jac"))
+    )

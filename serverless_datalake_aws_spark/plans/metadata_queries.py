@@ -1,0 +1,74 @@
+"""Metadata-surface queries (SURVEY.md §2.1 S7/S8, §2.3 F1-F7).
+
+The reference serves these from DynamoDB (point lookup + full scan with
+server-side post-filter, `query-data-lambda.py:101-152`). Here the same
+shapes run as filters over columnar scans — predicate pushdown beats
+DynamoDB's scan-then-filter. The `events` table stands in for the
+metadata table (keyed rows + type + timestamp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serverless_datalake_aws_spark.catalog import table
+from serverless_datalake_aws_spark.plans import query
+
+
+@query(
+    "m01_point_lookup",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events WHERE event_id = 451
+    """,
+)
+def m01_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed point lookup (reference S7: get_item by hash key,
+    query-data-lambda.py:101-117). Parquet min/max row-group stats give
+    the skip; at lake scale the _meta table is written sorted by id."""
+    ev = table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") == 451).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+@query(
+    "m02_metadata_search",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE event_type = 'purchase'
+      AND ts BETWEEN TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-20'
+      AND user_id = 12
+    """,
+)
+def m02_metadata_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive metadata search (reference F1/F2/F3: eq + AND +
+    BETWEEN built as a boto3 Attr AST at query-data-lambda.py:127-145).
+    The AST becomes a Catalyst Column expression tree, evaluated at the
+    scan instead of after it."""
+    ev = table(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").between("2024-01-05", "2024-01-20")
+        & (F.col("user_id") == 12)
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@query(
+    "m03_existence_groups",
+    oracle="""
+    SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def m03_existence_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-type inventory (reference A1/A3: reindex_all buckets by
+    dataType, index-data-lambda.py:326-335,386) — the per-type dict loop
+    collapses to one hash aggregation."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users")
+    )

@@ -1,0 +1,182 @@
+"""Similarity search over `embeddings` (SURVEY.md §2.11).
+
+s01 brute-force top-k cosine (the correctness baseline),
+s02 LSH-bucketed ANN (the scale path: candidates only join inside a
+    sign-pattern bucket),
+s03 embedding-cosine near-dup pairs blocked by label,
+s04 per-label centroid profile (vector aggregation).
+
+All similarity math is double-precision left folds over the float
+arrays, rounded to 6 decimals before ranking so Spark and DuckDB order
+identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from serverless_datalake_aws_spark.catalog import table
+from serverless_datalake_aws_spark.functions import vector as VX
+from serverless_datalake_aws_spark.plans import query
+
+_COS_ORACLE_EXPR = """
+    round(
+      list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+      / (sqrt(list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                               list_transform(q.embedding, x -> CAST(x AS DOUBLE))))
+       * sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                               list_transform(e.embedding, x -> CAST(x AS DOUBLE))))), 6)
+"""
+
+
+@query(
+    "s01_knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < 5),
+    sims AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               {_COS_ORACLE_EXPR} AS cos_sim
+        FROM q, embeddings e
+        WHERE e.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rk
+          FROM sims)
+    WHERE rk <= 10
+    """,
+)
+def s01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (§2.11 ANN baseline): broadcast the
+    query set, score every vector, rank per query. Exact but O(N·Q) —
+    the yardstick the LSH variant is measured against."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    sims = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(VX.cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+
+
+@query(
+    "s02_lsh_ann",
+    oracle=f"""
+    WITH b AS (
+        SELECT *,
+               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        FROM embeddings
+    ), q AS (SELECT * FROM b WHERE vec_id < 20),
+    sims AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               {_COS_ORACLE_EXPR} AS cos_sim
+        FROM q JOIN b e ON q.bucket = e.bucket AND e.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rk
+          FROM sims)
+    WHERE rk <= 5
+    """,
+)
+def s02_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate NN (§2.11 scale path): sign-pattern of
+    the leading 4 dimensions = 16 hyperplane buckets; scoring joins only
+    inside a bucket, cutting the candidate set ~16× (more planes at
+    higher N). The equi-join on bucket is shuffle-friendly and
+    broadcast-able for small query sets."""
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", VX.bucket_by_signs(F.col("embedding"), n_dims=4)
+    )
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    sims = (
+        emb.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(VX.cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+
+
+@query(
+    "s03_embedding_neardup",
+    oracle=f"""
+    SELECT q.vec_id AS vec1, e.vec_id AS vec2, {_COS_ORACLE_EXPR} AS cos_sim
+    FROM embeddings q JOIN embeddings e
+      ON q.label = e.label AND q.vec_id < e.vec_id
+    WHERE {_COS_ORACLE_EXPR} >= 0.5
+    """,
+)
+def s03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by label (§2.11
+    embedding near-dup): the label column is the blocking key, so the
+    pairwise cost is per-block, not global."""
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = VX.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec1"),
+            F.col("b.vec_id").alias("vec2"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.5)
+    )
+
+
+@query(
+    "s04_label_centroids",
+    oracle="""
+    SELECT label, i AS dim,
+           round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_val,
+           count(*) AS n_vectors
+    FROM embeddings, generate_series(1, 8) AS gs(i)
+    GROUP BY label, i
+    """,
+)
+def s04_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid profile over the leading 8 dimensions (vector
+    aggregation — the building block of IVF coarse quantization).
+    posexplode → hash-agg; partial aggregation bounds the shuffle."""
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "val"),
+        )
+        .groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid_val"),
+            F.count("*").alias("n_vectors"),
+        )
+    )

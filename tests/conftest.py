@@ -1,0 +1,13 @@
+from __future__ import annotations
+
+import pytest
+
+from serverless_datalake_aws_spark.session import get_session
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_session(app_name="tests", cpus=8, shuffle_partitions=8)
+    yield s
