@@ -31,11 +31,13 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # Submodules that register queries on import.
 _MODULES = (
     "relational",
+    "relational2",
     "metadata_queries",
     "text",
     "dedup",
     "similarity",
     "events_queries",
+    "search",
 )
 
 

@@ -1,0 +1,144 @@
+"""Full-text search queries (SURVEY.md §2.8 — the OpenSearch data plane).
+
+The reference indexes DataFrame rows into OpenSearch and serves
+match_all / full-text match (lambda-function.py:134-172, README.md:
+137-144). Here the inverted index is a (doc, token, tf) relation built
+with explode + hash-agg, and relevance is TF-IDF / BM25 computed with
+built-in SQL aggregates — every step oracle-verifiable, unlike a Lucene
+black box.
+
+Scale: the index build shuffles ∝ vocabulary × docs containing each
+token (post-combine), and scoring joins are broadcast (term set and
+corpus stats are tiny).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serverless_datalake_aws_spark.catalog import table
+from serverless_datalake_aws_spark.functions import text as TX
+from serverless_datalake_aws_spark.plans import query
+
+_TERMS = ("dup", "spark", "merge")
+
+
+@query(
+    "x01_term_search",
+    oracle="""
+    SELECT doc_id, lang,
+           len(list_filter(string_split(text, ' '), t -> t = 'dup')) AS tf
+    FROM documents
+    WHERE len(list_filter(string_split(text, ' '), t -> t = 'dup')) > 0
+    """,
+)
+def x01_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-term match ranked by term frequency (X5 full-text match).
+    Array-local tf computation — the predicate prunes at the scan."""
+    docs = table(spark, sf_dir, "documents")
+    tf = F.size(F.filter(TX.tokens("text"), lambda t: t == F.lit("dup"))).cast("long")
+    return (
+        docs.select("doc_id", "lang", tf.alias("tf"))
+        .filter(F.col("tf") > 0)
+    )
+
+
+@query(
+    "x02_tfidf",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('dup', 'spark', 'merge')
+        GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf,
+           round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    """,
+)
+def x02_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF relevance over the inverted index (X5 scoring; the
+    engine-native replacement for OpenSearch scoring, SURVEY §7.3).
+    df and N are broadcast scalars; only the tf aggregation shuffles."""
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+        .filter(F.col("token").isin(*_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    return tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        F.round(
+            F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+
+
+@query(
+    "x03_bm25",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), dl AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('dup', 'spark', 'merge')
+        GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token
+    ), stats AS (
+        SELECT count(*) AS n_docs,
+               avg(len(string_split(text, ' '))) AS avgdl
+        FROM documents
+    )
+    SELECT tf.doc_id, tf.token,
+           round(ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)), 6)
+               AS bm25
+    FROM tf JOIN df USING (token)
+         JOIN dl USING (doc_id)
+         CROSS JOIN stats
+    """,
+)
+def x03_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance (k1=1.2, b=0.75) — the OpenSearch default scorer
+    (X5), expressed as pure SQL aggregates over the inverted index."""
+    docs = table(spark, sf_dir, "documents")
+    k1, b = 1.2, 0.75
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(TX.tokens("text"))).alias("avgdl"),
+    ).first()
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    dl = docs.select("doc_id", F.size(TX.tokens("text")).alias("dl"))
+    tf = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+        .filter(F.col("token").isin(*_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(1 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    score = (
+        idf
+        * F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    return (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .select("doc_id", "token", F.round(score, 6).alias("bm25"))
+    )
