@@ -1,0 +1,109 @@
+"""Format-dispatching readers (SURVEY.md §2.1 S1-S6).
+
+The reference reads whole files into pandas by extension
+(`lambda-function.py:64-106`: CSV header+infer, JSON array vs NDJSON
+sniffing, Parquet via pyarrow, unknown → skip with warning). Here the
+same dispatch returns distributed DataFrames: Spark's readers split
+files, push filters, and prune columns instead of materializing whole
+objects in one process (the reference's 256 MB Lambda ceiling,
+deploy-script.sh:77).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+log = logging.getLogger(__name__)
+
+# extension → reader kind (reference detect_file_type, lambda-function.py:64-73)
+_FORMATS = {
+    ".csv": "csv",
+    ".json": "json",
+    ".jsonl": "ndjson",
+    ".ndjson": "ndjson",
+    ".parquet": "parquet",
+    ".txt": "text",
+}
+
+
+def detect_format(path: str | Path) -> str | None:
+    """Extension dispatch (S5). Unknown extensions return None — the
+    caller skips with a warning, mirroring lambda-function.py:100-101.
+    For directories (written datasets), dispatch on the first data
+    file's extension."""
+    p = Path(str(path))
+    kind = _FORMATS.get(p.suffix.lower())
+    if kind is None and p.is_dir():
+        for f in sorted(p.rglob("*")):
+            if f.is_file() and not f.name.startswith(("_", ".")):
+                kind = _FORMATS.get(f.suffix.lower())
+                if kind:
+                    break
+    return kind
+
+
+def _sniff_json_multiline(path: str) -> bool:
+    """JSON-array vs NDJSON sniff (S2/S3): the reference checks whether
+    the body starts with '[' (lambda-function.py:90-95). We sniff the
+    first non-whitespace byte of one file instead of the whole object."""
+    p = Path(path)
+    candidates = [p] if p.is_file() else sorted(p.glob("*.json"))
+    for c in candidates[:1]:
+        with open(c, "rb") as f:
+            head = f.read(64).lstrip()
+            return head.startswith(b"[")
+    return False
+
+
+def read_any(
+    spark: SparkSession,
+    path: str | Path,
+    schema: T.StructType | None = None,
+    fmt: str | None = None,
+) -> DataFrame | None:
+    """Read a file/directory with extension dispatch (S1-S5).
+
+    Returns None for unknown formats (skip-with-warn semantics).
+    Schema inference is the default for parity with the reference's
+    pandas readers; pass `schema` in production paths — inference costs
+    an extra pass at scale.
+    """
+    path = str(path)
+    kind = fmt or detect_format(path)
+    if kind is None:
+        log.warning("unsupported file type, skipping: %s", path)
+        return None
+    if kind == "csv":
+        reader = spark.read.option("header", True)
+        reader = reader.schema(schema) if schema else reader.option("inferSchema", True)
+        return reader.csv(path)
+    if kind == "json":
+        multiline = _sniff_json_multiline(path)
+        reader = spark.read.option("multiLine", multiline)
+        if schema:
+            reader = reader.schema(schema)
+        return reader.json(path)
+    if kind == "ndjson":
+        reader = spark.read
+        if schema:
+            reader = reader.schema(schema)
+        return reader.json(path)
+    if kind == "parquet":
+        return spark.read.parquet(path)
+    if kind == "text":
+        return spark.read.text(path)
+    raise AssertionError(f"unreachable format {kind}")
+
+
+def read_binary_dir(spark: SparkSession, path: str | Path, glob: str = "*") -> DataFrame:
+    """Opaque binary ingestion for multimodal payloads (SURVEY §2.11):
+    (path, modificationTime, length, content:binary) rows."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(str(path))
+    )

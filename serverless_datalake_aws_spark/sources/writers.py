@@ -1,0 +1,83 @@
+"""Format writers + zone promotion (SURVEY.md §2.2 K1-K5).
+
+The reference writes one object per record/file and re-keys raw/→
+processed/ (lambda-function.py:210-234). Here writers are partitioned
+and format-preserving; `promote` is read→(transform)→write — the
+medallion bronze→silver step — and `compact` rewrites a partitioned
+table into ~target-sized files (the reference's small-file problem is
+its #1 scaling flaw at 100 TB, SURVEY §4.3).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serverless_datalake_aws_spark.sources.readers import detect_format, read_any
+
+
+def write_any(
+    df: DataFrame,
+    path: str | Path,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Write in csv/json/parquet (K2-K4), optionally hive-partitioned."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "csv":
+        writer.option("header", True).csv(str(path))
+    elif fmt in ("json", "ndjson"):
+        writer.json(str(path))
+    elif fmt == "parquet":
+        writer.parquet(str(path))
+    else:
+        raise ValueError(f"unsupported write format: {fmt}")
+
+
+def promote(
+    spark: SparkSession,
+    src: str | Path,
+    dst: str | Path,
+    transform=None,
+    fmt: str | None = None,
+) -> DataFrame:
+    """Zone promotion (K5): read src in its format, stamp
+    processed_timestamp (T1), apply the optional transform hook
+    (§2.10), write dst in the same format."""
+    kind = fmt or detect_format(src)
+    if kind is None:
+        raise ValueError(f"cannot promote unsupported format: {src}")
+    df = read_any(spark, src, fmt=kind)
+    df = df.withColumn("processed_timestamp", F.current_timestamp())
+    if transform is not None:
+        df = transform(df)
+    write_any(df, dst, fmt=kind)
+    return df
+
+
+def compact(
+    spark: SparkSession,
+    path: str | Path,
+    target_file_mb: int = 128,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite a table into ceil(bytes/target)
+    files. Returns the new file count. At lake scale this runs
+    per-partition as a maintenance job after streaming ingest."""
+    path = Path(str(path))
+    total = sum(f.stat().st_size for f in path.rglob("*") if f.is_file())
+    n_files = max(1, round(total / (target_file_mb * 1024 * 1024)))
+    df = read_any(spark, path, fmt=fmt)
+    tmp = str(path) + ".compact.tmp"
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    # atomic-ish swap (local fs); object stores would write then repoint
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_files

@@ -1,0 +1,128 @@
+"""Structured Streaming pipelines (SURVEY.md §2.9, §3.3).
+
+The reference's trigger fabric is S3 `ObjectCreated:*` events invoking a
+Lambda per file (deploy-script.sh:112-131); delivery is at-least-once
+with no dedup or ordering. Here a checkpointed file-source stream
+replaces it: exactly-once file processing (strictly stronger), and
+`Trigger.AvailableNow` gives the same batchy drain-then-stop shape the
+Lambda fan-out produced. The per-file Lambda boundary becomes a task/
+partition boundary inside one job.
+
+CDC (S11, DynamoDB stream → reindex): in plain-Parquet v1 the search
+index is recomputed inside the same foreachBatch that lands the data —
+recompute-on-write — which subsumes the reference's re-index-on-change
+loop. Delta CDF is the upgrade path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+
+def stream_promote(
+    spark: SparkSession,
+    raw_path: str,
+    processed_path: str,
+    checkpoint: str,
+    schema: T.StructType,
+    fmt: str = "json",
+    transform=None,
+) -> StreamingQuery:
+    """File-arrival stream (S10): watch raw/, promote each new file's
+    rows to processed/ (K5) with a processed_timestamp stamp (T1).
+
+    foreachBatch gives exactly-once appends to the processed zone; the
+    checkpoint directory is the replacement for the reference's
+    'which files fired the Lambda' implicit state.
+    """
+    stream = (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .load(raw_path)
+        .withColumn("processed_timestamp", F.current_timestamp())
+    )
+    if transform is not None:
+        stream = transform(stream)
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(processed_path)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    events_path: str,
+    schema: T.StructType,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    query_name: str = "windowed_counts",
+) -> StreamingQuery:
+    """Watermarked tumbling-window aggregation over an event stream —
+    the §2.9 extension (the reference has no windows/late-data
+    handling). Append mode + watermark: a window emits once it can no
+    longer receive late rows. Results land in an in-memory table named
+    `query_name` (local testing; production sink would be a table)."""
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .load(events_path)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), key_col)
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("win.start").alias("window_start"), key_col, "n", "total_value")
+    )
+    return (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    events_path: str,
+    schema: T.StructType,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    query_name: str = "sessions",
+) -> StreamingQuery:
+    """Session-window aggregation (`session_window`): the streaming twin
+    of the batch sessionization plan (e03) — state is managed by the
+    engine, keyed by user, closed `gap` after the last event."""
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .load(events_path)
+        .withWatermark(ts_col, "2 hours")
+        .groupBy(F.session_window(ts_col, gap).alias("win"), key_col)
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "session_value",
+        )
+    )
+    return (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,98 @@
+"""Format dispatch, round-trips, promotion, compaction (SURVEY §5.2 #3:
+S1-S5 readers, K2-K5 writers)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from serverless_datalake_aws_spark.sources.readers import (
+    detect_format,
+    read_any,
+    read_binary_dir,
+)
+from serverless_datalake_aws_spark.sources.writers import compact, promote, write_any
+
+
+def test_detect_format_dispatch():
+    assert detect_format("a/b/data.csv") == "csv"
+    assert detect_format("x.JSON") == "json"
+    assert detect_format("x.jsonl") == "ndjson"
+    assert detect_format("x.ndjson") == "ndjson"
+    assert detect_format("x.parquet") == "parquet"
+    assert detect_format("x.txt") == "text"
+    assert detect_format("x.xyz") is None  # unknown → skip-with-warn
+    assert detect_format("noext") is None
+
+
+def test_read_unknown_returns_none(spark, tmp_path):
+    p = tmp_path / "data.xyz"
+    p.write_text("whatever")
+    assert read_any(spark, p) is None
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    src = tmp_path / "t.csv"
+    src.write_text("a,b,c\n1,x,2.5\n2,y,3.5\n")
+    df = read_any(spark, src)
+    assert df.count() == 2
+    assert dict(df.dtypes) == {"a": "int", "b": "string", "c": "double"}
+    out = tmp_path / "out_csv"
+    write_any(df, out, fmt="csv")
+    back = read_any(spark, out, fmt="csv")
+    assert sorted(r["b"] for r in back.collect()) == ["x", "y"]
+
+
+def test_json_array_vs_ndjson_sniff(spark, tmp_path):
+    arr = tmp_path / "arr.json"
+    arr.write_text(json.dumps([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}]))
+    nd = tmp_path / "nd.json"
+    nd.write_text('{"k": 3, "v": "c"}\n{"k": 4, "v": "d"}\n')
+    assert read_any(spark, arr).count() == 2  # S2 multiLine array
+    assert read_any(spark, nd).count() == 2  # S3 NDJSON
+    assert {r["k"] for r in read_any(spark, arr).collect()} == {1, 2}
+
+
+def test_parquet_roundtrip_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-02")], "id int, v string, dt string"
+    )
+    out = tmp_path / "pq"
+    write_any(df, out, fmt="parquet", partition_by=("dt",))
+    assert (out / "dt=2024-01-01").exists()  # hive layout (K1 path scheme)
+    back = read_any(spark, out)
+    assert back.count() == 2
+
+
+def test_promote_stamps_and_transforms(spark, tmp_path):
+    src = tmp_path / "raw.csv"
+    src.write_text("id,v\n1,10\n2,20\n")
+    dst = tmp_path / "processed_csv"
+    from pyspark.sql import functions as F
+
+    promote(spark, src, dst, transform=lambda d: d.withColumn("v2", F.col("v") * 2))
+    back = read_any(spark, dst, fmt="csv")
+    assert "processed_timestamp" in back.columns
+    assert sorted(r["v2"] for r in back.collect()) == [20, 40]
+
+
+def test_compact_reduces_files(spark, tmp_path):
+    df = spark.createDataFrame([(i, "x" * 50) for i in range(1000)], "id int, pad string")
+    out = tmp_path / "many"
+    df.repartition(16).write.parquet(str(out))
+    before = len(list(out.glob("*.parquet")))
+    assert before >= 16
+    n = compact(spark, out, target_file_mb=128)
+    after = len(list(out.glob("*.parquet")))
+    assert n == 1 and after == 1
+    assert read_any(spark, out).count() == 1000
+
+
+def test_binary_source(spark, tmp_path):
+    (tmp_path / "img1.bin").write_bytes(b"\x89PNG fake")
+    (tmp_path / "img2.bin").write_bytes(b"RIFF fake")
+    df = read_binary_dir(spark, tmp_path, glob="*.bin")
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 2
+    assert all(r["length"] > 0 and isinstance(r["content"], bytes) for r in rows)

@@ -1,0 +1,128 @@
+"""Structured Streaming tests (SURVEY §2.9): file-arrival promotion
+stream, watermarked windows, session windows, exactly-once checkpoint
+semantics."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from serverless_datalake_aws_spark.streaming.pipeline import (
+    stream_promote,
+    stream_sessionize,
+    stream_windowed_counts,
+)
+
+RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ]
+)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _write_ndjson(path, rows):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text("\n".join(json.dumps(r) for r in rows))
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_stream_promote_exactly_once(spark, tmp_path):
+    raw = tmp_path / "raw"
+    processed = str(tmp_path / "processed")
+    ckpt = str(tmp_path / "ckpt")
+    _write_ndjson(raw / "f1.json", [{"id": "a", "v": 1}, {"id": "b", "v": 2}])
+
+    q = stream_promote(spark, str(raw), processed, ckpt, RECORD_SCHEMA)
+    q.awaitTermination(120)
+    out = spark.read.parquet(processed)
+    assert out.count() == 2
+    assert "processed_timestamp" in out.columns
+
+    # second drain with no new files: checkpoint prevents reprocessing
+    q = stream_promote(spark, str(raw), processed, ckpt, RECORD_SCHEMA)
+    q.awaitTermination(120)
+    assert spark.read.parquet(processed).count() == 2
+
+    # new file arrives → only its rows are appended
+    _write_ndjson(raw / "f2.json", [{"id": "c", "v": 3}])
+    q = stream_promote(spark, str(raw), processed, ckpt, RECORD_SCHEMA)
+    q.awaitTermination(120)
+    assert spark.read.parquet(processed).count() == 3
+
+
+def test_stream_promote_transform_hook(spark, tmp_path):
+    raw = tmp_path / "raw"
+    _write_ndjson(raw / "f1.json", [{"id": "a", "v": 10}])
+    q = stream_promote(
+        spark,
+        str(raw),
+        str(tmp_path / "processed"),
+        str(tmp_path / "ckpt"),
+        RECORD_SCHEMA,
+        transform=lambda df: df.withColumn("v2", F.col("v") * 2),
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "processed")).first()["v2"] == 20
+
+
+def test_stream_windowed_counts(spark, tmp_path):
+    events = tmp_path / "events"
+    _events_df(
+        spark,
+        [
+            ("2024-01-01 10:05:00", 1, "click", 1.0),
+            ("2024-01-01 10:45:00", 1, "click", 2.0),
+            ("2024-01-01 11:05:00", 2, "view", 3.0),
+            ("2024-01-01 23:00:00", 1, "click", 4.0),  # advances watermark
+        ],
+    ).write.parquet(str(events))
+    q = stream_windowed_counts(
+        spark, str(events), EVENTS_SCHEMA, query_name="wc_test"
+    )
+    q.awaitTermination(120)
+    out = {
+        (r["window_start"].isoformat(), r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("SELECT * FROM wc_test").collect()
+    }
+    # append mode emits only watermark-closed windows (10:00, 11:00)
+    assert out[("2024-01-01T10:00:00", "click")] == (2, 3.0)
+    assert out[("2024-01-01T11:00:00", "view")] == (1, 3.0)
+
+
+def test_stream_sessionize(spark, tmp_path):
+    events = tmp_path / "events"
+    _events_df(
+        spark,
+        [
+            ("2024-01-01 10:00:00", 1, "click", 1.0),
+            ("2024-01-01 10:10:00", 1, "click", 2.0),  # same session (gap 10m)
+            ("2024-01-01 11:30:00", 1, "click", 4.0),  # new session (gap 80m)
+            ("2024-01-02 09:00:00", 1, "click", 0.0),  # watermark pusher
+        ],
+    ).write.parquet(str(events))
+    q = stream_sessionize(spark, str(events), EVENTS_SCHEMA, query_name="ss_test")
+    q.awaitTermination(120)
+    rows = sorted(
+        spark.sql("SELECT * FROM ss_test WHERE user_id = 1").collect(),
+        key=lambda r: r["session_start"],
+    )
+    closed = [(r["n_events"], r["session_value"]) for r in rows]
+    assert (2, 3.0) in closed  # the 10:00-10:10 session
+    assert (1, 4.0) in closed  # the 11:30 session
