@@ -35,6 +35,7 @@ _MODULES = (
     "metadata_queries",
     "text",
     "dedup",
+    "dedup2",
     "similarity",
     "events_queries",
     "search",

@@ -1,0 +1,143 @@
+"""SimHash near-dup + grouped procedural dedup stats (SURVEY §2.11,
+§2.10 UDF surface).
+
+d05: 32-bit SimHash fingerprints from md5-derived token-hash bits —
+per-bit weighted vote, sign → bit — then near-dup pairs by Hamming
+distance within `source` blocks. All bit math is int64-exact in both
+engines (Spark bit_count/xor == DuckDB bit_count/xor).
+
+d06: grouped z-score outliers via applyInPandas — the §2.10 grouped
+procedural hook (reference A1's per-dataType loop). Arrow-batched
+per-group pandas; the oracle is the equivalent window-function SQL,
+proving the UDF path agrees with the declarative one.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serverless_datalake_aws_spark.catalog import table
+from serverless_datalake_aws_spark.functions import text as TX
+from serverless_datalake_aws_spark.plans import query
+
+try:  # self-contained UDF closures (see functions/semistructured.py)
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
+
+_SIMHASH_BITS = 32
+
+# DuckDB twin of the Spark simhash expression below.
+_SIMHASH_SQL = f"""
+        list_sum(list_transform(generate_series(0, {_SIMHASH_BITS - 1}), j ->
+            CASE WHEN list_sum(list_transform(
+                     list_distinct(string_split(text, ' ')), t ->
+                     CASE WHEN (CAST(concat('0x', substr(md5(t), 1, 14)) AS BIGINT)
+                                // power(2, j)::BIGINT) % 2 = 1
+                          THEN 1 ELSE -1 END)) > 0
+                 THEN power(2, j)::BIGINT ELSE 0 END))
+"""
+
+
+def _simhash_col():
+    """32-bit SimHash of the distinct token set: bit j is set iff the
+    majority of token hashes have bit j set (±1 vote per token)."""
+    toks = TX.distinct_tokens("text")
+    hashes = F.transform(toks, TX.token_hash)
+
+    def _vote(j: int):
+        # two-arg merge lambda built via closure (F.aggregate requires
+        # exactly (acc, x); a default-arg third param breaks arity)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j) % 2 == 1, 1
+        ).otherwise(-1)
+
+    bits = []
+    for j in range(_SIMHASH_BITS):
+        vote = F.aggregate(hashes, F.lit(0), _vote(j))
+        bits.append(F.when(vote > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+@query(
+    "d05_simhash_pairs",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, source, {_SIMHASH_SQL} AS simhash
+        FROM documents
+    )
+    SELECT s1.doc_id AS doc1, s2.doc_id AS doc2,
+           bit_count(xor(s1.simhash, s2.simhash)) AS hamming
+    FROM s s1 JOIN s s2
+      ON s1.source = s2.source AND s1.doc_id < s2.doc_id
+    WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 6
+    """,
+)
+def d05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (§2.11): 32-bit fingerprints, candidate pairs =
+    Hamming ≤ 6 within a `source` block. The fingerprint is one long
+    per doc — at 100 TB the pair scan runs over 8-byte keys, not text;
+    full-scale variant would block on simhash bands instead of source."""
+    docs = table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    s = docs.repartition(n_part, "doc_id").select(
+        "doc_id", "source", _simhash_col().alias("simhash")
+    )
+    s1, s2 = s.alias("s1"), s.alias("s2")
+    hamming = F.bit_count(
+        F.col("s1.simhash").bitwiseXOR(F.col("s2.simhash"))
+    ).cast("long")
+    return (
+        s1.join(
+            s2,
+            (F.col("s1.source") == F.col("s2.source"))
+            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+        )
+        .select(
+            F.col("s1.doc_id").alias("doc1"),
+            F.col("s2.doc_id").alias("doc2"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+@query(
+    "d06_group_zscore_outliers",
+    oracle="""
+    SELECT lang, doc_id, n_chars,
+           round((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                 / stddev_samp(n_chars) OVER (PARTITION BY lang), 4) AS zscore
+    FROM documents
+    QUALIFY abs((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                / stddev_samp(n_chars) OVER (PARTITION BY lang)) > 1.5
+    """,
+)
+def d06_group_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped procedural logic via applyInPandas (§2.10): per-language
+    z-score outliers. The pandas path is the transform-hook surface the
+    reference exposes as 'edit the Lambda' (README.md:146-147); the SQL
+    oracle proves it matches the declarative window plan. Shuffles once
+    on the group key; each group is one Arrow batch."""
+    docs = table(spark, sf_dir, "documents")
+
+    def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=1)
+        pdf = pdf.assign(zscore=((pdf["n_chars"] - mu) / sd).round(4))
+        return pdf[abs((pdf["n_chars"] - mu) / sd) > 1.5][
+            ["lang", "doc_id", "n_chars", "zscore"]
+        ]
+
+    return docs.select("lang", "doc_id", "n_chars").groupBy("lang").applyInPandas(
+        _zscore, schema="lang string, doc_id long, n_chars long, zscore double"
+    )

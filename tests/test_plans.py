@@ -1,0 +1,85 @@
+"""Physical-plan quality gates (SURVEY §4): these assert the properties
+that matter at 100 TB — predicate pushdown into the parquet scan,
+column pruning, broadcast joins on dims, top-k as TakeOrderedAndProject,
+and whole-stage codegen — so a regression in plan shape fails CI even
+while results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from serverless_datalake_aws_spark.plans import all_queries
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str, mode: str = "formatted") -> str:
+    df = all_queries()[name](spark, SF_DIR)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_q01_filter_pushdown(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # partial aggregation before the shuffle (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q02_column_pruning(spark):
+    plan = _plan(spark, "q02_filter_project")
+    # the scan must read only the 6 referenced columns, not all 11
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_returnflag" not in read_schema
+    assert "l_partkey" not in read_schema
+    assert "l_extendedprice" in read_schema
+    assert "PushedFilters" in plan and "l_quantity" in plan
+
+
+def test_q04_broadcast_dims(spark):
+    plan = _plan(spark, "q04_region_rollup")
+    # two dim joins, both broadcast (formatted mode lists nodes twice)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q03_broadcast_customer(spark):
+    plan = _plan(spark, "q03_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q14_topk_plan(spark):
+    plan = _plan(spark, "q14_global_topk")
+    assert "TakeOrderedAndProject" in plan  # no global sort for ORDER BY+LIMIT
+
+
+def test_q05_semi_and_q06_anti_plans(spark):
+    assert "LeftSemi" in _plan(spark, "q05_semi_join")
+    assert "LeftAnti" in _plan(spark, "q06_anti_join")
+
+
+def test_q21_range_join_is_hash_not_nested_loop(spark):
+    plan = _plan(spark, "q21_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan  # bucketize-then-refine
+    assert "Join" in plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    # under AQE codegen spans only materialize in the executed final
+    # plan — run the action, then check for *(n) codegen stage markers
+    df = all_queries()["q01_pricing_summary"](spark, SF_DIR)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in executed  # WholeStageCodegen stage ids
+    assert "HashAggregate" in executed
+
+
+def test_e01_partial_agg_before_shuffle(spark):
+    plan = _plan(spark, "e01_hourly_windows")
+    assert plan.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize("name", ["s01_knn_bruteforce", "s02_lsh_ann"])
+def test_similarity_broadcasts_queries(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
