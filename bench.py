@@ -28,10 +28,14 @@ HEADLINE = (
     "q03_shipping_priority",
     "q08_window_topk_per_group",
     "q21_range_join",
+    "q24_rank_suite",
     "e03_sessionize",
     "t02_term_frequencies",
+    "x03_bm25",
     "d04_minhash_lsh_pairs",
+    "d05_simhash_pairs",
     "s01_knn_bruteforce",
+    "s02_lsh_ann",
 )
 
 

@@ -237,6 +237,26 @@ class DataLakeEngine:
         self._mark_indexed()
         return self.records("processed")
 
+    def process_stream(self, transform=None) -> None:
+        """Streaming zone promotion (S10): checkpointed file-arrival
+        stream over raw/records → processed/records. The streaming twin
+        of `process()`; drains available files and stops
+        (Trigger.AvailableNow), exactly-once per file."""
+        from serverless_datalake_aws_spark.streaming.pipeline import stream_promote
+
+        raw = f"{self.zone('raw')}/records"
+        schema = self.spark.read.parquet(raw).schema
+        q = stream_promote(
+            self.spark,
+            raw,
+            f"{self.zone('processed')}/records_stream",
+            str(self.root / "_checkpoints" / "promote"),
+            schema,
+            fmt="parquet",
+            transform=transform,
+        )
+        q.awaitTermination(600)
+
     def _mark_indexed(self) -> None:
         """Metadata upsert (K7): read-modify-overwrite in plain Parquet —
         same last-writer-wins semantics as the reference's per-attribute

@@ -39,6 +39,7 @@ _MODULES = (
     "similarity",
     "events_queries",
     "search",
+    "streaming_queries",
 )
 
 

@@ -145,10 +145,18 @@ def d03_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle co-locates blocks; pairwise cost is bounded per block.
     """
     docs = table(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        "source",
-        F.array_distinct(TX.word_ngrams("text", n=3)).alias("sh"),
+    n_part = spark.sparkContext.defaultParallelism
+    # cache the shingle arrays: without the InMemoryRelation boundary,
+    # CollapseProject re-inlines the ngram construction into both join
+    # sides and the intersect math (measured 24s -> ~8s at sf0.1)
+    d = (
+        docs.repartition(n_part, "source")
+        .select(
+            "doc_id",
+            "source",
+            F.array_distinct(TX.word_ngrams("text", n=3)).alias("sh"),
+        )
+        .cache()
     )
     d1 = d.alias("d1")
     d2 = d.alias("d2")

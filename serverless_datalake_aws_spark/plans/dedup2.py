@@ -45,11 +45,11 @@ _SIMHASH_SQL = f"""
 """
 
 
-def _simhash_col():
-    """32-bit SimHash of the distinct token set: bit j is set iff the
-    majority of token hashes have bit j set (±1 vote per token)."""
-    toks = TX.distinct_tokens("text")
-    hashes = F.transform(toks, TX.token_hash)
+def _simhash_col_from(hashes_col: str):
+    """32-bit SimHash from a materialized token-hash array column: bit j
+    is set iff the majority of token hashes have bit j set (±1 vote per
+    token)."""
+    hashes = F.col(hashes_col)
 
     def _vote(j: int):
         # two-arg merge lambda built via closure (F.aggregate requires
@@ -89,9 +89,21 @@ def d05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-scale variant would block on simhash bands instead of source."""
     docs = table(spark, sf_dir, "documents")
     n_part = spark.sparkContext.defaultParallelism
-    s = docs.repartition(n_part, "doc_id").select(
-        "doc_id", "source", _simhash_col().alias("simhash")
+    # two cached steps: the 32 per-bit vote aggregates all reference the
+    # token-hash array, and projection collapse would inline the md5+conv
+    # hashing into each vote (32x recompute). The InMemoryRelation
+    # boundary pins the hash array; the second cache lets the self-join
+    # reuse the fingerprints.
+    hashed = (
+        docs.repartition(n_part, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.transform(TX.distinct_tokens("text"), TX.token_hash).alias("hashes"),
+        )
+        .cache()
     )
+    s = hashed.select("doc_id", "source", _simhash_col_from("hashes").alias("simhash")).cache()
     s1, s2 = s.alias("s1"), s.alias("s2")
     hamming = F.bit_count(
         F.col("s1.simhash").bitwiseXOR(F.col("s2.simhash"))

@@ -112,6 +112,20 @@ def test_search_match_all_and_type_filter(engine):
     assert engine.search(term="laptop").count() == 3
 
 
+def test_process_stream_exactly_once(engine, spark):
+    engine.ingest_batch(SAMPLES, data_type="sales")
+    engine.process_stream()
+    out = f"{engine.zone('processed')}/records_stream"
+    assert spark.read.parquet(out).count() == 3
+    # drain again with no new data: checkpoint prevents duplicates
+    engine.process_stream()
+    assert spark.read.parquet(out).count() == 3
+    # new ingest → only the new rows land
+    engine.ingest_batch([{"product": "Cam", "quantity": 1}], data_type="sales")
+    engine.process_stream()
+    assert spark.read.parquet(out).count() == 4
+
+
 def test_query_unknown_type_raises(engine):
     with pytest.raises(ValueError, match="unknown query type"):
         engine.query(type="graphql", q="{}")

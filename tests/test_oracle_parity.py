@@ -24,8 +24,13 @@ def test_query_runs_nonempty(spark, name):
     assert df.count() >= 0
 
 
+# Streaming semantics (watermark-gated append) are not SQL-expressible;
+# the driver records rows-only checks for these. Batch twins e01/e03
+# carry the value-level parity.
+ROWS_ONLY = {"st01_stream_hourly_counts", "st02_stream_sessions"}
+
+
 def test_every_query_has_oracle_or_is_declared():
     oracles = all_oracles()
-    missing = [n for n in QUERY_NAMES if n not in oracles]
-    # Non-SQL-expressible ops may omit the oracle; keep the list explicit.
+    missing = [n for n in QUERY_NAMES if n not in oracles and n not in ROWS_ONLY]
     assert missing == [], f"queries missing oracles: {missing}"
