@@ -32,6 +32,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 _MODULES = (
     "relational",
     "relational2",
+    "relational3",
     "metadata_queries",
     "text",
     "dedup",
