@@ -33,6 +33,7 @@ _MODULES = (
     "relational",
     "relational2",
     "relational3",
+    "relational4",
     "metadata_queries",
     "text",
     "dedup",

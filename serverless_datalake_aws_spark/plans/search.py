@@ -45,6 +45,31 @@ def x01_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x04_phrase_match",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST((length(text) - length(replace(text, 'the fast', '')))
+                / length('the fast') AS BIGINT) AS n_occurrences
+    FROM documents
+    WHERE contains(text, 'the fast')
+    """,
+)
+def x04_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase (multi-token) match with occurrence counts — the
+    OpenSearch match_phrase analogue, via substring scan (X5)."""
+    docs = table(spark, sf_dir, "documents")
+    phrase = "the fast"
+    n_occ = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(phrase), F.lit(""))))
+        / len(phrase)
+    ).cast("long")
+    return (
+        docs.filter(F.col("text").contains(phrase))
+        .select("doc_id", "lang", n_occ.alias("n_occurrences"))
+    )
+
+
+@query(
     "x02_tfidf",
     oracle="""
     WITH toks AS (
