@@ -45,11 +45,13 @@ def main() -> None:
     spark = get_session(app_name="bench")
     qmap = all_queries()
 
-    # JVM/codegen warmup on the smallest SF so per-query numbers measure
-    # the plan, not first-run compilation.
-    qmap["q01_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # JVM/codegen warmup: run every headline query once at the smallest
+    # SF so per-query numbers measure the plan, not first-run whole-stage
+    # codegen compilation (measured 5-6x inflation on first run).
+    for name in HEADLINE:
+        qmap[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

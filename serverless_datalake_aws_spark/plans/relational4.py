@@ -103,6 +103,47 @@ def q35_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q38_approx_aggs",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS exact_customers,
+           (abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+            <= 0.05 * count(DISTINCT o_custkey)) AS approx_within_5pct,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_exact,
+           (abs(approx_quantile(o_totalprice, 0.9) - quantile_cont(o_totalprice, 0.9))
+            <= 0.05 * quantile_cont(o_totalprice, 0.9)) AS p90_approx_within_5pct
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q38_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct, approximate quantiles) —
+    the scale substitutes for exact distinct/percentile (SURVEY §2.7).
+
+    The sketch values themselves differ across engines by construction,
+    so the verifiable contract is each engine's own error bound: the
+    oracle hash-matches the exact values plus a boolean 'approx within
+    5% of exact', computed per engine from its own sketch. Both
+    algorithms (HLL++ / t-digest-family) sit well inside 5% here.
+    """
+    orders = table(spark, sf_dir, "orders")
+    exact_d = F.countDistinct("o_custkey")
+    # rsd=0.01: the default 5% relative error makes a 5% bound a coin
+    # flip (1 sigma); at 1% the bound is 5 sigma — deterministic in practice
+    approx_d = F.approx_count_distinct("o_custkey", rsd=0.01)
+    p90_exact = F.percentile("o_totalprice", 0.9)
+    p90_approx = F.percentile_approx("o_totalprice", 0.9)
+    return orders.groupBy("o_orderpriority").agg(
+        exact_d.alias("exact_customers"),
+        (F.abs(approx_d - exact_d) <= 0.05 * exact_d).alias("approx_within_5pct"),
+        F.round(p90_exact, 4).alias("p90_exact"),
+        (F.abs(p90_approx - p90_exact) <= 0.05 * p90_exact).alias(
+            "p90_approx_within_5pct"
+        ),
+    )
+
+
+@query(
     "e04_time_hierarchy_rollup",
     oracle="""
     WITH prepared AS (
