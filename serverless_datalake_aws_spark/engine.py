@@ -215,6 +215,25 @@ class DataLakeEngine:
         Catalyst and return materialized results synchronously."""
         return self.spark.sql(sql_query)
 
+    # -- async-shaped SQL (API parity with the reference's execution-id
+    #    flow, SURVEY §7.3) ---------------------------------------------------
+    def submit_sql(self, sql_query: str) -> str:
+        """Submit SQL, get an execution id (the reference's API shape at
+        query-data-lambda.py:208-218) — but unlike the reference, the
+        results are actually persisted and fetchable (K11 results sink)."""
+        exec_id = str(uuid.uuid4())
+        result = self.spark.sql(sql_query)
+        result.write.mode("overwrite").parquet(
+            str(self.root / "_query_results" / exec_id)
+        )
+        return exec_id
+
+    def get_query_results(self, exec_id: str) -> DataFrame:
+        """Fetch results for a prior `submit_sql` execution id — the
+        half of the flow the reference left unimplemented
+        (query-data-lambda.py:210-212)."""
+        return self.spark.read.parquet(str(self.root / "_query_results" / exec_id))
+
     # -- process / promote (reference entry point 3, SURVEY §3.3) ------------
     def register_table(self, name: str, df: DataFrame) -> None:
         """Catalog registration (replaces the Glue crawler, S9)."""
@@ -269,13 +288,8 @@ class DataLakeEngine:
         updated.unpersist()
 
     # -- search surface (SURVEY §2.8) ----------------------------------------
-    def _rebuild_search_index(self) -> DataFrame:
-        """Reindex-all (X7, index-data-lambda.py:317-388): one
-        explode+aggregate replaces the scan→loop→HTTP-bulk pipeline.
-        Index rows: (data_type, id, token, tf) — partitioned by
-        data_type, the analogue of index-per-dataset naming (X2)."""
-        recs = self.records("raw")
-        idx = (
+    def _tokenize(self, recs: DataFrame) -> DataFrame:
+        return (
             recs.select(
                 "data_type",
                 "id",
@@ -287,10 +301,34 @@ class DataLakeEngine:
             .groupBy("data_type", "id", "token")
             .agg(F.count("*").alias("tf"))
         )
+
+    def _rebuild_search_index(self) -> DataFrame:
+        """Reindex-all (X7, index-data-lambda.py:317-388): one
+        explode+aggregate replaces the scan→loop→HTTP-bulk pipeline.
+        Index rows: (data_type, id, token, tf) — partitioned by
+        data_type, the analogue of index-per-dataset naming (X2)."""
+        idx = self._tokenize(self.records("raw"))
         idx.write.mode("overwrite").partitionBy("data_type").parquet(
             self.search_index_path
         )
         return self.search_index()
+
+    def index_incremental(self) -> int:
+        """Incremental indexing (K9/X3 single-doc path, batched): only
+        records whose metadata says indexed=false are tokenized and
+        appended — an anti-join against the indexed set instead of the
+        reference's re-index-everything or one-HTTP-call-per-doc.
+        Returns the number of newly indexed records."""
+        pending = self.meta().filter(~F.coalesce("indexed", F.lit(False))).select("id")
+        n = pending.count()
+        if n == 0:
+            return 0
+        new_recs = self.records("raw").join(F.broadcast(pending), "id", "left_semi")
+        self._tokenize(new_recs).write.mode("append").partitionBy(
+            "data_type"
+        ).parquet(self.search_index_path)
+        self._mark_indexed()
+        return n
 
     def search_index(self) -> DataFrame:
         return self.spark.read.parquet(self.search_index_path)

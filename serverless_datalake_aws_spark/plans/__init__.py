@@ -34,6 +34,7 @@ _MODULES = (
     "relational2",
     "relational3",
     "relational4",
+    "relational5",
     "nested",
     "metadata_queries",
     "text",

@@ -126,6 +126,31 @@ def test_process_stream_exactly_once(engine, spark):
     assert spark.read.parquet(out).count() == 4
 
 
+def test_submit_sql_execution_id_flow(engine):
+    engine.ingest_batch(SAMPLES, data_type="sales")
+    engine.register_table("raw_records", engine.records("raw"))
+    exec_id = engine.submit_sql(
+        "SELECT count(*) AS n FROM raw_records"
+    )
+    assert isinstance(exec_id, str) and len(exec_id) == 36
+    assert engine.get_query_results(exec_id).first()["n"] == 3
+
+
+def test_index_incremental_only_new(engine, spark):
+    ids1 = engine.ingest_batch(SAMPLES[:2], data_type="sales")
+    assert engine.index_incremental() == 2
+    idx1 = engine.search_index().select("id").distinct().count()
+    assert idx1 == 2
+    # nothing pending → no-op
+    assert engine.index_incremental() == 0
+    # new record → only it gets indexed (append, not rebuild)
+    engine.ingest_batch([{"product": "Webcam", "quantity": 9}], data_type="sales")
+    assert engine.index_incremental() == 1
+    assert engine.search_index().select("id").distinct().count() == 3
+    assert engine.search(term="webcam").count() == 1
+    assert set(r["id"] for r in engine.search(term="laptop").collect()) <= set(ids1)
+
+
 def test_query_unknown_type_raises(engine):
     with pytest.raises(ValueError, match="unknown query type"):
         engine.query(type="graphql", q="{}")

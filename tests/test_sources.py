@@ -89,6 +89,29 @@ def test_compact_reduces_files(spark, tmp_path):
     assert read_any(spark, out).count() == 1000
 
 
+def test_corrupt_json_records_quarantined(spark, tmp_path):
+    """T14 skip path: malformed JSON lines land in _corrupt_record
+    (PERMISSIVE default) instead of failing the read — the engine's
+    version of the reference's skip-with-warning (index-data-lambda.py:
+    128-131)."""
+    nd = tmp_path / "mixed.json"
+    nd.write_text('{"k": 1}\nNOT JSON AT ALL\n{"k": 3}\n')
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = read_any(spark, nd, schema=schema, fmt="ndjson").cache()
+    assert df.count() == 3
+    good = df.filter(df["_corrupt_record"].isNull())
+    bad = df.filter(df["_corrupt_record"].isNotNull())
+    assert sorted(r["k"] for r in good.collect()) == [1, 3]
+    assert bad.first()["_corrupt_record"] == "NOT JSON AT ALL"
+
+
 def test_binary_source(spark, tmp_path):
     (tmp_path / "img1.bin").write_bytes(b"\x89PNG fake")
     (tmp_path / "img2.bin").write_bytes(b"RIFF fake")
