@@ -55,3 +55,27 @@ def register_views(
     (reference S9 Glue-cataloged table scan)."""
     for name in tables:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def save_table(
+    spark: SparkSession,
+    df: "DataFrame",
+    name: str,
+    analyze: bool = True,
+    bucket_by: tuple[int, str] | None = None,
+) -> None:
+    """Persist a DataFrame as a managed catalog table with statistics —
+    the engine's replacement for the Glue crawler (schema registered at
+    write time, zero staleness vs the reference's 12-hour cron,
+    terraform main.tf:203-214). `analyze` computes table + column stats
+    so Catalyst's CBO can order joins; `bucket_by=(n, col)` co-locates
+    future equi-joins on `col` without a shuffle (SCALE.md fact-fact
+    join note)."""
+    writer = df.write.mode("overwrite").format("parquet")
+    if bucket_by is not None:
+        n, col = bucket_by
+        writer = writer.bucketBy(n, col).sortBy(col)
+    writer.saveAsTable(name)
+    if analyze:
+        cols = ", ".join(f"`{c}`" for c in df.columns)
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}")

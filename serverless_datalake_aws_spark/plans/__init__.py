@@ -44,6 +44,7 @@ _MODULES = (
     "events_queries",
     "search",
     "streaming_queries",
+    "binary_queries",
 )
 
 

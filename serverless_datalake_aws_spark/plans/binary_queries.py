@@ -1,0 +1,66 @@
+"""Binary-column queries (SURVEY §2.11 multimodal plumbing, §1.2
+BinaryType row). The codec layer is stubbed (operators/multimodal.py);
+the *relational* binary surface — byte lengths, content digests, binary
+slicing/grouping — is exact and oracle-verified here, with payloads
+synthesized from document text so the same bytes exist in both engines."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serverless_datalake_aws_spark.catalog import table
+from serverless_datalake_aws_spark.plans import query
+
+
+@query(
+    "mm01_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS payload_bytes,
+           sha256(text) AS content_sha256,
+           substr(md5(text), 1, 8) AS shard_key
+    FROM documents
+    WHERE octet_length(encode(text)) > 200
+    """,
+)
+def mm01_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-payload metadata extraction: byte size, content digest,
+    digest-prefix shard key (the multimodal partition-by-content-hash
+    pattern from SCALE.md). Payload = utf-8 bytes of the text column so
+    both engines hash identical bytes."""
+    docs = table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return (
+        docs.select(
+            "doc_id",
+            F.octet_length(payload).cast("long").alias("payload_bytes"),
+            F.sha2(payload, 256).alias("content_sha256"),
+            F.substring(F.md5(payload), 1, 8).alias("shard_key"),
+        )
+        .filter(F.col("payload_bytes") > 200)
+    )
+
+
+@query(
+    "mm02_shard_distribution",
+    oracle="""
+    SELECT substr(md5(text), 1, 1) AS shard,
+           count(*) AS n_payloads,
+           sum(octet_length(encode(text))) AS shard_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def mm02_shard_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash sharding profile: 16 hex shards, row + byte counts —
+    the even-task-sizing check for binary corpora (payload skew shows up
+    here before it shows up as a straggler task)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.substring(F.md5("text"), 1, 1).alias("shard"))
+        .agg(
+            F.count("*").alias("n_payloads"),
+            F.sum(F.octet_length(F.encode("text", "UTF-8"))).alias("shard_bytes"),
+        )
+    )

@@ -124,6 +124,34 @@ def d05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d07_dedup_keep_first",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' '))
+        ORDER BY doc_id
+    ) = 1
+    """,
+)
+def d07_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor-selection dedup (§2.11 'content-hash + row_number()==1'):
+    unlike d01/d02's group summaries, this keeps the full surviving row
+    — the plan you actually run to materialize a deduplicated corpus.
+    One shuffle on the fingerprint; survivors stream out without a
+    second join."""
+    from pyspark.sql.window import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    w = W.partitionBy(TX.fingerprint("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@query(
     "d06_group_zscore_outliers",
     oracle="""
     SELECT lang, doc_id, n_chars,

@@ -144,6 +144,35 @@ def t04_language_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t06_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g')) AS normalized,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g'))) AS norm_hash
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def t06_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization pipeline (lowercase → strip non-alnum →
+    collapse whitespace → trim) + canonical hash — the standard
+    preprocessing step before dedup/tokenization (§2.11)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id", norm.alias("normalized"), F.md5(norm).alias("norm_hash")
+    )
+
+
+@query(
     "t05_bigram_counts",
     oracle="""
     SELECT bigram, count(*) AS n
