@@ -61,6 +61,97 @@ def e02_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e05_funnel",
+    oracle="""
+    WITH stages AS (
+        SELECT user_id,
+               min(ts) FILTER (WHERE event_type = 'signup')   AS signup_ts,
+               min(ts) FILTER (WHERE event_type = 'view')     AS view_ts,
+               min(ts) FILTER (WHERE event_type = 'purchase') AS purchase_ts
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(signup_ts) AS reached_signup,
+           count(CASE WHEN view_ts > signup_ts THEN 1 END) AS signup_then_view,
+           count(CASE WHEN purchase_ts > view_ts AND view_ts > signup_ts THEN 1 END)
+               AS full_funnel
+    FROM stages
+    """,
+)
+def e05_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (signup → view → purchase, order-sensitive):
+    conditional-min per stage then ordered-stage counting. One shuffle
+    on user_id; stage comparisons are row-local."""
+    ev = table(spark, sf_dir, "events")
+
+    def stage_min(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    stages = ev.groupBy("user_id").agg(
+        stage_min("signup").alias("signup_ts"),
+        stage_min("view").alias("view_ts"),
+        stage_min("purchase").alias("purchase_ts"),
+    )
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        F.count("signup_ts").alias("reached_signup"),
+        F.count(F.when(F.col("view_ts") > F.col("signup_ts"), 1)).alias(
+            "signup_then_view"
+        ),
+        F.count(
+            F.when(
+                (F.col("purchase_ts") > F.col("view_ts"))
+                & (F.col("view_ts") > F.col("signup_ts")),
+                1,
+            )
+        ).alias("full_funnel"),
+    )
+
+
+@query(
+    "e06_weekly_retention",
+    oracle="""
+    WITH weekly AS (
+        SELECT DISTINCT user_id,
+               CAST(date_diff('week', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS week
+        FROM events
+    )
+    SELECT w1.week AS week,
+           count(DISTINCT w1.user_id) AS active_users,
+           count(DISTINCT w2.user_id) AS retained_next_week
+    FROM weekly w1 LEFT JOIN weekly w2
+      ON w1.user_id = w2.user_id AND w2.week = w1.week + 1
+    GROUP BY w1.week
+    """,
+)
+def e06_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users active in week w who return in
+    w+1. The distinct (user, week) grid is small (users × weeks), so
+    the self-join shuffles a reduced relation — never raw events."""
+    ev = table(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date")) / 7
+        ).cast("long").alias("week"),
+    ).distinct()
+    w1, w2 = weekly.alias("w1"), weekly.alias("w2")
+    return (
+        w1.join(
+            w2,
+            (F.col("w1.user_id") == F.col("w2.user_id"))
+            & (F.col("w2.week") == F.col("w1.week") + 1),
+            "left",
+        )
+        .groupBy(F.col("w1.week").alias("week"))
+        .agg(
+            F.countDistinct("w1.user_id").alias("active_users"),
+            F.countDistinct("w2.user_id").alias("retained_next_week"),
+        )
+    )
+
+
+@query(
     "e03_sessionize",
     oracle="""
     WITH flagged AS (
