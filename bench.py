@@ -32,10 +32,13 @@ HEADLINE = (
     "e03_sessionize",
     "t02_term_frequencies",
     "x03_bm25",
+    "q34_local_supplier_volume",
+    "e04_time_hierarchy_rollup",
     "d04_minhash_lsh_pairs",
     "d05_simhash_pairs",
     "s01_knn_bruteforce",
     "s02_lsh_ann",
+    "s05_ivf_ann",
 )
 
 

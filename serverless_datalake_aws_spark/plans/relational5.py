@@ -49,6 +49,32 @@ def q39_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q41_min_cost_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_name, p_retailprice
+    FROM part p
+    WHERE p_retailprice = (
+        SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+    """,
+)
+def q41_min_cost_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated-min: rows matching their group's
+    minimum (Catalyst decorrelates to aggregate + join — the same
+    rewrite Presto applies)."""
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(
+        """
+        SELECT p_brand, p_partkey, p_name, p_retailprice
+        FROM part p
+        WHERE p_retailprice = (
+            SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+        )
+        """
+    )
+
+
+@query(
     "q40_global_sales_opportunity",
     oracle="""
     SELECT substr(c_name, 10, 2) AS cust_group,

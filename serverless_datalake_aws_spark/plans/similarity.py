@@ -123,6 +123,78 @@ def s02_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s05_ivf_ann",
+    oracle=f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+    assign AS (
+        SELECT e.vec_id, e.embedding, e.label, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(
+                     list_dot_product(list_transform(c.cemb, x -> CAST(x AS DOUBLE)),
+                                      list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+                     / (sqrt(list_dot_product(list_transform(c.cemb, x -> CAST(x AS DOUBLE)),
+                                              list_transform(c.cemb, x -> CAST(x AS DOUBLE))))
+                      * sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                              list_transform(e.embedding, x -> CAST(x AS DOUBLE))))), 6)
+                     DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN c
+    ),
+    cells AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+    q AS (SELECT * FROM cells WHERE vec_id < 20),
+    sims AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               {_COS_ORACLE_EXPR} AS cos_sim
+        FROM q JOIN cells e ON q.cid = e.cid AND e.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rk
+          FROM sims)
+    WHERE rk <= 5
+    """,
+)
+def s05_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize every vector to its
+    nearest of 8 deterministic centroids (the first 8 vectors), then
+    search only within the query's cell. The assign step is a broadcast
+    N×C scoring pass (C ≪ N); the search join is an equi-join on cell
+    id. At 100 TB: k-means centroids, multi-cell probing, and the s04
+    centroid aggregation to refresh them."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.round(VX.cosine(F.col("cemb"), F.col("embedding")), 6).alias("csim"),
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
+    cells = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    q = cells.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cid").alias("q_cid"),
+    )
+    sims = cells.join(
+        F.broadcast(q),
+        (F.col("cid") == F.col("q_cid")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(VX.cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+
+
+@query(
     "s03_embedding_neardup",
     oracle=f"""
     SELECT q.vec_id AS vec1, e.vec_id AS vec2, {_COS_ORACLE_EXPR} AS cos_sim
