@@ -49,6 +49,80 @@ def q39_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q42_month_spine_gapfill",
+    oracle="""
+    WITH RECURSIVE spine(m) AS (
+        SELECT TIMESTAMP '1995-01-01'
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM spine WHERE m < TIMESTAMP '2001-07-01'
+    ),
+    monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n,
+               round(sum(o_totalprice), 4) AS total
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(spine.m, '%Y-%m') AS month,
+           coalesce(monthly.n, 0) AS n_orders,
+           round(coalesce(monthly.total, 0), 4) AS total
+    FROM spine LEFT JOIN monthly ON spine.m = monthly.m
+    """,
+)
+def q42_month_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling via RECURSIVE CTE (Spark ≥4.0): a
+    dense month spine left-joined to monthly aggregates, zero-filling
+    empty months — the time-series reporting pattern Athena/Presto
+    users run constantly. The spine is O(months) on the driver side of
+    the plan; the aggregate is the only shuffle."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(m) AS (
+            SELECT TIMESTAMP '1995-01-01'
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM spine WHERE m < TIMESTAMP '2001-07-01'
+        ),
+        monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n,
+                   round(sum(o_totalprice), 4) AS total
+            FROM orders GROUP BY 1
+        )
+        SELECT date_format(spine.m, 'yyyy-MM') AS month,
+               coalesce(monthly.n, 0) AS n_orders,
+               round(coalesce(monthly.total, 0), 4) AS total
+        FROM spine LEFT JOIN monthly ON spine.m = monthly.m
+        """
+    )
+
+
+@query(
+    "q43_bag_setops",
+    oracle="""
+    SELECT c_custkey FROM (
+        SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    )
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q43_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — bag (multiplicity-preserving)
+    semantics, complementing q12's set semantics."""
+    orders = table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    b = orders.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    c = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.intersectAll(b).exceptAll(c)
+
+
+@query(
     "q41_min_cost_per_group",
     oracle="""
     SELECT p_brand, p_partkey, p_name, p_retailprice

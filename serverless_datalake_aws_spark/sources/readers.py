@@ -26,7 +26,10 @@ _FORMATS = {
     ".jsonl": "ndjson",
     ".ndjson": "ndjson",
     ".parquet": "parquet",
+    ".orc": "orc",
     ".txt": "text",
+    # .avro requires the spark-avro package (not in this runtime);
+    # detect_format returns None → skip-with-warn, same as any unknown
 }
 
 
@@ -94,6 +97,8 @@ def read_any(
         return reader.json(path)
     if kind == "parquet":
         return spark.read.parquet(path)
+    if kind == "orc":
+        return spark.read.orc(path)
     if kind == "text":
         return spark.read.text(path)
     raise AssertionError(f"unreachable format {kind}")

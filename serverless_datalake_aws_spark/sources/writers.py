@@ -35,6 +35,8 @@ def write_any(
         writer.json(str(path))
     elif fmt == "parquet":
         writer.parquet(str(path))
+    elif fmt == "orc":
+        writer.orc(str(path))
     else:
         raise ValueError(f"unsupported write format: {fmt}")
 

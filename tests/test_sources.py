@@ -89,6 +89,15 @@ def test_compact_reduces_files(spark, tmp_path):
     assert read_any(spark, out).count() == 1000
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    out = tmp_path / "t_orc"
+    write_any(df, out, fmt="orc")
+    back = read_any(spark, out)  # directory inference picks .orc
+    assert back.count() == 2
+    assert dict(back.dtypes) == {"id": "int", "v": "string"}
+
+
 def test_corrupt_json_records_quarantined(spark, tmp_path):
     """T14 skip path: malformed JSON lines land in _corrupt_record
     (PERMISSIVE default) instead of failing the read — the engine's
