@@ -151,6 +151,113 @@ def d07_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLUSTER_EDGES_SQL = f"""
+        SELECT d1.doc_id AS a, d2.doc_id AS b
+        FROM (SELECT doc_id, source, {_SIMHASH_SQL} AS simhash FROM documents) d1
+        JOIN (SELECT doc_id, source, {_SIMHASH_SQL} AS simhash FROM documents) d2
+          ON d1.source = d2.source AND d1.doc_id < d2.doc_id
+        WHERE bit_count(xor(d1.simhash, d2.simhash)) <= 6
+"""
+
+
+@query(
+    "d08_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_CLUSTER_EDGES_SQL}),
+    edges2 AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+    nodes AS (SELECT DISTINCT x AS node FROM (
+        SELECT a AS x FROM edges UNION SELECT b FROM edges)),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT reach.node, e.b FROM reach JOIN edges2 e ON e.a = reach.r
+    )
+    SELECT node,
+           min(r) AS cluster_id,
+           count(DISTINCT r) AS cluster_size,
+           list_sort(list(DISTINCT r)) AS members
+    FROM reach
+    GROUP BY node
+    """,
+)
+def d08_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation: near-dup pairs (the d05 simhash
+    edges) → connected components via iterative min-label propagation —
+    the step that turns pairwise similarity into deduplicatable groups.
+
+    This is the §2.10/§2.11 'iterative algorithm on DataFrames' class:
+    a driver loop over joins until fixpoint (bounded by graph
+    diameter), each step one shuffle. The oracle computes the same
+    components with a recursive CTE. Output: one row per node with its
+    cluster id (min doc_id in component).
+    """
+    docs = table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    hashed = (
+        docs.repartition(n_part, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.transform(TX.distinct_tokens("text"), TX.token_hash).alias("hashes"),
+        )
+        .cache()
+    )
+    s = hashed.select(
+        "doc_id", "source", _simhash_col_from("hashes").alias("simhash")
+    ).cache()
+    s1, s2 = s.alias("s1"), s.alias("s2")
+    edges = (
+        s1.join(
+            s2,
+            (F.col("s1.source") == F.col("s2.source"))
+            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+        )
+        .filter(
+            F.bit_count(F.col("s1.simhash").bitwiseXOR(F.col("s2.simhash"))) <= 6
+        )
+        .select(F.col("s1.doc_id").alias("a"), F.col("s2.doc_id").alias("b"))
+        .cache()
+    )
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select("b"))
+        .distinct()
+    )
+    labels = nodes.withColumn("label", F.col("node")).cache()
+    both = edges.union(edges.select(F.col("b"), F.col("a")))  # undirected
+    for _ in range(20):  # bounded by component diameter
+        msgs = both.join(
+            labels, both.a == labels.node
+        ).select(F.col("b").alias("node"), "label")
+        new_labels = (
+            labels.select("node", "label")
+            .union(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(
+        F.count("*").alias("cluster_size"),
+        F.array_sort(F.collect_list("node")).alias("members"),
+    )
+    return labels.join(sizes, "label").select(
+        "node",
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+        "members",
+    )
+
+
 @query(
     "d06_group_zscore_outliers",
     oracle="""

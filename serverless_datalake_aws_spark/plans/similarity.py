@@ -241,6 +241,64 @@ def s03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s06_quantization_error",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS lo,
+               list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS hi,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    err AS (
+        SELECT vec_id, label,
+               list_sum(list_transform(emb, x ->
+                   abs(x - (lo + round((x - lo) / (hi - lo) * 255) * (hi - lo) / 255))
+               )) / len(emb) AS mae
+        FROM q
+    )
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg(mae), 6) AS avg_mae,
+           round(max(mae), 6) AS max_mae
+    FROM err
+    GROUP BY label
+    """,
+)
+def s06_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization (per-vector min/max) + reconstruction
+    error profile per label (§2.11 — the storage-compression step of an
+    embedding pipeline: 4x smaller vectors, error accounted). All
+    array-local math; one tiny aggregation shuffle."""
+    emb = table(spark, sf_dir, "embeddings")
+    embd = F.transform("embedding", lambda x: x.cast("double"))
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.array_min(embd).alias("lo"),
+        F.array_max(embd).alias("hi"),
+        embd.alias("emb"),
+    ).cache()  # pin lo/hi so the error map doesn't re-inline min/max per element
+    lo, hi = F.col("lo"), F.col("hi")
+    recon_err = F.aggregate(
+        F.transform(
+            "emb",
+            lambda x: F.abs(
+                x - (lo + F.round((x - lo) / (hi - lo) * 255) * (hi - lo) / 255)
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size("emb")
+    err = q.select("vec_id", "label", recon_err.alias("mae"))
+    return err.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg("mae"), 6).alias("avg_mae"),
+        F.round(F.max("mae"), 6).alias("max_mae"),
+    )
+
+
+@query(
     "s04_label_centroids",
     oracle="""
     SELECT label, i AS dim,

@@ -173,6 +173,28 @@ def t06_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t07_token_histogram",
+    oracle="""
+    SELECT CAST(len(string_split(text,' ')) // 10 AS BIGINT) * 10 AS bucket_lo,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def t07_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count distribution histogram (width-10 buckets) — the
+    corpus-profiling step that sizes truncation/packing decisions in a
+    training-data pipeline (§2.11)."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (F.floor(F.size(TX.tokens("text")) / 10) * 10).cast("long")
+    return docs.groupBy(bucket.alias("bucket_lo")).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@query(
     "t05_bigram_counts",
     oracle="""
     SELECT bigram, count(*) AS n
