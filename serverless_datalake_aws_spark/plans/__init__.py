@@ -45,6 +45,7 @@ _MODULES = (
     "search",
     "streaming_queries",
     "binary_queries",
+    "packing",
 )
 
 
