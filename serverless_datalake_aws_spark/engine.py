@@ -256,6 +256,24 @@ class DataLakeEngine:
         self._mark_indexed()
         return self.records("processed")
 
+    def curate(self) -> DataFrame:
+        """Gold-zone rollup (the curated/ zone the reference creates at
+        deploy-script.sh:22-24 but never populates): per-(data_type,
+        ingest_date) record counts and byte totals from processed/ —
+        the dashboard-feeding aggregate, partitioned for pruning."""
+        gold = (
+            self.records("processed")
+            .groupBy("data_type", "ingest_date")
+            .agg(
+                F.count("*").alias("n_records"),
+                F.sum(F.octet_length("payload")).alias("total_bytes"),
+            )
+        )
+        gold.write.mode("overwrite").partitionBy("data_type").parquet(
+            f"{self.zone('curated')}/daily_summary"
+        )
+        return self.spark.read.parquet(f"{self.zone('curated')}/daily_summary")
+
     def process_stream(self, transform=None) -> None:
         """Streaming zone promotion (S10): checkpointed file-arrival
         stream over raw/records → processed/records. The streaming twin

@@ -151,6 +151,17 @@ def test_index_incremental_only_new(engine, spark):
     assert set(r["id"] for r in engine.search(term="laptop").collect()) <= set(ids1)
 
 
+def test_curate_gold_zone(engine):
+    engine.ingest_batch(SAMPLES, data_type="sales")
+    engine.ingest_batch([{"cpu": 0.5}], data_type="metrics")
+    engine.process()
+    gold = engine.curate()
+    rows = {r["data_type"]: r for r in gold.collect()}
+    assert rows["sales"]["n_records"] == 3
+    assert rows["metrics"]["n_records"] == 1
+    assert rows["sales"]["total_bytes"] > 0
+
+
 def test_query_unknown_type_raises(engine):
     with pytest.raises(ValueError, match="unknown query type"):
         engine.query(type="graphql", q="{}")

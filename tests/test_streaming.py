@@ -106,6 +106,40 @@ def test_stream_windowed_counts(spark, tmp_path):
     assert out[("2024-01-01T11:00:00", "view")] == (1, 3.0)
 
 
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join (§2.9): streaming events enriched against a
+    static dimension — the streaming twin of the J1 enrichment join."""
+    events = tmp_path / "ev"
+    _events_df(
+        spark,
+        [
+            ("2024-01-01 10:00:00", 1, "click", 1.0),
+            ("2024-01-01 10:05:00", 2, "view", 2.0),
+            ("2024-01-01 10:10:00", 3, "click", 3.0),  # no dim row → left join null
+        ],
+    ).write.parquet(str(events))
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "basic")], "user_id long, tier string"
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .load(str(events))
+        .join(dim, "user_id", "left")
+        .select("user_id", "event_type", "tier")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["user_id"]: r["tier"] for r in spark.sql("SELECT * FROM enriched").collect()}
+    assert rows == {1: "gold", 2: "basic", 3: None}
+
+
 def test_stream_sessionize(spark, tmp_path):
     events = tmp_path / "events"
     _events_df(
