@@ -94,7 +94,7 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS fingerprint,
            min(doc_id) AS keep_doc_id,
            count(*) AS n_docs,
-           list_sort(list(doc_id)) AS doc_ids
+           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
     FROM documents
     GROUP BY 1
     HAVING count(*) > 1
@@ -110,7 +110,13 @@ def d02_fingerprint_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("doc_id").alias("keep_doc_id"),
             F.count("*").alias("n_docs"),
-            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("doc_ids"),
         )
         .filter(F.col("n_docs") > 1)
     )

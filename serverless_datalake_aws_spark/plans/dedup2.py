@@ -175,7 +175,7 @@ _CLUSTER_EDGES_SQL = f"""
     SELECT node,
            min(r) AS cluster_id,
            count(DISTINCT r) AS cluster_size,
-           list_sort(list(DISTINCT r)) AS members
+           array_to_string(list_sort(list(DISTINCT r)), ',') AS members
     FROM reach
     GROUP BY node
     """,
@@ -248,7 +248,12 @@ def d08_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     sizes = labels.groupBy("label").agg(
         F.count("*").alias("cluster_size"),
-        F.array_sort(F.collect_list("node")).alias("members"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("node")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("members"),
     )
     return labels.join(sizes, "label").select(
         "node",

@@ -111,7 +111,7 @@ def q31_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q32_array_agg",
     oracle="""
     SELECT n_name,
-           list_sort(list(c_custkey)) AS customers,
+           array_to_string(list_sort(list(c_custkey)), ',') AS customers,
            len(list(c_custkey)) AS n_customers
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     WHERE c_acctbal > 9500
@@ -120,14 +120,24 @@ def q31_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q32_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation (collect_list + sort for determinism) — the
-    DataFrame-native form of the reference's per-group bucketing (A1)."""
+    DataFrame-native form of the reference's per-group bucketing (A1).
+    Serialized to a joined string so the cross-engine value hash never
+    sees engine-specific array representations."""
     cust = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9500)
     nat = table(spark, sf_dir, "nation")
     return (
         cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.array_sort(F.collect_list("c_custkey")).alias("customers"),
+            F.array_join(
+                # sort numerically BEFORE stringifying (lexicographic
+                # string sort would disagree with the oracle's list_sort)
+                F.transform(
+                    F.array_sort(F.collect_list("c_custkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("customers"),
             F.count("*").alias("n_customers"),
         )
     )
