@@ -35,6 +35,7 @@ _MODULES = (
     "relational3",
     "relational4",
     "relational5",
+    "relational6",
     "nested",
     "metadata_queries",
     "text",
