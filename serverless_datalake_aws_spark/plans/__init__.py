@@ -36,6 +36,7 @@ _MODULES = (
     "relational4",
     "relational5",
     "relational6",
+    "sqlfuncs",
     "nested",
     "metadata_queries",
     "text",
