@@ -40,6 +40,7 @@ _MODULES = (
     "nested",
     "metadata_queries",
     "text",
+    "text2",
     "dedup",
     "dedup2",
     "similarity",

@@ -1,0 +1,205 @@
+"""Second text tranche: corpus-quality operators an LLM training-data
+pipeline runs per document and per corpus — repetition detection
+(Gopher-style duplicate n-gram fraction), lexical diversity (type-token
+ratio, hapax counts), bigram PMI collocation mining, and length-decile
+profiling. The reference's text plane (OpenSearch, SURVEY §2.8) has no
+analytics like these; they extend X5 with the quality-filter surface
+(`documents` table, SURVEY §2.11).
+
+Scale notes: t09/t10 are array-local per row (no explode for t09 — the
+trigram list never leaves its row); t11 shuffles tokens once per level
+(bigram + two unigram legs, all map-side combined); t12's global ntile
+is the one intentionally single-partition op (decile boundaries are a
+driver-sized problem — at 100 TB replace with approx_percentile
+boundaries + a range join, same shape as q38's sketch contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from serverless_datalake_aws_spark.catalog import register_views
+from serverless_datalake_aws_spark.plans import query
+
+
+@query(
+    "t09_trigram_repetition",
+    oracle="""
+    SELECT doc_id,
+      len(tg) AS n_trigrams,
+      len(list_distinct(tg)) AS n_distinct,
+      round(1.0 - CAST(len(list_distinct(tg)) AS DOUBLE)
+            / greatest(len(tg), 1), 6) AS dup_frac
+    FROM (
+      SELECT doc_id,
+        list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+          i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) AS tg
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    """,
+)
+def t09_trigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: fraction of duplicate word
+    trigrams per document. The trigram array is built with a
+    transform-over-sequence lambda and never explodes — each row's
+    check is O(doc length) local work, embarrassingly parallel at any
+    scale. Spark's sequence(1, n) counts DOWN when n < 1 (unlike
+    DuckDB's empty generate_series), hence the CASE guard."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        SELECT doc_id,
+          cast(size(tg) AS bigint) AS n_trigrams,
+          cast(size(array_distinct(tg)) AS bigint) AS n_distinct,
+          round(1.0 - cast(size(array_distinct(tg)) AS double)
+                / greatest(size(tg), 1), 6) AS dup_frac
+        FROM (
+          SELECT doc_id,
+            CASE WHEN size(toks) >= 3 THEN
+              transform(sequence(1, size(toks) - 2),
+                i -> concat(element_at(toks, i), ' ',
+                            element_at(toks, i + 1), ' ',
+                            element_at(toks, i + 2)))
+            ELSE array() END AS tg
+          FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents)
+        )
+        """
+    )
+
+
+@query(
+    "t10_lexical_diversity",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w)
+    SELECT doc_id,
+      sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
+      count(*) AS n_distinct,
+      sum(c) AS n_tokens,
+      round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr
+    FROM wc GROUP BY doc_id
+    """,
+)
+def t10_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio + hapax-legomena count per document — the
+    lexical-diversity features quality classifiers consume. Explode →
+    two-level aggregation; both groupBys share the doc_id prefix so the
+    second reuses the first's partitioning (one wide shuffle total)."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        WITH tok AS (
+          SELECT doc_id, explode(split(text, ' ')) AS w FROM documents
+        ),
+        wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w)
+        SELECT doc_id,
+          sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
+          count(*) AS n_distinct,
+          sum(c) AS n_tokens,
+          round(cast(count(*) AS double) / sum(c), 6) AS ttr
+        FROM wc GROUP BY doc_id
+        """
+    )
+
+
+@query(
+    "t11_bigram_pmi",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    big AS (
+      SELECT unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+             i -> concat(t[i], ' ', t[i+1]))) AS bg
+      FROM toks
+    ),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    bc AS (SELECT bg, count(*) AS c_xy FROM big GROUP BY bg),
+    uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    tot AS (SELECT (SELECT count(*) FROM big) AS b_total,
+                   (SELECT count(*) FROM uni) AS n_total)
+    SELECT bg, c_xy,
+      round(ln((CAST(c_xy AS DOUBLE) / b_total) /
+            ((CAST(u1.c AS DOUBLE) / n_total) * (CAST(u2.c AS DOUBLE) / n_total))),
+            4) AS pmi
+    FROM bc, tot
+    JOIN uc u1 ON u1.w = string_split(bg, ' ')[1]
+    JOIN uc u2 ON u2.w = string_split(bg, ' ')[2]
+    WHERE c_xy >= 5
+    ORDER BY pmi DESC, bg LIMIT 50
+    """,
+)
+def t11_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent
+    word pairs, top-50 (deterministic tie-break on the bigram string).
+    Corpus totals ride along as a broadcast scalar subquery; the
+    unigram legs broadcast into the bigram counts (vocab ≪ corpus), so
+    the only big shuffle is the bigram groupBy — which map-side
+    combines to vocab² at most."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        WITH toks AS (SELECT split(text, ' ') AS t FROM documents),
+        big AS (
+          SELECT explode(
+            CASE WHEN size(t) >= 2 THEN
+              transform(sequence(1, size(t) - 1),
+                i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
+            ELSE array() END) AS bg
+          FROM toks
+        ),
+        uni AS (SELECT explode(t) AS w FROM toks),
+        bc AS (SELECT bg, count(*) AS c_xy FROM big GROUP BY bg),
+        uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        tot AS (SELECT (SELECT count(*) FROM big) AS b_total,
+                       (SELECT count(*) FROM uni) AS n_total)
+        SELECT bg, c_xy,
+          round(ln((cast(c_xy AS double) / b_total) /
+                ((cast(u1.c AS double) / n_total) * (cast(u2.c AS double) / n_total))),
+                4) AS pmi
+        FROM bc CROSS JOIN tot
+        JOIN uc u1 ON u1.w = element_at(split(bg, ' '), 1)
+        JOIN uc u2 ON u2.w = element_at(split(bg, ' '), 2)
+        WHERE c_xy >= 5
+        ORDER BY pmi DESC, bg LIMIT 50
+        """
+    )
+
+
+@query(
+    "t12_length_deciles",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM documents
+    )
+    SELECT decile, count(*) AS n_docs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           round(avg(n_tokens), 4) AS avg_tokens
+    FROM ranked GROUP BY decile
+    """,
+)
+def t12_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: documents bucketed into exact deciles by
+    length, with per-decile token stats — the histogram a curation
+    pipeline uses to set length cutoffs. The global ntile is the one
+    deliberately single-partition step (rank boundaries are global);
+    at 100 TB swap to approx_percentile cut points + a broadcast range
+    join, trading exactness for a fully parallel plan."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        WITH ranked AS (
+          SELECT doc_id, n_chars,
+                 cast(size(split(text, ' ')) AS bigint) AS n_tokens,
+                 ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+          FROM documents
+        )
+        SELECT decile, count(*) AS n_docs,
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+               round(avg(n_tokens), 4) AS avg_tokens
+        FROM ranked GROUP BY decile
+        """
+    )
