@@ -164,6 +164,9 @@ def d03_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
+    # materialize before the self-join: otherwise both sides race to
+    # fill the same unmaterialized cache and the shingling runs twice
+    d.count()
     d1 = d.alias("d1")
     d2 = d.alias("d2")
     inter = F.size(F.array_intersect(F.col("d1.sh"), F.col("d2.sh"))).cast("double")
@@ -205,6 +208,7 @@ def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hs", F.transform("toks", lambda t: TX.token_hash(t) % TX.MINHASH_P))
         .cache()
     )
+    d.count()  # materialize: read by bands + both verify legs (see d03)
     # Slim band rows: only (doc_id, band_key) go through the LSH shuffle;
     # shingle arrays are re-attached to surviving candidates afterwards.
     bands = d.select(

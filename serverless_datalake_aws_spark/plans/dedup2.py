@@ -104,6 +104,11 @@ def d05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     s = hashed.select("doc_id", "source", _simhash_col_from("hashes").alias("simhash")).cache()
+    # materialize the fingerprint cache BEFORE the self-join: otherwise
+    # both join sides race to fill the same unmaterialized cache inside
+    # one job and the 32-vote simhash computes twice (measured 2x on
+    # bench at sf0.1).
+    s.count()
     s1, s2 = s.alias("s1"), s.alias("s2")
     hamming = F.bit_count(
         F.col("s1.simhash").bitwiseXOR(F.col("s2.simhash"))
@@ -205,6 +210,7 @@ def d08_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = hashed.select(
         "doc_id", "source", _simhash_col_from("hashes").alias("simhash")
     ).cache()
+    s.count()  # materialize before the self-join (see d05)
     s1, s2 = s.alias("s1"), s.alias("s2")
     edges = (
         s1.join(
@@ -218,6 +224,7 @@ def d08_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s1.doc_id").alias("a"), F.col("s2.doc_id").alias("b"))
         .cache()
     )
+    edges.count()  # materialize: edges is read twice per iteration
     nodes = (
         edges.select(F.col("a").alias("node"))
         .union(edges.select("b"))

@@ -220,6 +220,7 @@ def s03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
+    emb.count()  # materialize before the self-join (both sides read it)
     a = emb.alias("a")
     b = emb.alias("b")
     cos = VX.dot(F.col("a.embedding"), F.col("b.embedding")) / (
