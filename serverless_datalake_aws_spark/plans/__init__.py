@@ -37,6 +37,7 @@ _MODULES = (
     "relational5",
     "relational6",
     "sqlfuncs",
+    "sqlfuncs2",
     "nested",
     "metadata_queries",
     "text",

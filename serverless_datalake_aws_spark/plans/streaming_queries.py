@@ -9,13 +9,23 @@ rows-only check; the batch twins (e01/e03) carry the value-level parity.
 
 from __future__ import annotations
 
+import sys
 import uuid
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from serverless_datalake_aws_spark.plans import query
+
+try:  # stateful-UDF closures must survive worker-side import (see
+    # functions/semistructured.py for the cwd≠repo-root trap)
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
 
 _EVENTS_NANOS_SCHEMA = T.StructType(
     [
@@ -58,6 +68,75 @@ def st01_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("win.start").alias("window_start"), "event_type", "n", "total_value"
         )
         .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@query("st03_stream_dedup")  # rows-only: watermark-scoped streaming dedup
+def st03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication with a bounded state store:
+    dropDuplicatesWithinWatermark keeps each event_id's state only
+    until the watermark passes it — the exactly-once upgrade of the
+    reference's at-least-once S3-event delivery (SURVEY §2.9), with
+    state that cannot grow unboundedly at 100 TB/day."""
+    name = f"st03_{uuid.uuid4().hex[:8]}"
+    q = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def _user_stats_fn(key, pdfs, state):
+    """Custom stateful operator body: accumulate (count, total) per
+    user across micro-batches in GroupState, emit the running totals
+    each batch."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, round(total, 4)))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+    )
+
+
+@query("st04_stateful_user_stats")  # rows-only: custom stateful operator
+def st04_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing via applyInPandasWithState (SURVEY
+    §2.9 'custom stateful operators'): a hand-written per-user
+    accumulator in GroupState — the escape hatch for semantics the
+    built-in windowed aggs can't express. State is per-key and
+    Arrow-batched; the shuffle key (user_id) bounds state locality."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    name = f"st04_{uuid.uuid4().hex[:8]}"
+    q = (
+        _events_stream(spark, sf_dir)
+        .select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_stats_fn,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.outputMode("update")
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)

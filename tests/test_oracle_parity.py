@@ -27,7 +27,12 @@ def test_query_runs_nonempty(spark, name):
 # Streaming semantics (watermark-gated append) are not SQL-expressible;
 # the driver records rows-only checks for these. Batch twins e01/e03
 # carry the value-level parity.
-ROWS_ONLY = {"st01_stream_hourly_counts", "st02_stream_sessions"}
+ROWS_ONLY = {
+    "st01_stream_hourly_counts",
+    "st02_stream_sessions",
+    "st03_stream_dedup",
+    "st04_stateful_user_stats",
+}
 
 
 def test_every_query_has_oracle_or_is_declared():
