@@ -46,6 +46,7 @@ _MODULES = (
     "dedup2",
     "similarity",
     "events_queries",
+    "timeseries",
     "search",
     "streaming_queries",
     "binary_queries",

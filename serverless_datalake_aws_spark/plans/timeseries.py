@@ -1,0 +1,212 @@
+"""Ninth tranche: time-series gap interpolation, the array-ops function
+surface, and cosine range search. Extends the Athena-delegated SQL
+surface (SURVEY §2.7 scalar fns / window frames) and the §2.11
+similarity-search axis with the range-query sibling of s01's top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from serverless_datalake_aws_spark.catalog import table
+from serverless_datalake_aws_spark.functions import vector as VX
+from serverless_datalake_aws_spark.plans import query
+
+
+@query(
+    "e07_linear_interpolation",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, avg(value) AS v
+      FROM events WHERE user_id < 5 GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+    grid AS (
+      SELECT u.user_id, g.h
+      FROM (SELECT DISTINCT user_id FROM hourly) u,
+           (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            FROM bounds) g
+    ),
+    joined AS (
+      SELECT grid.user_id, grid.h, hourly.v,
+             CAST(epoch(grid.h) AS DOUBLE) AS pos
+      FROM grid LEFT JOIN hourly
+        ON grid.user_id = hourly.user_id AND grid.h = hourly.h
+    ),
+    w AS (
+      SELECT *,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_p,
+        first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY h
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_p
+      FROM joined
+    )
+    SELECT user_id, strftime(h, '%Y-%m-%dT%H:%M:%S') AS hour,
+           (v IS NULL) AS interpolated,
+           CAST(round(CAST(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN prev_v IS NULL THEN next_v
+             WHEN next_v IS NULL THEN prev_v
+             WHEN next_p = prev_p THEN prev_v
+             ELSE prev_v + (next_v - prev_v) * (pos - prev_p) / (next_p - prev_p)
+           END AS DECIMAL(18,6)), 3) AS DOUBLE) AS v_filled
+    FROM w
+    """,
+)
+def e07_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series linear interpolation over an hourly spine: per-user
+    hourly averages gap-filled by interpolating between the nearest
+    real observations (IGNORE NULLS window scans in both directions).
+    The spine is sequence()-generated (driver-sized); all window work
+    partitions by user_id, so the plan parallelizes per key at any
+    scale."""
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("user_id") < 5)
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.avg("value").alias("v"))
+    )
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        hourly.select("user_id")
+        .distinct()
+        .crossJoin(
+            bounds.select(
+                F.explode(
+                    F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+                ).alias("h")
+            )
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left").withColumn(
+        "pos", F.unix_timestamp("h").cast("double")
+    )
+    w_back = (
+        W.partitionBy("user_id").orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        W.partitionBy("user_id").orderBy("h").rowsBetween(0, W.unboundedFollowing)
+    )
+    pos_if_v = F.when(F.col("v").isNotNull(), F.col("pos"))
+    withnb = (
+        joined.withColumn("prev_v", F.last("v", ignorenulls=True).over(w_back))
+        .withColumn("prev_p", F.last(pos_if_v, ignorenulls=True).over(w_back))
+        .withColumn("next_v", F.first("v", ignorenulls=True).over(w_fwd))
+        .withColumn("next_p", F.first(pos_if_v, ignorenulls=True).over(w_fwd))
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .when(F.col("next_p") == F.col("prev_p"), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (F.col("pos") - F.col("prev_p"))
+            / (F.col("next_p") - F.col("prev_p"))
+        )
+    )
+    return withnb.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd'T'HH:mm:ss").alias("hour"),
+        F.col("v").isNull().alias("interpolated"),
+        # rounding-rule parity: HALF_UP on an exact decimal image of the
+        # double (a bare round() on doubles disagrees between engines at
+        # .xxx5 midpoints, which interpolation hits systematically)
+        F.round(filled.cast("decimal(18,6)"), 3).cast("double").alias("v_filled"),
+    )
+
+
+@query(
+    "q60_array_ops",
+    oracle="""
+    SELECT label,
+      len(flatten(list(list_slice(embedding, 1, 4)))) AS n_flat,
+      round(list_sum(list_slice(list_sort(
+        list(round(CAST(embedding[1] AS DOUBLE), 4))), 1, 3)), 4)
+        AS lowest3_first_dim,
+      round(avg(list_position(embedding, list_max(embedding))), 4)
+        AS avg_argmax_pos
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def q60_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-manipulation surface (Presto slice/flatten/array_sort/
+    array_position → Spark same names): per-label slice+flatten
+    cardinality, sum of the three lowest first-dimension values, and
+    the average 1-based argmax position. Mixes array-local ops with
+    collect_list re-aggregation — the collected lists stay per-group
+    (≤ group size), never global."""
+    emb = table(spark, sf_dir, "embeddings")
+    first_dim = F.round(F.element_at("embedding", 1).cast("double"), 4)
+    argmax_pos = F.array_position(
+        F.col("embedding"), F.array_max(F.col("embedding"))
+    )
+    return emb.groupBy("label").agg(
+        F.size(F.flatten(F.collect_list(F.slice("embedding", 1, 4)))).alias(
+            "n_flat"
+        ),
+        F.round(
+            F.aggregate(
+                F.slice(F.array_sort(F.collect_list(first_dim)), 1, 3),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("lowest3_first_dim"),
+        F.round(F.avg(argmax_pos), 4).alias("avg_argmax_pos"),
+    )
+
+
+@query(
+    "s07_range_search",
+    oracle="""
+    SELECT e.vec_id, e.label,
+           round(
+             list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                              list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+             / (sqrt(list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                                      list_transform(q.embedding, x -> CAST(x AS DOUBLE))))
+              * sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                      list_transform(e.embedding, x -> CAST(x AS DOUBLE))))),
+             6) AS cos_sim
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+      AND list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                           list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+          / (sqrt(list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                                   list_transform(q.embedding, x -> CAST(x AS DOUBLE))))
+           * sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                   list_transform(e.embedding, x -> CAST(x AS DOUBLE)))))
+          >= 0.3
+    """,
+)
+def s07_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine range search (the radius-query sibling of s01's top-k):
+    every vector within cos ≥ 0.3 of the query vector (vec_id 0). The
+    single-row query side broadcasts; the corpus scan is one pass, no
+    shuffle at all — the shape that stays embarrassingly parallel at
+    100 TB (s02's LSH buckets bound the scan when τ is tight)."""
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cos = VX.dot(F.col("q_emb"), F.col("embedding")) / (
+        VX.norm(F.col("q_emb")) * VX.norm(F.col("embedding"))
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cos_sim", F.round(cos, 6))
+        .filter(cos >= 0.3)
+        .select("vec_id", "label", "cos_sim")
+    )
