@@ -34,6 +34,10 @@ HEADLINE = (
     "x03_bm25",
     "q34_local_supplier_volume",
     "e04_time_hierarchy_rollup",
+    "q46_market_share",
+    "q51_waiting_suppliers",
+    "t11_bigram_pmi",
+    "e07_linear_interpolation",
     "d04_minhash_lsh_pairs",
     "d05_simhash_pairs",
     "s01_knn_bruteforce",

@@ -17,8 +17,9 @@ boundaries + a range join, same shape as q38's sketch contract).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from serverless_datalake_aws_spark.catalog import register_views
+from serverless_datalake_aws_spark.catalog import register_views, table
 from serverless_datalake_aws_spark.plans import query
 
 
@@ -163,6 +164,67 @@ def t11_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_xy >= 5
         ORDER BY pmi DESC, bg LIMIT 50
         """
+    )
+
+
+@query(
+    "t13_stratified_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT lang, n_chars,
+        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM (
+        SELECT lang, n_chars,
+          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 100 AS b
+        FROM documents
+      )
+    )
+    SELECT lang, split, count(*) AS n_docs,
+      round(avg(n_chars), 4) AS avg_chars,
+      round(CAST(count(*) AS DOUBLE)
+            / sum(count(*)) OVER (PARTITION BY lang), 4) AS frac_of_lang
+    FROM assigned
+    GROUP BY lang, split
+    """,
+)
+def t13_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10 by doc_id hash
+    modulus) with per-language stratum accounting — the reproducible
+    split assignment an LLM corpus pipeline bakes in before any
+    shuffling. Hash-modulus assignment is stable across engines, runs,
+    partitionings, and scale (rand()/TABLESAMPLE are none of those);
+    the windowed fraction audits stratum balance in the same pass."""
+    docs = table(spark, sf_dir, "documents")
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    from pyspark.sql.window import Window as W
+
+    counts = (
+        docs.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+    return counts.select(
+        "lang",
+        "split",
+        "n_docs",
+        "avg_chars",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(W.partitionBy("lang")),
+            4,
+        ).alias("frac_of_lang"),
     )
 
 

@@ -83,3 +83,51 @@ def test_e01_partial_agg_before_shuffle(spark):
 def test_similarity_broadcasts_queries(spark, name):
     plan = _plan(spark, name)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q46_dims_broadcast_one_big_shuffle_join(spark):
+    # TPC-H Q8 shape: part/supplier/nation/region all broadcast; the
+    # only sort-merge-eligible join keys on orderkey/custkey fact sides
+    plan = _plan(spark, "q46_market_share")
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q49_date_filter_pushed_to_lineitem_scan(spark):
+    plan = _plan(spark, "q49_promo_revenue")
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    # part side joins broadcast (small dim)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q44_exists_becomes_semi_join(spark):
+    plan = _plan(spark, "q44_order_priority")
+    assert "LeftSemi" in plan
+
+
+def test_q51_anti_and_semi_from_double_exists(spark):
+    plan = _plan(spark, "q51_waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q59_lateral_rewritten_to_window(spark):
+    # the correlated LATERAL LIMIT must not plan as a per-row nested
+    # loop over customer — Catalyst rewrites to a ranked window (or at
+    # worst one join), never BroadcastNestedLoopJoin per nation row
+    plan = _plan(spark, "q59_lateral_topk")
+    assert "Window" in plan
+
+
+def test_s07_range_search_no_shuffle(spark):
+    # single-pass corpus scan + broadcast of the 1-row query side: the
+    # only exchange allowed is the broadcast itself
+    plan = _plan(spark, "s07_range_search")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_t09_no_explode_no_shuffle(spark):
+    # trigram repetition is array-local per row — the plan must be a
+    # pure projection over the scan (no Exchange, no Generate)
+    plan = _plan(spark, "t09_trigram_repetition")
+    assert "Generate" not in plan  # no explode
+    assert "Exchange" not in plan  # no shuffle at all
