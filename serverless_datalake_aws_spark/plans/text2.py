@@ -229,6 +229,46 @@ def t13_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t14_pandas_udf_quality",
+    oracle="""
+    SELECT doc_id,
+      CAST(round(CAST(
+        0.6 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / greatest(len(string_split(text, ' ')), 1))
+      + 0.4 * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+      AS DECIMAL(18,6)), 4) AS DOUBLE) AS quality
+    FROM documents
+    """,
+)
+def t14_pandas_udf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Arrow-vectorized pandas UDF (§2.10's vectorized hook, the
+    scalar sibling of d06's applyInPandas): a composite quality score
+    (type-token ratio + length saturation) computed batch-at-a-time in
+    pandas. The SQL oracle recomputes the identical formula
+    declaratively, proving the Arrow UDF path agrees with codegen —
+    the contract any custom transform hook must meet before it touches
+    a 100 TB corpus."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _quality(text, n_chars):  # no hints: postponed-eval string
+        # annotations ('pd.Series') defeat pandas_udf type inference
+        toks = text.str.split(" ")
+        ttr = toks.map(lambda t: len(set(t)) / max(len(t), 1))
+        len_norm = (n_chars.astype("float64") / 500.0).clip(upper=1.0)
+        return 0.6 * ttr + 0.4 * len_norm
+
+    docs = table(spark, sf_dir, "documents")
+    # round JVM-side through an exact decimal image (pandas .round is
+    # half-even, DuckDB round is half-away — see e07's rounding note)
+    q = _quality(F.col("text"), F.col("n_chars")).cast("decimal(18,6)")
+    return docs.select(
+        "doc_id", F.round(q, 4).cast("double").alias("quality")
+    )
+
+
+@query(
     "t12_length_deciles",
     oracle="""
     WITH ranked AS (

@@ -126,6 +126,47 @@ def e07_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q61_rolling_time_window",
+    oracle="""
+    SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS od,
+      round(sum(o_totalprice) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate
+        RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 4)
+        AS rolling_30d,
+      count(*) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate
+        RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS n_30d
+    FROM orders
+    WHERE o_custkey < 200
+    """,
+)
+def q61_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame (INTERVAL '30 days' PRECEDING): rolling
+    30-day spend per customer — the value-based sibling of q09's ROWS
+    frame and q33's numeric RANGE, keyed on actual time distance rather
+    than row position. Partitioned by customer, so the window sort
+    parallelizes per key."""
+    from serverless_datalake_aws_spark.catalog import register_views as _rv
+
+    _rv(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_custkey,
+          date_format(o_orderdate, "yyyy-MM-dd'T'HH:mm:ss") AS od,
+          round(sum(o_totalprice) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 4)
+            AS rolling_30d,
+          count(*) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS n_30d
+        FROM orders
+        WHERE o_custkey < 200
+        """
+    )
+
+
+@query(
     "q60_array_ops",
     oracle="""
     SELECT label,
