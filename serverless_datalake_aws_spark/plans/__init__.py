@@ -45,6 +45,7 @@ _MODULES = (
     "dedup",
     "dedup2",
     "similarity",
+    "similarity2",
     "events_queries",
     "timeseries",
     "search",
