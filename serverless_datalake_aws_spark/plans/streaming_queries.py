@@ -146,6 +146,58 @@ def st04_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@query("st05_stream_stream_join")  # rows-only: watermarked stream-stream join
+def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with a time-range condition: each
+    'view' event joined to the same user's 'purchase' events within the
+    following hour. Both sides carry watermarks, so the join state
+    buffers at most (watermark horizon x key cardinality) rows — the
+    bounded-state attribution join the reference's Lambda fabric could
+    only fake with DynamoDB lookups (SURVEY §2.9)."""
+    name = f"st05_{uuid.uuid4().hex[:8]}"
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        F.round("p_value", 4).alias("purchase_value"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 @query("st02_stream_sessions")  # rows-only: streaming session windows
 def st02_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """session_window aggregation (30-min gap) as a streaming query —

@@ -32,6 +32,7 @@ ROWS_ONLY = {
     "st02_stream_sessions",
     "st03_stream_dedup",
     "st04_stateful_user_stats",
+    "st05_stream_stream_join",
 }
 
 
