@@ -52,6 +52,7 @@ _MODULES = (
     "streaming_queries",
     "binary_queries",
     "packing",
+    "graph",
 )
 
 

@@ -1,0 +1,106 @@
+"""Graph analytics on DataFrames: PageRank over the supplier↔customer
+trade graph. Second member of the iterative-algorithm class (with d08's
+connected components): a driver loop of join+aggregate steps, one
+shuffle per iteration, state = one (node, rank) row per node.
+
+The oracle unrolls the same two iterations as nested plain-SQL CTEs
+(recursive CTEs cannot aggregate in the recursive member, so unrolling
+is the only oracle-expressible form — which also pins the iteration
+count deterministically).
+
+Scale story: each iteration shuffles (edge endpoint → rank
+contribution) keyed on dst — co-partitioned with the previous
+iteration's output, so AQE reuses the exchange layout; edges and
+degrees are computed once and cached. At 100 TB-of-edges this is the
+standard Pregel-on-DataFrames shape (GraphFrames does the same under
+the hood); iterate-to-convergence replaces the fixed unroll, with the
+same per-iteration plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serverless_datalake_aws_spark.catalog import table
+from serverless_datalake_aws_spark.plans import query
+
+_DAMP = 0.85
+_ITERS = 2
+
+
+@query(
+    "p02_pagerank",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT concat('s', l_suppkey) AS src, concat('c', o_custkey) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    deg AS (SELECT src, count(*) AS outd FROM sym GROUP BY src),
+    n AS (SELECT count(*) AS n_nodes FROM nodes),
+    pr0 AS (SELECT node, 1.0 / n.n_nodes AS r FROM nodes, n),
+    pr1 AS (
+      SELECT nodes.node,
+        0.15 / n.n_nodes + 0.85 * coalesce(sum(pr0.r / deg.outd), 0) AS r
+      FROM nodes CROSS JOIN n
+      LEFT JOIN sym ON sym.dst = nodes.node
+      LEFT JOIN pr0 ON pr0.node = sym.src
+      LEFT JOIN deg ON deg.src = sym.src
+      GROUP BY nodes.node, n.n_nodes
+    ),
+    pr2 AS (
+      SELECT nodes.node,
+        0.15 / n.n_nodes + 0.85 * coalesce(sum(pr1.r / deg.outd), 0) AS r
+      FROM nodes CROSS JOIN n
+      LEFT JOIN sym ON sym.dst = nodes.node
+      LEFT JOIN pr1 ON pr1.node = sym.src
+      LEFT JOIN deg ON deg.src = sym.src
+      GROUP BY nodes.node, n.n_nodes
+    )
+    SELECT node, round(r * 1000, 6) AS rank_milli FROM pr2
+    """,
+)
+def p02_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two damped PageRank iterations (d=0.85) over the undirected
+    supplier↔customer graph induced by lineitem⋈orders. Driver-looped
+    join+agg per iteration; rank mass of dangling nodes is handled by
+    the uniform 0.15/N teleport term (the symmetric graph has no
+    danglers, matching the oracle's LEFT JOIN + coalesce form)."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    sym.count()  # materialize: read every iteration + for nodes/deg
+    nodes = sym.select(F.col("src").alias("node")).distinct().cache()
+    n_nodes = nodes.count()  # also materializes the nodes cache
+    deg = sym.groupBy("src").agg(F.count("*").alias("outd"))
+    ranks = nodes.withColumn("r", F.lit(1.0 / n_nodes))
+    for _ in range(_ITERS):
+        contribs = (
+            sym.join(ranks, sym["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("r") / F.col("outd")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("mass"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(0.15 / n_nodes)
+                + F.lit(_DAMP) * F.coalesce(F.col("mass"), F.lit(0.0))
+            ).alias("r"),
+        )
+    return ranks.select(
+        "node", F.round(F.col("r") * 1000, 6).alias("rank_milli")
+    )
