@@ -33,7 +33,7 @@ _ITERS = 2
     "p02_pagerank",
     oracle="""
     WITH edges AS (
-      SELECT DISTINCT concat('s', l_suppkey) AS src, concat('c', o_custkey) AS dst
+      SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
     sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
@@ -59,7 +59,10 @@ _ITERS = 2
       LEFT JOIN deg ON deg.src = sym.src
       GROUP BY nodes.node, n.n_nodes
     )
-    SELECT node, round(r * 1000, 6) AS rank_milli FROM pr2
+    SELECT CASE WHEN node % 2 = 0 THEN concat('s', node // 2)
+                ELSE concat('c', (node - 1) // 2) END AS node,
+           round(r * 1000, 6) AS rank_milli
+    FROM pr2
     """,
 )
 def p02_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,8 +76,8 @@ def p02_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
@@ -84,23 +87,37 @@ def p02_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym.count()  # materialize: read every iteration + for nodes/deg
     nodes = sym.select(F.col("src").alias("node")).distinct().cache()
     n_nodes = nodes.count()  # also materializes the nodes cache
-    deg = sym.groupBy("src").agg(F.count("*").alias("outd"))
+    deg = sym.groupBy("src").agg(F.count("*").alias("outd")).cache()
+    deg.count()
     ranks = nodes.withColumn("r", F.lit(1.0 / n_nodes))
     for _ in range(_ITERS):
+        # ranks/deg/contribs are node-sized (≪ edges): broadcast them so
+        # the big cached edge table never re-shuffles; materialize each
+        # iteration's ranks to truncate the recomputed lineage
         contribs = (
-            sym.join(ranks, sym["src"] == ranks["node"])
-            .join(deg, "src")
+            sym.join(F.broadcast(ranks), sym["src"] == ranks["node"])
+            .join(F.broadcast(deg), "src")
             .select(F.col("dst").alias("node"), (F.col("r") / F.col("outd")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("mass"))
         )
-        ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (
-                F.lit(0.15 / n_nodes)
-                + F.lit(_DAMP) * F.coalesce(F.col("mass"), F.lit(0.0))
-            ).alias("r"),
+        ranks = (
+            nodes.join(F.broadcast(contribs), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15 / n_nodes)
+                    + F.lit(_DAMP) * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .cache()
         )
+        ranks.count()
+    node_str = F.when(
+        F.col("node") % 2 == 0, F.concat(F.lit("s"), (F.col("node") / 2).cast("long"))
+    ).otherwise(F.concat(F.lit("c"), ((F.col("node") - 1) / 2).cast("long")))
+    # long node ids keep every shuffle 8-byte; strings only materialize
+    # in the final projection
     return ranks.select(
-        "node", F.round(F.col("r") * 1000, 6).alias("rank_milli")
+        node_str.alias("node"), F.round(F.col("r") * 1000, 6).alias("rank_milli")
     )
