@@ -36,6 +36,7 @@ _MODULES = (
     "relational4",
     "relational5",
     "relational6",
+    "relational7",
     "sqlfuncs",
     "sqlfuncs2",
     "nested",
