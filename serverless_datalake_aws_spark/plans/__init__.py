@@ -37,6 +37,7 @@ _MODULES = (
     "relational5",
     "relational6",
     "relational7",
+    "relational8",
     "sqlfuncs",
     "sqlfuncs2",
     "nested",

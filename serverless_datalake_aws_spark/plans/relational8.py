@@ -1,0 +1,91 @@
+"""Eleventh tranche: TPC-H Q13-shaped customer order distribution
+(left-outer join with a join-condition filter feeding a two-level
+aggregation) and a running distinct-count window — the remaining
+classic relational shapes delegated to Athena by the reference
+(`query-data-lambda.py:195-218`, SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from serverless_datalake_aws_spark.catalog import table
+from serverless_datalake_aws_spark.plans import query
+
+
+@query(
+    "q64_custdist",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q64_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): how many customers
+    placed how many non-urgent orders, zero-order customers included —
+    a left-outer join whose non-key predicate must stay in the join
+    condition (moving it to WHERE would silently drop the NULL rows),
+    feeding count-of-counts. Adapted: orders has no o_comment in the
+    testdata, so the Q13 NOT LIKE filter becomes o_orderpriority.
+
+    Scale: the outer join shuffles both sides on custkey; the first
+    aggregation reuses that partitioning (no extra exchange), and the
+    second groups on ~dozens of distinct counts — map-side combined to
+    nearly nothing."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    c_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q65_running_distinct",
+    oracle="""
+    SELECT event_id, event_type,
+           count(DISTINCT user_id) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS users_so_far
+    FROM events
+    WHERE user_id < 50
+    """,
+)
+def q65_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count per event type — the audience-reach
+    curve. Spark has no DISTINCT window aggregate, so the idiomatic
+    rewrite is size(collect_set()) over the growing frame: the set
+    updates incrementally per row (no per-row rescan), bounded by the
+    distinct-key cardinality of the partition, which the user_id filter
+    keeps small by construction — the same bound a reach dashboard
+    enforces at 100 TB by sketching (HLL) instead of exact sets."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.size(F.collect_set("user_id").over(w)).cast("long").alias("users_so_far"),
+    )

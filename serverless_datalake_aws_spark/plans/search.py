@@ -167,3 +167,55 @@ def x03_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dl, "doc_id")
         .select("doc_id", "token", F.round(score, 6).alias("bm25"))
     )
+
+
+@query(
+    "x05_proximity_search",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id,
+        list_filter(list_transform(string_split(text, ' '),
+          (x, i) -> CASE WHEN x = 'spark' THEN i END), p -> p IS NOT NULL) AS p1,
+        list_filter(list_transform(string_split(text, ' '),
+          (x, i) -> CASE WHEN x = 'join' THEN i END), p -> p IS NOT NULL) AS p2
+      FROM documents
+    )
+    SELECT doc_id,
+      list_min(flatten(list_transform(p1,
+        i -> list_transform(p2, j -> abs(i - j))))) AS min_dist
+    FROM pos
+    WHERE len(p1) > 0 AND len(p2) > 0
+      AND list_min(flatten(list_transform(p1,
+        i -> list_transform(p2, j -> abs(i - j))))) <= 5
+    """,
+)
+def x05_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search (OpenSearch match_phrase with slop): documents
+    where 'spark' and 'join' occur within 5 tokens, with the minimum
+    token distance. Positions and the pairwise distance matrix are
+    array-local per row — occurrence lists are short, so the nested
+    transform is O(tf1 x tf2) per doc with no explode and no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(transform(split(text, ' '),"
+            " (x, i) -> CASE WHEN x = 'spark' THEN i END), p -> p IS NOT NULL)"
+        ).alias("p1"),
+        F.expr(
+            "filter(transform(split(text, ' '),"
+            " (x, i) -> CASE WHEN x = 'join' THEN i END), p -> p IS NOT NULL)"
+        ).alias("p2"),
+    )
+    # Spark's transform index is 0-based vs DuckDB's 1-based; distances
+    # are base-invariant so the oracle matches without adjustment
+    min_dist = F.array_min(
+        F.flatten(
+            F.expr("transform(p1, i -> transform(p2, j -> abs(i - j)))")
+        )
+    ).cast("long")
+    return (
+        p.filter((F.size("p1") > 0) & (F.size("p2") > 0))
+        .select("doc_id", min_dist.alias("min_dist"))
+        .filter(F.col("min_dist") <= 5)
+    )

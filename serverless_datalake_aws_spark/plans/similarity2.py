@@ -154,3 +154,100 @@ def s08_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("approx_dot"), "vec_id")
         .limit(50)
     )
+
+
+@query(
+    "s09_kmeans_step",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS cluster, e AS c FROM v WHERE vec_id < 8),
+    dists AS (
+      SELECT v.vec_id, s.cluster,
+             greatest(list_dot_product(v.e, v.e) + list_dot_product(s.c, s.c)
+                      - 2 * list_dot_product(v.e, s.c), 0) AS d2
+      FROM v, seeds s
+    ),
+    best AS (
+      SELECT vec_id, cluster, d2
+      FROM dists
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1
+    ),
+    stats AS (
+      SELECT cluster, count(*) AS n, round(avg(sqrt(d2)), 6) AS avg_dist
+      FROM best GROUP BY cluster
+    ),
+    pos_means AS (
+      SELECT b.cluster, g.i AS pos, avg(v.e[g.i]) AS m
+      FROM best b JOIN v USING (vec_id)
+      CROSS JOIN generate_series(1, 64) AS g(i)
+      GROUP BY b.cluster, g.i
+    ),
+    norms AS (
+      SELECT cluster, round(sqrt(sum(m * m)), 6) AS centroid_norm
+      FROM pos_means GROUP BY cluster
+    )
+    SELECT cluster, n, avg_dist, centroid_norm
+    FROM stats JOIN norms USING (cluster)
+    ORDER BY cluster
+    """,
+)
+def s09_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full k-means Lloyd iteration (k=8, seeds = vec_id < 8):
+    assign every vector to its nearest centroid by squared L2 (via the
+    dot-product identity ||a-b||^2 = a.a + b.b - 2 a.b so both engines
+    accumulate in the same order), then recompute per-cluster size,
+    mean member distance, and the new centroid's norm. Iterating this
+    plan to convergence IS distributed k-means — each round is exactly
+    this job.
+
+    Scale: centroids are k rows — broadcast, so assignment is a
+    map-only pass over the corpus (no shuffle of the big side);
+    min_by folds the k candidates per vector map-side. The centroid
+    update shuffles only (cluster, pos) pairs — k x dims cells — after
+    partial aggregation. At 100 TB: identical plan, k in the
+    thousands, centroids still broadcast-sized."""
+    emb = table(spark, sf_dir, "embeddings")
+    e = F.expr("transform(embedding, x -> cast(x as double))")
+    v = emb.select("vec_id", e.alias("e"))
+    seeds = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"), F.col("e").alias("c")
+    )
+    d2 = F.greatest(
+        VX.dot(F.col("e"), F.col("e"))
+        + VX.dot(F.col("c"), F.col("c"))
+        - 2 * VX.dot(F.col("e"), F.col("c")),
+        F.lit(0.0),
+    )
+    dists = v.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "cluster", "e", d2.alias("d2")
+    )
+    best = (
+        dists.groupBy("vec_id")
+        .agg(
+            F.min_by(F.struct("cluster", "d2", "e"), F.struct("d2", "cluster")).alias(
+                "b"
+            )
+        )
+        .select(
+            "vec_id",
+            F.col("b.cluster").alias("cluster"),
+            F.col("b.d2").alias("d2"),
+            F.col("b.e").alias("e"),
+        )
+    )
+    stats = best.groupBy("cluster").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.sqrt("d2")), 6).alias("avg_dist"),
+    )
+    pos_means = (
+        best.select("cluster", F.posexplode("e").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.avg("val").alias("m"))
+    )
+    norms = pos_means.groupBy("cluster").agg(
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm")
+    )
+    return stats.join(norms, "cluster").orderBy("cluster")

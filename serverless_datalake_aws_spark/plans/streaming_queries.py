@@ -222,3 +222,35 @@ def st02_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@query("st06_stream_sliding_windows")  # rows-only: streaming append output
+def st06_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window counts — 1-hour windows advancing every
+    15 minutes, so each event lands in 4 overlapping windows: the
+    smoothed-rate view a monitoring pipeline layers over st01's
+    tumbling counts. Watermark-gated append emits each window once,
+    closed; state is bounded by (windows in watermark horizon) x
+    event_types regardless of input volume."""
+    name = f"st06_{uuid.uuid4().hex[:8]}"
+    q = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

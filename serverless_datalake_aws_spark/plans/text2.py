@@ -269,6 +269,101 @@ def t14_pandas_udf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t15_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+             i -> substr(w, i, 2))) AS pair
+      FROM words
+    )
+    SELECT pair, count(*) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 50
+    """,
+)
+def t15_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate counting: frequency of every adjacent
+    character pair within words across the corpus — the statistic the
+    first byte-pair-encoding merge step maximizes (iterating merge →
+    recount yields a full tokenizer vocab; each round is this same
+    plan). Explode + count with map-side combine; shuffle bounded by
+    the pair alphabet (≤ charset²), not corpus size."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        WITH words AS (
+          SELECT explode(split(text, ' ')) AS w FROM documents
+        ),
+        pairs AS (
+          SELECT explode(
+            CASE WHEN length(w) >= 2 THEN
+              transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))
+            ELSE array() END) AS pair
+          FROM words
+        )
+        SELECT pair, count(*) AS n
+        FROM pairs
+        GROUP BY pair
+        ORDER BY n DESC, pair LIMIT 50
+        """
+    )
+
+
+@query(
+    "t16_zipf_fit",
+    oracle="""
+    WITH freq AS (
+      SELECT w AS token, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) > 0
+      GROUP BY w
+    ),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rnk
+      FROM freq
+    )
+    SELECT round(regr_slope(ln(n), ln(rnk)), 6) AS zipf_slope,
+           round(regr_intercept(ln(n), ln(rnk)), 6) AS zipf_intercept,
+           round(regr_r2(ln(n), ln(rnk)), 6) AS r2,
+           count(*) AS n_tokens
+    FROM ranked WHERE rnk <= 500
+    """,
+)
+def t16_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    log-frequency vs log-rank for the top 500 tokens (natural text
+    sits near -1; synthetic/templated corpora deviate — a standard
+    pretraining-corpus health check). Token counting is map-side
+    combined; ranking the vocabulary is a single-partition sort of
+    vocab-size rows (not corpus-size), and at 100 TB the top-500 cut
+    would ride a TakeOrdered of per-partition top-500s."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        WITH freq AS (
+          SELECT w AS token, count(*) AS n
+          FROM (SELECT explode(split(text, ' ')) AS w FROM documents)
+          WHERE length(w) > 0
+          GROUP BY w
+        ),
+        ranked AS (
+          SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rnk
+          FROM freq
+        )
+        SELECT round(regr_slope(ln(n), ln(rnk)), 6) AS zipf_slope,
+               round(regr_intercept(ln(n), ln(rnk)), 6) AS zipf_intercept,
+               round(regr_r2(ln(n), ln(rnk)), 6) AS r2,
+               count(*) AS n_tokens
+        FROM ranked WHERE rnk <= 500
+        """
+    )
+
+
+@query(
     "t12_length_deciles",
     oracle="""
     WITH ranked AS (

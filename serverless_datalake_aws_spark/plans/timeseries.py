@@ -251,3 +251,53 @@ def s07_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.3)
         .select("vec_id", "label", "cos_sim")
     )
+
+
+@query(
+    "e09_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS d
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, median(d) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(any_value(mad.mad), 6) AS mad,
+           count(*) FILTER (WHERE d.d > 3 * mad.mad) AS n_outliers,
+           count(*) AS n_total
+    FROM dev d JOIN mad USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def e09_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection via median absolute deviation: per
+    event type, flag values more than 3 MADs from the median — the
+    outlier filter a metrics pipeline runs before training on
+    telemetry (median/MAD shrug off the very outliers that wreck
+    mean/stddev z-scores, cf. d06).
+
+    Two exact-median aggregations over the same event_type keys; the
+    deviation join broadcasts the tiny per-type medians so the big
+    fact table is never reshuffled — at 100 TB both medians would
+    switch to approx_percentile(0.5) sketches with identical plan
+    shape."""
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("d")
+    )
+    mad = dev.groupBy("event_type").agg(F.median("d").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.any_value("mad"), 6).alias("mad"),
+            F.count_if(F.col("d") > 3 * F.col("mad")).alias("n_outliers"),
+            F.count("*").alias("n_total"),
+        )
+    )
