@@ -64,3 +64,50 @@ def mm02_shard_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.octet_length(F.encode("text", "UTF-8"))).alias("shard_bytes"),
         )
     )
+
+
+@query(
+    "mm03_feature_extract",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+           octet_length(encode(text)) AS payload_bytes,
+           sha256(text) AS content_hash,
+           array_to_string(list_transform(generate_series(1, 8),
+             i -> CAST(CAST('0x' || substr(sha256(text), 2*i - 1, 2) AS INT)
+                       AS VARCHAR)), ',') AS feature_bytes
+    FROM documents
+    """,
+)
+def mm03_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal decode path as a first-class query: documents
+    bytes become opaque media payloads (modality round-robined by id),
+    run through operators/multimodal.extract_features — the REAL
+    mapInPandas Arrow-batch plumbing with the stubbed codec — and the
+    8-dim stub feature (sha256-derived, so DuckDB reproduces it from
+    hex) is re-quantized to bytes for exact cross-engine comparison.
+
+    Scale: payloads stream through executors as Arrow record batches
+    (no driver hop, no collect); swapping _fake_decode for PIL/ffmpeg
+    changes zero plan shape. Feature arrays serialize as joined strings
+    per the repo's array-hash convention."""
+    from serverless_datalake_aws_spark.operators.multimodal import extract_features
+
+    docs = table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = extract_features(media)
+    byte_of = lambda x: F.round(x * 255).cast("int").cast("string")  # noqa: E731
+    return feats.select(
+        "media_id",
+        "modality",
+        "payload_bytes",
+        "content_hash",
+        F.concat_ws(",", F.transform("feature", byte_of)).alias("feature_bytes"),
+    )

@@ -89,3 +89,83 @@ def q65_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.size(F.collect_set("user_id").over(w)).cast("long").alias("users_so_far"),
     )
+
+
+@query(
+    "q66_try_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(CAST(l_extendedprice / nullif(l_quantity - 25, 0)
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS risky_ratio,
+           TRY_CAST(l_returnflag AS INT) AS flag_as_int,
+           TRY_CAST(substr(CAST(l_shipdate AS VARCHAR), 1, 4) AS INT) AS ship_year,
+           coalesce(CAST(round(CAST(l_extendedprice / nullif(l_quantity - 25, 0)
+                AS DECIMAL(18,6)), 4) AS DOUBLE), 0.0) AS ratio_filled
+    FROM lineitem
+    WHERE l_orderkey < 2000
+    """,
+)
+def q66_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface (ANSI try_* family): division that
+    nulls on zero instead of failing the job, casts that null on
+    malformed input — the contract that keeps a 1000-executor job from
+    dying on one bad row (the reference's per-record try/except at
+    `lambda-function.py:266-270`, as expressions). DuckDB spells
+    try_divide as x / nullif(y, 0) and try_cast as TRY_CAST."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    # decimal-round in both engines: bare double round() disagrees at
+    # .xxxx5 midpoints (see e07 / memory traps)
+    ratio = F.round(
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25).cast(
+            "decimal(18,6)"
+        ),
+        4,
+    ).cast("double")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ratio.alias("risky_ratio"),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.substring(F.col("l_shipdate").cast("string"), 1, 4)
+        .try_cast("int")
+        .alias("ship_year"),
+        F.coalesce(ratio, F.lit(0.0)).alias("ratio_filled"),
+    )
+
+
+@query(
+    "q67_linenumber_bitmaps",
+    oracle="""
+    WITH bm AS (
+      SELECT l_orderkey,
+             bit_or(1 << l_linenumber) AS line_bitmap,
+             bit_xor(l_suppkey) AS supp_xor
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT line_bitmap, count(*) AS n_orders,
+           min(supp_xor) AS min_supp_xor
+    FROM bm
+    GROUP BY line_bitmap
+    ORDER BY n_orders DESC, line_bitmap
+    """,
+)
+def q67_linenumber_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index aggregation: per-order presence bitmap of line
+    numbers via bit_or(1 << n) — the roaring-bitmap pattern for 'which
+    positions exist' in one long instead of an array — plus bit_xor as
+    the order's supplier parity check, then a count-of-bitmaps
+    histogram. Integer-exact in both engines; the second aggregate's
+    key space is tiny (2^7 patterns) so it collapses map-side."""
+    li = table(spark, sf_dir, "lineitem")
+    bm = li.groupBy("l_orderkey").agg(
+        F.bit_or(F.expr("shiftleft(1L, l_linenumber)")).alias("line_bitmap"),
+        F.bit_xor("l_suppkey").alias("supp_xor"),
+    )
+    return (
+        bm.groupBy("line_bitmap")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("supp_xor").alias("min_supp_xor"),
+        )
+        .orderBy(F.desc("n_orders"), "line_bitmap")
+    )

@@ -237,7 +237,10 @@ def s09_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.d2").alias("d2"),
             F.col("b.e").alias("e"),
         )
+        .cache()
     )
+    best.count()  # materialize eagerly: both branches below read it, and
+    # an unmaterialized cache feeding two consumers computes twice (d05 trap)
     stats = best.groupBy("cluster").agg(
         F.count("*").alias("n"),
         F.round(F.avg(F.sqrt("d2")), 6).alias("avg_dist"),
@@ -250,4 +253,4 @@ def s09_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = pos_means.groupBy("cluster").agg(
         F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm")
     )
-    return stats.join(norms, "cluster").orderBy("cluster")
+    return stats.join(F.broadcast(norms), "cluster").orderBy("cluster")

@@ -400,3 +400,51 @@ def t12_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked GROUP BY decile
         """
     )
+
+
+@query(
+    "t17_unigram_perplexity",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) > 0
+    ),
+    vocab AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+    total AS (SELECT sum(n) AS t FROM vocab)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(-ln(v.n / total.t)), 6) AS cross_entropy,
+           round(exp(avg(-ln(v.n / total.t))), 4) AS ppl
+    FROM tok JOIN vocab v USING (w) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+)
+def t17_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity filtering (CCNet/Gopher-style corpus quality): score
+    each document by its per-token cross-entropy under the corpus's own
+    unigram LM; exp(H) = perplexity. Low-ppl docs are repetitive
+    boilerplate, high-ppl docs are noise — the standard pretraining cut
+    is on this column.
+
+    Two passes over tokens: one to build the vocab (map-side combined),
+    one scoring join. The vocab and scalar total are broadcast so the
+    token stream is never shuffled for scoring. At 100 TB the LM would
+    be a pruned top-K vocab + smoothing constant — same plan, the join
+    stays broadcast; and a real KenLM would ride mapInPandas."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    vocab = tok.groupBy("w").agg(F.count("*").alias("n"))
+    total = vocab.agg(F.sum("n").alias("t"))
+    nll = -F.log(F.col("n") / F.col("t"))
+    return (
+        tok.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(nll), 6).alias("cross_entropy"),
+            F.round(F.exp(F.avg(nll)), 4).alias("ppl"),
+        )
+    )

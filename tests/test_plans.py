@@ -131,3 +131,55 @@ def test_t09_no_explode_no_shuffle(spark):
     plan = _plan(spark, "t09_trigram_repetition")
     assert "Generate" not in plan  # no explode
     assert "Exchange" not in plan  # no shuffle at all
+
+
+def test_q64_custdist_join_keeps_null_rows(spark):
+    # the non-key predicate must stay in the join (filter on the orders
+    # side before joining), never become a WHERE that kills outer rows
+    plan = _plan(spark, "q64_custdist")
+    assert "LeftOuter" in plan
+    assert plan.count("HashAggregate") >= 2  # both agg levels partial+final
+
+
+def test_e09_mad_medians_broadcast(spark):
+    # both per-type median tables are tiny — the big events table must
+    # never be reshuffled for the deviation joins
+    plan = _plan(spark, "e09_mad_outliers")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_s09_kmeans_assignment_is_map_only(spark):
+    # centroids broadcast; the corpus side of the assignment join must
+    # not shuffle (min_by folds the k candidates map-side)
+    plan = _plan(spark, "s09_kmeans_step")
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_t17_perplexity_scoring_join_broadcasts(spark):
+    # vocab + scalar total broadcast: the token stream is exploded and
+    # aggregated but never shuffled for the scoring join itself
+    plan = _plan(spark, "t17_unigram_perplexity")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_mm03_features_ride_mapinpandas(spark):
+    # the decode seam must be the Arrow-batch mapInPandas operator, not
+    # a row-at-a-time python UDF
+    plan = _plan(spark, "mm03_feature_extract")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # no row-python UDF
+
+
+def test_q66_try_functions_stay_codegen(spark):
+    # try_* expressions are plain projections — one scan, no exchange
+    plan = _plan(spark, "q66_try_functions")
+    assert "Exchange" not in plan
+    assert "PushedFilters" in plan and "l_orderkey" in plan
+
+
+def test_q67_bitmaps_partial_agg(spark):
+    plan = _plan(spark, "q67_linenumber_bitmaps")
+    assert plan.count("HashAggregate") >= 2  # map-side combine both levels
