@@ -121,3 +121,71 @@ def p02_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         node_str.alias("node"), F.round(F.col("r") * 1000, 6).alias("rank_milli")
     )
+
+
+@query(
+    "p03_trade_triangles",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+    )
+    SELECT e1.src AS nation, count(*) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e1.dst = e2.src
+    JOIN edges e3 ON e2.dst = e3.src AND e3.dst = e1.src
+    WHERE e1.src < e2.src AND e1.src < e3.src
+    GROUP BY e1.src
+    ORDER BY n_triangles DESC, nation
+    """,
+)
+def p03_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed triangle counting on the nation-level trade graph
+    (nation A's customers buy from nation B's suppliers ⇒ edge A→B):
+    3-cycles anchored at their minimum node so each cycle counts once.
+    Triangle census is the classic graph-analytics benchmark op and the
+    clustering-coefficient numerator.
+
+    Scale: the fact-table join distills to a ≤25²-edge graph BEFORE any
+    graph math — distinct-project early, then the cubic self-join runs
+    on a broadcast-sized edge list. At web scale the same plan holds
+    with degree-ordered edge direction (count each triangle at its
+    lowest-degree vertex) to bound the quadratic hop."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .distinct()
+        .cache()
+    )
+    edges.count()  # materialize once: three self-join consumers below
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    return (
+        e1.join(F.broadcast(e2), F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            F.broadcast(e3),
+            (F.col("e2.dst") == F.col("e3.src"))
+            & (F.col("e3.dst") == F.col("e1.src")),
+        )
+        .filter(
+            (F.col("e1.src") < F.col("e2.src"))
+            & (F.col("e1.src") < F.col("e3.src"))
+        )
+        .groupBy(F.col("e1.src").alias("nation"))
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "nation")
+    )

@@ -169,3 +169,39 @@ def q67_linenumber_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_orders"), "line_bitmap")
     )
+
+
+@query(
+    "q68_salted_join",
+    oracle="""
+    SELECT s.s_nationkey, count(*) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    ORDER BY s.s_nationkey
+    """,
+)
+def q68_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join as a first-class query: the fact table's rows
+    scatter over 8 random salt buckets, the supplier side replicates to
+    every bucket, and the join runs on (key, salt) — the manual fix for
+    a hot key that AQE's skew split can't reach (operators/skew.py).
+    The oracle is the PLAIN join: salting must be result-invariant,
+    and this entry makes the driver prove it every round."""
+    from serverless_datalake_aws_spark.operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(
+        li.withColumnRenamed("l_suppkey", "s_suppkey"), supp, "s_suppkey", salt=8
+    )
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("s_nationkey")
+    )

