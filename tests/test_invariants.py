@@ -63,3 +63,49 @@ def test_q53_percentiles_monotone(spark):
     for r in all_queries()["q53_exact_percentiles"](spark, SF_DIR).collect():
         assert r.p25 <= r.p50 <= r.p75
         assert r.med == r.p50
+
+
+def test_s09_clusters_partition_the_corpus(spark):
+    df = all_queries()["s09_kmeans_step"](spark, SF_DIR).collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assert sum(r.n for r in df) == emb.count()  # every vector assigned once
+    assert len(df) <= 8
+    for r in df:
+        assert r.avg_dist >= 0 and r.centroid_norm >= 0
+
+
+def test_t17_perplexity_positive_and_token_conserving(spark):
+    df = all_queries()["t17_unigram_perplexity"](spark, SF_DIR)
+    bad = df.filter(
+        (F.col("ppl") <= 0) | (F.col("cross_entropy") < 0) | (F.col("n_tokens") <= 0)
+    ).count()
+    assert bad == 0
+    # scoring join must conserve tokens: every token has a vocab entry
+    total = df.agg(F.sum("n_tokens")).first()[0]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    expected = docs.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0).count()
+    assert total == expected
+
+
+def test_q65_running_distinct_bounds(spark):
+    df = all_queries()["q65_running_distinct"](spark, SF_DIR)
+    # every row has seen at least its own user; the running count never
+    # exceeds the partition's total distinct users
+    assert df.filter(F.col("users_so_far") < 1).count() == 0
+    ev = all_queries()["q65_running_distinct"](spark, SF_DIR)
+    caps = ev.groupBy("event_type").agg(F.max("users_so_far").alias("peak"))
+    assert caps.filter(F.col("peak") > 50).count() == 0  # user_id < 50 filter
+
+
+def test_p03_triangle_anchor_is_minimum(spark):
+    df = all_queries()["p03_trade_triangles"](spark, SF_DIR).collect()
+    assert all(r.n_triangles > 0 for r in df)
+    # anchoring at the cycle minimum: the largest nation key can anchor
+    # no triangle (it is never the minimum of its cycle)
+    if df:
+        max_nation = spark.read.parquet(f"{SF_DIR}/nation.parquet").agg(
+            F.max("n_nationkey")
+        ).first()[0]
+        assert all(r.nation < max_nation for r in df)
