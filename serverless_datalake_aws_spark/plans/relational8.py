@@ -205,3 +205,74 @@ def q68_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+@query(
+    "q69_nth_value_offsets",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           nth_value(o_orderkey, 3) OVER w AS third_key,
+           lag(o_totalprice, 2, -1.0) OVER w AS lag2_price,
+           lead(o_orderkey, 3) OVER w AS lead3_key
+    FROM orders
+    WHERE o_orderkey < 5000
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q69_nth_value_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining offset/positional window functions: nth_value
+    over an explicit running frame, lag with a non-null default, lead
+    with a long offset — completing q24's ranking suite. All three
+    share one window spec: one shuffle, one sort, streamed frames."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.nth_value("o_orderkey", 3).over(wf).alias("third_key"),
+        F.lag("o_totalprice", 2, -1.0).over(w).alias("lag2_price"),
+        F.lead("o_orderkey", 3).over(w).alias("lead3_key"),
+    )
+
+
+@query(
+    "q70_variant_shred",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value,
+           min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+           max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q70_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT shredding (the lakehouse upgrade of the
+    reference's json.loads-per-record, `index-data-lambda.py:128`):
+    props parses once into Spark 4's VariantType binary encoding, typed
+    paths shred out via variant_get, and the aggregation runs on the
+    shredded ints. Unlike string get_json_object (e02), variant parse
+    happens once per row with typed access after — at 100 TB the parse
+    cost amortizes across every extracted path, and a shredded-parquet
+    writer materializes hot paths columnar."""
+    ev = table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("k_bucket")
+    )
