@@ -300,3 +300,122 @@ def d06_group_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("lang", "doc_id", "n_chars").groupBy("lang").applyInPandas(
         _zscore, schema="lang string, doc_id long, n_chars long, zscore double"
     )
+
+
+_D10_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(string_split(text,' ')) - 2),
+                   i -> string_split(text,' ')[i] || ' ' ||
+                        string_split(text,' ')[i+1] || ' ' ||
+                        string_split(text,' ')[i+2])) AS toks
+        FROM documents
+    ), h AS (
+        SELECT doc_id, toks,
+               list_transform(toks, t ->
+                   CAST(concat('0x', substr(md5(t), 1, 14)) AS BIGINT)
+                   % {TX.MINHASH_P}) AS hs
+        FROM d
+    ), sig AS (
+        SELECT doc_id, toks,
+               list_transform(generate_series(0, {TX.MINHASH_K - 1}), i ->
+                   list_min(list_transform(hs, x ->
+                       (({TX.MINHASH_A0} + i * {TX.MINHASH_A_STEP}) * x
+                        + ({TX.MINHASH_B0} + i * {TX.MINHASH_B_STEP}))
+                       % {TX.MINHASH_P}))) AS sg
+        FROM h
+    ), bands AS (
+        SELECT doc_id, b,
+               concat(CAST(b AS VARCHAR), '-',
+                      array_to_string(list_slice(sg, b * 4 + 1, b * 4 + 4), '-'))
+                   AS band_key
+        FROM sig, generate_series(0, {TX.MINHASH_BANDS - 1}) AS gs(b)
+    ), cand AS (
+        SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+        FROM bands b1 JOIN bands b2
+          ON b1.band_key = b2.band_key AND b1.doc_id < b2.doc_id
+    ), scored AS (
+        SELECT doc1, doc2,
+           list_sum(list_transform(generate_series(1, {TX.MINHASH_K}),
+               i -> CASE WHEN s1.sg[i] = s2.sg[i] THEN 1 ELSE 0 END))
+               / CAST({TX.MINHASH_K} AS DOUBLE) AS est,
+           len(list_intersect(s1.toks, s2.toks))::DOUBLE
+             / (len(s1.toks) + len(s2.toks)
+                - len(list_intersect(s1.toks, s2.toks))) AS jac
+        FROM cand
+        JOIN sig s1 ON s1.doc_id = doc1
+        JOIN sig s2 ON s2.doc_id = doc2
+    )
+    SELECT doc1, doc2, round(est, 4) AS est,
+           round(jac, 4) AS jac,
+           round(abs(est - jac), 4) AS abs_err
+    FROM scored
+"""
+
+
+@query("d10_minhash_accuracy", oracle=_D10_ORACLE)
+def d10_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for the d04 dedup path: on every LSH
+    candidate pair, the signature-agreement Jaccard estimate (matching
+    components / K) against the exact shingle Jaccard, with absolute
+    error — the per-pair evidence behind MinHash's E[est] = J and
+    std ≈ sqrt(J(1-J)/K) ≈ 0.09 at K=32. A pipeline tunes K and the
+    band/row split from exactly this audit before trusting the sketch
+    at a scale where exact verification is unaffordable.
+
+    Plan shape = d04 (slim band rows through the one shuffle) plus the
+    signature re-attach join on surviving candidates; signatures come
+    from the same cached relation so the 32 permutation minima compute
+    once per doc (the projection-collapse trap)."""
+    docs = table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    d = (
+        docs.repartition(n_part, "doc_id")
+        .select(
+            "doc_id", F.array_distinct(TX.word_ngrams("text", n=3)).alias("toks")
+        )
+        .withColumn(
+            "hs", F.transform("toks", lambda t: TX.token_hash(t) % TX.MINHASH_P)
+        )
+        .withColumn("sg", TX.minhash_signature(F.col("hs")))
+        .cache()
+    )
+    d.count()  # materialize: bands + two signature legs read it
+    bands = d.select(
+        "doc_id",
+        F.explode(TX.lsh_band_keys(TX.minhash_mins(F.col("hs")))).alias("band_key"),
+    )
+    b1, b2 = bands.alias("b1"), bands.alias("b2")
+    cand = (
+        b1.join(
+            b2,
+            (F.col("b1.band_key") == F.col("b2.band_key"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(F.col("b1.doc_id").alias("doc1"), F.col("b2.doc_id").alias("doc2"))
+        .dropDuplicates(["doc1", "doc2"])
+    )
+    s1 = d.select(F.col("doc_id").alias("doc1"), F.col("toks").alias("t1"),
+                  F.col("sg").alias("sg1"))
+    s2 = d.select(F.col("doc_id").alias("doc2"), F.col("toks").alias("t2"),
+                  F.col("sg").alias("sg2"))
+    est = (
+        F.expr("size(filter(zip_with(sg1, sg2, (x, y) -> x = y), b -> b))")
+        / float(TX.MINHASH_K)
+    )
+    inter = F.size(F.array_intersect("t1", "t2")).cast("double")
+    jac = inter / (F.size("t1") + F.size("t2") - inter)
+    return (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn("_est", est)
+        .withColumn("_jac", jac)
+        .select(
+            "doc1",
+            "doc2",
+            F.round("_est", 4).alias("est"),
+            F.round("_jac", 4).alias("jac"),
+            F.round(F.abs(F.col("_est") - F.col("_jac")), 4).alias("abs_err"),
+        )
+    )

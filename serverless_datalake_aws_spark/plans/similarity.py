@@ -325,3 +325,56 @@ def s04_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_vectors"),
         )
     )
+
+
+@query(
+    "s10_mips_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+    scored AS (
+      SELECT q.qid, v.vec_id, v.label,
+             list_dot_product(v.e, q.qe) AS dot
+      FROM v, q
+      WHERE v.vec_id >= 10
+    )
+    SELECT qid, vec_id, label, round(dot, 6) AS dot
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) <= 5
+    ORDER BY qid, dot DESC, vec_id
+    """,
+)
+def s10_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum inner-product search, top-5 per query — the retrieval
+    objective of recommendation/dense-retrieval scorers, where the
+    un-normalized dot (not cosine) ranks items and vector norms carry
+    signal. Brute force here = the recall oracle.
+
+    Scale path: MIPS reduces to cosine ANN by norm augmentation —
+    append sqrt(M² − ‖x‖²) (M = max corpus norm) to every item and a 0
+    to every query, making inner-product order equal cosine order —
+    then the whole s02/s05/s08 ANN ladder applies unchanged. Queries
+    broadcast; per-query top-k folds inside each partition before the
+    final k-row merge."""
+    emb = table(spark, sf_dir, "embeddings")
+    e = F.expr("transform(embedding, x -> cast(x as double))")
+    v = emb.select("vec_id", "label", e.alias("e"))
+    qs = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    scored = (
+        v.filter(F.col("vec_id") >= 10)
+        .crossJoin(F.broadcast(qs))
+        .select("qid", "vec_id", "label", VX.dot(F.col("e"), F.col("qe")).alias("dot"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("dot"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id", "label", F.round("dot", 6).alias("dot"))
+        .orderBy("qid", F.desc("dot"), "vec_id")
+    )
