@@ -111,3 +111,57 @@ def mm03_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_hash",
         F.concat_ws(",", F.transform("feature", byte_of)).alias("feature_bytes"),
     )
+
+
+@query(
+    "mm04_frame_sample",
+    oracle="""
+    WITH vids AS (
+      SELECT CAST(doc_id AS VARCHAR) AS media_id, text,
+             CAST(n_chars * 10 AS BIGINT) AS duration_ms
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id, i AS frame_idx,
+           i * 1000 AS frame_ts_ms,
+           sha256(text || CAST(i AS VARCHAR)) AS frame_stub_hash
+    FROM (
+      SELECT media_id, text,
+             unnest(generate_series(0,
+                 greatest(CAST(floor(duration_ms / 1000.0) AS INT) - 1, 0))) AS i
+      FROM vids
+    )
+    """,
+)
+def mm04_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (operators/multimodal.frame_sample)
+    as an oracle-verified query: one output row per sampled timestamp,
+    duration synthesized from n_chars (10 ms/char) so both engines see
+    identical inputs, frame hash = sha256(payload || frame index) so the
+    stubbed decode is byte-reproducible in SQL. The explode shape, row
+    multiplication factor, and schema are exactly what a real ffmpeg
+    frame extractor drops into — decode swaps in at the hash site.
+
+    Scale: sequence+explode multiplies rows executor-side (no driver
+    involvement); output partitioning inherits the input, so a
+    downstream per-frame featurizer (mm03's mapInPandas) chains without
+    a shuffle."""
+    from serverless_datalake_aws_spark.operators.multimodal import frame_sample
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    return frame_sample(media, every_ms=1000).select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+        "frame_stub_hash",
+    )

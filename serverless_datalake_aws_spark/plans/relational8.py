@@ -1,8 +1,8 @@
-"""Eleventh tranche: TPC-H Q13-shaped customer order distribution
-(left-outer join with a join-condition filter feeding a two-level
-aggregation) and a running distinct-count window — the remaining
-classic relational shapes delegated to Athena by the reference
-(`query-data-lambda.py:195-218`, SURVEY §2.7).
+"""Eleventh tranche of the Athena-delegated SQL surface
+(`query-data-lambda.py:195-218`, SURVEY §2.7): TPC-H Q13 custdist,
+running distinct-count windows, error-safe try_* expressions, bitmap
+aggregates, the oracle-proven skew-salted join, positional window
+functions, and Spark 4 VARIANT shredding.
 """
 
 from __future__ import annotations
