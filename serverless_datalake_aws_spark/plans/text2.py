@@ -448,3 +448,60 @@ def t17_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(F.avg(nll)), 4).alias("ppl"),
         )
     )
+
+
+@query(
+    "t18_winnowing_fingerprints",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, greatest(len(text) - 4, 0)),
+          i -> CAST(concat('0x', substr(md5(substr(text, i, 5)), 1, 14))
+                    AS BIGINT) % 1000000007) AS hs
+      FROM documents WHERE n_chars >= 8
+    ),
+    w AS (
+      SELECT doc_id, len(hs) AS n_grams,
+        list_distinct(list_transform(generate_series(1, len(hs) - 3),
+            j -> list_min(list_slice(hs, j, j + 3)))) AS fps
+      FROM g
+    )
+    SELECT doc_id, n_grams, len(fps) AS n_fps,
+      md5(array_to_string(list_sort(fps), ',')) AS fp_digest
+    FROM w
+    """,
+)
+def t18_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., the MOSS
+    scheme): hash every char 5-gram, slide a window of 4 hashes, keep
+    each window's minimum — guaranteeing any shared substring of
+    length ≥ 8 contributes a common fingerprint, which set-based
+    hashing (d02) structurally cannot. The positional local-min
+    selection is what makes partial-overlap/plagiarism detection work;
+    matching docs are then found by joining on exploded fingerprints
+    (same shape as d04's band join).
+
+    All array-local per row — no explode, no shuffle; hashes are
+    md5-affine (TX.token_hash) so DuckDB reproduces them bit-for-bit."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 8)
+    hs = F.expr(
+        "transform(sequence(1, greatest(length(text) - 4, 0)),"
+        " i -> cast(conv(substr(md5(substring(text, i, 5)), 1, 14), 16, 10)"
+        "      as bigint) % 1000000007)"
+    )
+    w = docs.select("doc_id", hs.alias("hs")).select(
+        "doc_id",
+        F.size("hs").alias("n_grams"),
+        F.array_distinct(
+            F.expr("transform(sequence(1, size(hs) - 3),"
+                   " j -> array_min(slice(hs, j, 4)))")
+        ).alias("fps"),
+    )
+    return w.select(
+        "doc_id",
+        "n_grams",
+        F.size("fps").cast("long").alias("n_fps"),
+        F.md5(
+            F.array_join(F.expr("transform(array_sort(fps), x -> cast(x as string))"), ",")
+        ).alias("fp_digest"),
+    )

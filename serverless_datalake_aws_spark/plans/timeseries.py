@@ -301,3 +301,52 @@ def e09_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_total"),
         )
     )
+
+
+@query(
+    "e11_ohlc_bars",
+    oracle="""
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           arg_min(value, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                   || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                   || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+           count(*) AS n,
+           round(sum(value), 4) AS volume
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def e11_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar aggregation — the time-series downsampling shape every
+    metrics/finance pipeline runs: per (type, hour) bucket, the first
+    and last value by event time (ties broken by event_id so both
+    engines pick identically) plus high/low/volume. One hash
+    aggregation with map-side combine; min_by/max_by carry (value,
+    ordering-struct) pairs through partial aggregation, so no window
+    sort and no second shuffle — at 100 TB this is the cheap
+    alternative to a row_number-per-bucket plan."""
+    ev = table(spark, sf_dir, "events")
+    # lexicographic = chronological: ISO-micros timestamp + padded id
+    # (a struct ordering key works in Spark's min_by but not DuckDB's
+    # arg_min, so both engines use the same sortable string)
+    tie = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "bucket"
+        ),
+    ).agg(
+        F.min_by("value", tie).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", tie).alias("close"),
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("volume"),
+    )
