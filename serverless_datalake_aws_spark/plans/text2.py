@@ -505,3 +505,42 @@ def t18_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.expr("transform(array_sort(fps), x -> cast(x as string))"), ",")
         ).alias("fp_digest"),
     )
+
+
+@query(
+    "t19_regex_tokenizer_counts",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), w -> len(w) > 0))
+               AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+               AS bpe_tokens,
+           round(CAST(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS DOUBLE)
+                 / greatest(len(list_filter(string_split(text, ' '),
+                   w -> len(w) > 0)), 1), 4) AS fertility
+    FROM documents
+    """,
+)
+def t19_regex_tokenizer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways a data pipeline needs it: whitespace
+    tokens and a GPT-2-style pre-tokenizer regex (letter runs, single
+    digits, punctuation), plus their ratio — the 'fertility' estimate
+    that turns corpus bytes into a token budget before any real BPE
+    runs. Pure per-row regex work in whole-stage codegen: no explode,
+    no shuffle, linear scan at any corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    # idx=0 (whole match): Spark defaults to capture group 1 and errors
+    # on group-free patterns; DuckDB defaults to 0
+    bpe = F.size(
+        F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0)
+    )
+    ws = F.size(F.filter(F.split("text", " "), lambda w: F.length(w) > 0))
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+        F.round(
+            bpe.cast("double") / F.greatest(ws, F.lit(1)), 4
+        ).alias("fertility"),
+    )
