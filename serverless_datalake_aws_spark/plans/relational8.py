@@ -276,3 +276,38 @@ def q70_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_bucket")
     )
+
+
+@query(
+    "q71_null_ordering_topk",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderpriority, '1-URGENT') AS pri,
+           o_totalprice
+    FROM orders
+    ORDER BY pri DESC NULLS LAST, o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q71_null_ordering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit null-placement ordering under a LIMIT — the one spot
+    where null-ordering semantics change the result SET, not just its
+    order. The engines' defaults differ (Spark: NULLS FIRST on ASC,
+    NULLS LAST on DESC; DuckDB: NULLS LAST on both) — portable SQL must
+    spell it out, so this query pins NULLS LAST explicitly in both.
+    Plans as TakeOrderedAndProject: per-partition top-100 + driver
+    merge, no global sort."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.nullif("o_orderpriority", F.lit("1-URGENT")).alias("pri"),
+            "o_totalprice",
+        )
+        .orderBy(
+            F.col("pri").desc_nulls_last(),
+            F.col("o_totalprice").desc(),
+            "o_orderkey",
+        )
+        .limit(100)
+    )
