@@ -33,9 +33,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader rejects; read it as int64 nanos and truncate to microsecond
     timestamps — the same truncation DuckDB applies (its TIMESTAMP is
     µs), so oracle comparisons line up.
+
+    SIDE EFFECT (intentional, session-wide): pins
+    spark.sql.session.timeZone=UTC and, for events,
+    spark.sql.legacy.parquet.nanosAsLong=true on the *caller's*
+    session and leaves them set. The driver's harness session doesn't
+    come from our factory (session.py sets both up front), and the
+    configs must still hold when the returned lazy DataFrame actually
+    executes — restoring them eagerly would break that execution.
+    Sessions from `session.get_session` already carry both, making
+    this a no-op there.
     """
-    # Oracle comparisons assume naive-UTC timestamps (duckdb semantics);
-    # pin the session TZ in case the caller's session didn't.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

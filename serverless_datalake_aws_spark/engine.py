@@ -30,6 +30,7 @@ over the batched path.
 from __future__ import annotations
 
 import json
+import shutil
 import uuid
 from datetime import datetime, timezone
 from pathlib import Path
@@ -66,33 +67,89 @@ RECORD_SCHEMA = T.StructType(
 )
 
 
+def generate_sample_data(data_type: str) -> dict[str, Any]:
+    """Typed sample payload for empty ingests — API parity with the
+    reference's demo-data branch (ingest-data-lambda.py:135-180): the
+    same sales/user/metrics/generic shapes, field for field."""
+    now = datetime.now(timezone.utc)
+    if data_type == "sales":
+        return {
+            "date": now.strftime("%Y-%m-%d"),
+            "items": [
+                {"product": "Widget A", "quantity": 5, "price": 10.99},
+                {"product": "Gadget B", "quantity": 2, "price": 24.95},
+                {"product": "Tool C", "quantity": 1, "price": 34.50},
+            ],
+            "total": 126.34,
+            "customer": {
+                "id": f"CUST-{uuid.uuid4().hex[:8]}",
+                "region": "Northeast",
+            },
+        }
+    if data_type == "user":
+        return {
+            "userId": f"USER-{uuid.uuid4().hex[:8]}",
+            "name": "Sample User",
+            "email": "user@example.com",
+            "preferences": {"theme": "dark", "notifications": True},
+            "lastLogin": now.isoformat(),
+        }
+    if data_type == "metrics":
+        return {
+            "timestamp": now.isoformat(),
+            "cpu": 42.5,
+            "memory": 68.3,
+            "disk": 56.2,
+            "network": {"in": 1024, "out": 2048},
+        }
+    return {
+        "timestamp": now.isoformat(),
+        "sample": True,
+        "value": 12345,
+        "message": f"This is sample data of type: {data_type}",
+    }
+
+
 class DataLakeEngine:
     """Spark-native data lake engine with medallion zones."""
 
     ZONES = ("raw", "processed", "curated")
 
     def __init__(self, spark: SparkSession, root: str | Path):
+        """`root` may be a local path or any Hadoop-FS URI the session's
+        filesystems support (s3a://bucket/lake, gs://, abfss://, hdfs://).
+        Object-store roots need no pre-created "directories" (flat
+        keyspace); local roots get their zone dirs made eagerly. The
+        hadoop-aws / committer conf for S3 is documented in SCALE.md."""
         self.spark = spark
-        self.root = Path(root)
-        for z in self.ZONES:
-            (self.root / z).mkdir(parents=True, exist_ok=True)
+        self.root = str(root).rstrip("/")
+        self.is_remote = "://" in self.root
+        if not self.is_remote:
+            for z in self.ZONES:
+                Path(self.root, z).mkdir(parents=True, exist_ok=True)
 
     # -- paths -------------------------------------------------------------
     def zone(self, name: str) -> str:
-        return str(self.root / name)
+        return f"{self.root}/{name}"
 
     @property
     def meta_path(self) -> str:
-        return str(self.root / "_meta")
+        return f"{self.root}/_meta"
 
     @property
     def search_index_path(self) -> str:
-        return str(self.root / "_search_index")
+        return f"{self.root}/_search_index"
 
     # -- ingest (reference entry point 1, SURVEY §3.1) ----------------------
-    def ingest(self, record: dict[str, Any], **meta: Any) -> str:
+    def ingest(self, record: dict[str, Any] | None = None, **meta: Any) -> str:
         """Ingest one JSON record; returns its id. Sugar over
-        `ingest_batch` — see module docstring on small files."""
+        `ingest_batch` — see module docstring on small files.
+
+        With no record (the reference's empty-body demo path,
+        ingest-data-lambda.py:59-62), a typed sample payload is
+        synthesized from the data_type."""
+        if record is None:
+            record = generate_sample_data(meta.get("data_type", "unknown"))
         ids = self.ingest_batch([record], **meta)
         return ids[0]
 
@@ -141,7 +198,12 @@ class DataLakeEngine:
             F.lit(False).alias("indexed"),
             F.lit(None).cast("timestamp").alias("indexed_at"),
         )
-        meta_rows.write.mode("append").parquet(self.meta_path)
+        # _meta is hive-partitioned by data_type: metadata searches by
+        # type prune partitions, and the K7 upsert (_mark_indexed) can
+        # swap only affected partitions instead of the whole table.
+        meta_rows.write.mode("append").partitionBy("data_type").parquet(
+            self.meta_path
+        )
         return [r[0] for r in rows]
 
     # -- metadata table ------------------------------------------------------
@@ -224,7 +286,7 @@ class DataLakeEngine:
         exec_id = str(uuid.uuid4())
         result = self.spark.sql(sql_query)
         result.write.mode("overwrite").parquet(
-            str(self.root / "_query_results" / exec_id)
+            f"{self.root}/_query_results/{exec_id}"
         )
         return exec_id
 
@@ -232,7 +294,7 @@ class DataLakeEngine:
         """Fetch results for a prior `submit_sql` execution id — the
         half of the flow the reference left unimplemented
         (query-data-lambda.py:210-212)."""
-        return self.spark.read.parquet(str(self.root / "_query_results" / exec_id))
+        return self.spark.read.parquet(f"{self.root}/_query_results/{exec_id}")
 
     # -- process / promote (reference entry point 3, SURVEY §3.3) ------------
     def register_table(self, name: str, df: DataFrame) -> None:
@@ -287,23 +349,64 @@ class DataLakeEngine:
             self.spark,
             raw,
             f"{self.zone('processed')}/records_stream",
-            str(self.root / "_checkpoints" / "promote"),
+            f"{self.root}/_checkpoints/promote",
             schema,
             fmt="parquet",
             transform=transform,
         )
         q.awaitTermination(600)
 
-    def _mark_indexed(self) -> None:
-        """Metadata upsert (K7): read-modify-overwrite in plain Parquet —
-        same last-writer-wins semantics as the reference's per-attribute
-        DynamoDB updates (index-data-lambda.py:165-172)."""
-        updated = self.meta().withColumn("indexed", F.lit(True)).withColumn(
-            "indexed_at", F.current_timestamp()
+    def _mark_indexed(self, ids: DataFrame | None = None) -> None:
+        """Metadata upsert (K7): stamp indexed=true for exactly the ids
+        just indexed — same last-writer-wins semantics as the reference's
+        per-attribute DynamoDB updates (index-data-lambda.py:165-172).
+
+        Scale contract: only the data_type partitions containing those
+        ids are rewritten (the rest of _meta is untouched on disk), and
+        the rewrite goes to a tmp dir first, then swaps — the source is
+        never deleted while a task could still be reading it. With no
+        `ids`, all currently-unindexed rows are stamped (the full-rebuild
+        path after _rebuild_search_index)."""
+        meta = self.meta()
+        if ids is None:
+            ids = meta.filter(~F.coalesce("indexed", F.lit(False))).select("id")
+        hit_ids = F.broadcast(
+            ids.select("id").distinct().withColumn("_hit", F.lit(True))
         )
-        updated.cache().count()  # materialize before overwriting the source
-        updated.write.mode("overwrite").parquet(self.meta_path)
-        updated.unpersist()
+        affected = [
+            r[0]
+            for r in meta.join(hit_ids, "id", "left_semi")
+            .select("data_type")
+            .distinct()
+            .collect()
+        ]
+        if not affected:
+            return
+        stamped = (
+            meta.filter(F.col("data_type").isin(affected))
+            .join(hit_ids, "id", "left")
+            .withColumn(
+                "indexed",
+                F.when(F.col("_hit"), F.lit(True)).otherwise(F.col("indexed")),
+            )
+            .withColumn(
+                "indexed_at",
+                F.when(F.col("_hit"), F.current_timestamp()).otherwise(
+                    F.col("indexed_at")
+                ),
+            )
+            .drop("_hit")
+        )
+        tmp = self.meta_path + ".mark.tmp"
+        stamped.write.mode("overwrite").partitionBy("data_type").parquet(tmp)
+        # Swap by the partition dirs Spark actually wrote (handles its
+        # escaping of special chars in partition values).
+        for src in Path(tmp).glob("data_type=*"):
+            dst = Path(self.meta_path) / src.name
+            if dst.exists():
+                shutil.rmtree(dst)
+            shutil.move(str(src), str(dst))
+        shutil.rmtree(tmp, ignore_errors=True)
 
     # -- search surface (SURVEY §2.8) ----------------------------------------
     def _tokenize(self, recs: DataFrame) -> DataFrame:
@@ -345,7 +448,7 @@ class DataLakeEngine:
         self._tokenize(new_recs).write.mode("append").partitionBy(
             "data_type"
         ).parquet(self.search_index_path)
-        self._mark_indexed()
+        self._mark_indexed(pending)
         return n
 
     def search_index(self) -> DataFrame:

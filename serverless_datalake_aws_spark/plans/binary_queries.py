@@ -47,7 +47,7 @@ def mm01_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT substr(md5(text), 1, 1) AS shard,
            count(*) AS n_payloads,
-           sum(octet_length(encode(text))) AS shard_bytes
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS shard_bytes
     FROM documents
     GROUP BY 1
     """,

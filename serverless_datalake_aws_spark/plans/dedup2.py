@@ -230,18 +230,21 @@ def d08_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(edges.select("b"))
         .distinct()
     )
-    labels = nodes.withColumn("label", F.col("node")).cache()
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
     both = edges.union(edges.select(F.col("b"), F.col("a")))  # undirected
     for _ in range(20):  # bounded by component diameter
         msgs = both.join(
             labels, both.a == labels.node
         ).select(F.col("b").alias("node"), "label")
+        # localCheckpoint truncates lineage each round: without it the
+        # plan tree stacks one join per iteration and deep-diameter
+        # graphs blow up analysis/optimization time (VERDICT r1 §wrong.5)
         new_labels = (
             labels.select("node", "label")
             .union(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -249,7 +252,6 @@ def d08_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

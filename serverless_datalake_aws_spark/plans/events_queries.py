@@ -45,7 +45,7 @@ def e01_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type
     """,
@@ -163,8 +163,8 @@ def e06_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), sessions AS (
         SELECT user_id, ts, value,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id, count(*) AS n_events,
@@ -184,13 +184,16 @@ def e03_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         W.unboundedPreceding, 0
     )
+    # Gap compare in integer microseconds (unix_micros), never floats:
+    # epoch-scale doubles round to ~2^-21 s and can flip the > 30 min
+    # flag at exact boundaries vs DuckDB's exact interval compare.
     flagged = ev.withColumn(
         "new_session",
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
-                > 1800
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1800 * 1_000_000
             ),
             1,
         ).otherwise(0),

@@ -110,9 +110,10 @@ def p02_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(_DAMP) * F.coalesce(F.col("mass"), F.lit(0.0))
                 ).alias("r"),
             )
-            .cache()
+            # eager localCheckpoint: materializes AND truncates lineage,
+            # so the logical plan stays one-iteration deep
+            .localCheckpoint()
         )
-        ranks.count()
     node_str = F.when(
         F.col("node") % 2 == 0, F.concat(F.lit("s"), (F.col("node") / 2).cast("long"))
     ).otherwise(F.concat(F.lit("c"), ((F.col("node") - 1) / 2).cast("long")))

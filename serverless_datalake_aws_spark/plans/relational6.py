@@ -230,10 +230,10 @@ def q47_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q48_ship_delay_class",
     oracle="""
     SELECT delay_class,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM (
         SELECT o_orderpriority,
                CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY

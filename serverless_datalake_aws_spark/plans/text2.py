@@ -76,9 +76,9 @@ def t09_trigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w)
     SELECT doc_id,
-      sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
+      CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
       count(*) AS n_distinct,
-      sum(c) AS n_tokens,
+      CAST(sum(c) AS BIGINT) AS n_tokens,
       round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr
     FROM wc GROUP BY doc_id
     """,

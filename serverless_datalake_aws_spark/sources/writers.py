@@ -76,7 +76,9 @@ def compact(
     n_files = max(1, round(total / (target_file_mb * 1024 * 1024)))
     df = read_any(spark, path, fmt=fmt)
     tmp = str(path) + ".compact.tmp"
-    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    # Rewrite in the table's own format — compaction must never change
+    # what extension-dispatched readers see afterwards.
+    write_any(df.coalesce(n_files), tmp, fmt=fmt)
     # atomic-ish swap (local fs); object stores would write then repoint
     import shutil
 

@@ -67,21 +67,30 @@ def stream_windowed_counts(
     watermark: str = "2 hours",
     ts_col: str = "ts",
     key_col: str = "event_type",
+    value_col: str | None = "value",
     query_name: str = "windowed_counts",
 ) -> StreamingQuery:
     """Watermarked tumbling-window aggregation over an event stream —
     the §2.9 extension (the reference has no windows/late-data
     handling). Append mode + watermark: a window emits once it can no
     longer receive late rows. Results land in an in-memory table named
-    `query_name` (local testing; production sink would be a table)."""
+    `query_name` (local testing; production sink would be a table).
+
+    `value_col=None` drops the sum for schemas without a numeric
+    value column; counts alone remain."""
+    aggs = [F.count("*").alias("n")]
+    out = [F.col("win.start").alias("window_start"), F.col(key_col), F.col("n")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("total_value"))
+        out.append(F.col("total_value"))
     stream = (
         spark.readStream.format("parquet")
         .schema(schema)
         .load(events_path)
         .withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("win"), key_col)
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
-        .select(F.col("win.start").alias("window_start"), key_col, "n", "total_value")
+        .agg(*aggs)
+        .select(*out)
     )
     return (
         stream.writeStream.outputMode("append")
@@ -99,25 +108,31 @@ def stream_sessionize(
     gap: str = "30 minutes",
     ts_col: str = "ts",
     key_col: str = "user_id",
+    value_col: str | None = "value",
     query_name: str = "sessions",
 ) -> StreamingQuery:
     """Session-window aggregation (`session_window`): the streaming twin
     of the batch sessionization plan (e03) — state is managed by the
-    engine, keyed by user, closed `gap` after the last event."""
+    engine, keyed by user, closed `gap` after the last event.
+    `value_col=None` drops the sum for value-less schemas."""
+    aggs = [F.count("*").alias("n_events")]
+    out = [
+        F.col("win.start").alias("session_start"),
+        F.col("win.end").alias("session_end"),
+        F.col(key_col),
+        F.col("n_events"),
+    ]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("session_value"))
+        out.append(F.col("session_value"))
     stream = (
         spark.readStream.format("parquet")
         .schema(schema)
         .load(events_path)
         .withWatermark(ts_col, "2 hours")
         .groupBy(F.session_window(ts_col, gap).alias("win"), key_col)
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("session_value"))
-        .select(
-            F.col("win.start").alias("session_start"),
-            F.col("win.end").alias("session_end"),
-            key_col,
-            "n_events",
-            "session_value",
-        )
+        .agg(*aggs)
+        .select(*out)
     )
     return (
         stream.writeStream.outputMode("append")

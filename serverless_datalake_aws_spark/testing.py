@@ -8,6 +8,8 @@ order-insensitive values — the same contract as CORRECTNESS_r{N}.json.
 from __future__ import annotations
 
 import math
+import numbers
+from decimal import Decimal
 from typing import Any
 
 import duckdb
@@ -24,11 +26,22 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _normalize_cell(v: Any) -> Any:
-    if isinstance(v, float):
-        if math.isnan(v):
+    # Type-strict on the int/float axis: the driver's value hash
+    # distinguishes 15 from 15.0 (DuckDB HUGEINT sums surface as
+    # float64 in pandas), so Python's 15 == 15.0 must NOT paper over
+    # a dtype mismatch here. Tag the numeric family into the key.
+    if isinstance(v, bool) or type(v).__name__ == "bool_":
+        return ("b", bool(v))
+    if isinstance(v, float) or type(v).__name__ in ("float32", "float64"):
+        fv = float(v)
+        if math.isnan(fv):
             return "NaN"
         # collapse float noise below the rounding scale used by queries
-        return round(v, 6)
+        return ("f", round(fv, 6))
+    if isinstance(v, Decimal):
+        return ("f", round(float(v), 6))
+    if isinstance(v, numbers.Integral):
+        return ("i", int(v))
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_normalize_cell(x) for x in v)
     if isinstance(v, pd.Timestamp):
