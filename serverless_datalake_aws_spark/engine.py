@@ -140,6 +140,10 @@ class DataLakeEngine:
     def search_index_path(self) -> str:
         return f"{self.root}/_search_index"
 
+    @property
+    def changelog_path(self) -> str:
+        return f"{self.root}/_changelog"
+
     # -- ingest (reference entry point 1, SURVEY §3.1) ----------------------
     def ingest(self, record: dict[str, Any] | None = None, **meta: Any) -> str:
         """Ingest one JSON record; returns its id. Sugar over
@@ -204,6 +208,10 @@ class DataLakeEngine:
         meta_rows.write.mode("append").partitionBy("data_type").parquet(
             self.meta_path
         )
+        # Append-only change feed (S11): the stand-in for the
+        # reference's DynamoDB stream (index-data-lambda.py:51-65).
+        # index_cdc() consumes it as a checkpointed file stream.
+        meta_rows.write.mode("append").parquet(self.changelog_path)
         return [r[0] for r in rows]
 
     # -- metadata table ------------------------------------------------------
@@ -397,6 +405,15 @@ class DataLakeEngine:
             )
             .drop("_hit")
         )
+        if self.is_remote:
+            # Object stores: dynamic partition overwrite replaces only
+            # the partitions present in `stamped`; the committer stages
+            # files before the atomic-ish per-partition replace. The
+            # strict-isolation upgrade at scale is Delta/Iceberg MERGE.
+            stamped.write.mode("overwrite").partitionBy("data_type").option(
+                "partitionOverwriteMode", "dynamic"
+            ).parquet(self.meta_path)
+            return
         tmp = self.meta_path + ".mark.tmp"
         stamped.write.mode("overwrite").partitionBy("data_type").parquet(tmp)
         # Swap by the partition dirs Spark actually wrote (handles its
@@ -450,6 +467,37 @@ class DataLakeEngine:
         ).parquet(self.search_index_path)
         self._mark_indexed(pending)
         return n
+
+    def index_cdc(self, timeout_s: int = 600) -> None:
+        """True CDC indexing (S11): a checkpointed file stream over the
+        `_changelog` append feed drives incremental index updates — the
+        Spark twin of the reference's DynamoDB-stream→reindex Lambda
+        (index-data-lambda.py:51-65), with exactly-once per change file
+        instead of at-least-once Lambda retries.
+
+        Each micro-batch carries only the metadata rows appended since
+        the last run (checkpoint tracks consumed files); their records
+        are tokenized and appended to the index and exactly those ids
+        are stamped — no full rebuild, no full-meta scan."""
+        stream = self.spark.readStream.schema(META_SCHEMA).parquet(
+            self.changelog_path
+        )
+
+        def _handle(batch_df: DataFrame, epoch_id: int) -> None:
+            ids = batch_df.select("id").distinct()
+            new_recs = self.records("raw").join(F.broadcast(ids), "id", "left_semi")
+            self._tokenize(new_recs).write.mode("append").partitionBy(
+                "data_type"
+            ).parquet(self.search_index_path)
+            self._mark_indexed(ids)
+
+        q = (
+            stream.writeStream.foreachBatch(_handle)
+            .option("checkpointLocation", f"{self.root}/_checkpoints/cdc_index")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
 
     def search_index(self) -> DataFrame:
         return self.spark.read.parquet(self.search_index_path)

@@ -215,16 +215,16 @@ def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(TX.lsh_band_keys(TX.minhash_mins(F.col("hs")))).alias("band_key"),
     )
-    b1 = bands.alias("b1")
-    b2 = bands.alias("b2")
-    cand = (
-        b1.join(
-            b2,
-            (F.col("b1.band_key") == F.col("b2.band_key"))
-            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
-        )
-        .select(F.col("b1.doc_id").alias("doc1"), F.col("b2.doc_id").alias("doc2"))
-        .dropDuplicates(["doc1", "doc2"])
+    # Hot-band guard: identical candidate set to the naive band
+    # self-join, but one boilerplate band can't become the stage
+    # straggler (operators/banding.py splits oversized bands into
+    # bounded group-pair join keys).
+    from serverless_datalake_aws_spark.operators.banding import (
+        capped_band_self_join,
+    )
+
+    cand = capped_band_self_join(bands, "band_key", "doc_id").dropDuplicates(
+        ["doc1", "doc2"]
     )
     t1 = d.select(F.col("doc_id").alias("doc1"), F.col("toks").alias("t1"))
     t2 = d.select(F.col("doc_id").alias("doc2"), F.col("toks").alias("t2"))

@@ -224,37 +224,14 @@ def d08_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s1.doc_id").alias("a"), F.col("s2.doc_id").alias("b"))
         .cache()
     )
-    edges.count()  # materialize: edges is read twice per iteration
-    nodes = (
-        edges.select(F.col("a").alias("node"))
-        .union(edges.select("b"))
-        .distinct()
+    edges.count()  # materialize before fanning into the label loop
+    # min-label propagation with per-round lineage truncation
+    # (operators/components.py — the VERDICT r1 §wrong.5 fix)
+    from serverless_datalake_aws_spark.operators.components import (
+        connected_components,
     )
-    labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
-    both = edges.union(edges.select(F.col("b"), F.col("a")))  # undirected
-    for _ in range(20):  # bounded by component diameter
-        msgs = both.join(
-            labels, both.a == labels.node
-        ).select(F.col("b").alias("node"), "label")
-        # localCheckpoint truncates lineage each round: without it the
-        # plan tree stacks one join per iteration and deep-diameter
-        # graphs blow up analysis/optimization time (VERDICT r1 §wrong.5)
-        new_labels = (
-            labels.select("node", "label")
-            .union(msgs)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+
+    labels = connected_components(edges, "a", "b", max_iters=20)
     sizes = labels.groupBy("label").agg(
         F.count("*").alias("cluster_size"),
         F.array_join(

@@ -8,10 +8,13 @@ replaces it: exactly-once file processing (strictly stronger), and
 Lambda fan-out produced. The per-file Lambda boundary becomes a task/
 partition boundary inside one job.
 
-CDC (S11, DynamoDB stream → reindex): in plain-Parquet v1 the search
-index is recomputed inside the same foreachBatch that lands the data —
-recompute-on-write — which subsumes the reference's re-index-on-change
-loop. Delta CDF is the upgrade path.
+CDC (S11, DynamoDB stream → reindex): `engine.index_cdc()` consumes
+the append-only `_changelog` feed (every ingest appends its metadata
+rows there) as a checkpointed file stream and incrementally indexes
+exactly the changed ids — the Spark twin of the reference's
+re-index-on-change loop, exactly-once per change file. Delta CDF is
+the upgrade path when change feeds must come from table writes
+themselves.
 """
 
 from __future__ import annotations

@@ -165,3 +165,118 @@ def test_curate_gold_zone(engine):
 def test_query_unknown_type_raises(engine):
     with pytest.raises(ValueError, match="unknown query type"):
         engine.query(type="graphql", q="{}")
+
+
+def test_ingest_empty_synthesizes_sample(engine):
+    """Empty-body ingest synthesizes a typed sample payload — API
+    parity with the reference's demo-data branch
+    (ingest-data-lambda.py:59-62,135-180), one case per dataType."""
+    import json
+
+    def payload_of(data_id):
+        row = engine.query(type="content", id=data_id).first()
+        return json.loads(row["payload"])
+
+    sales = payload_of(engine.ingest(data_type="sales"))
+    assert {"date", "items", "total", "customer"} <= set(sales)
+    assert len(sales["items"]) == 3 and sales["total"] == 126.34
+    assert sales["customer"]["id"].startswith("CUST-")
+
+    user = payload_of(engine.ingest(data_type="user"))
+    assert user["userId"].startswith("USER-")
+    assert user["preferences"] == {"theme": "dark", "notifications": True}
+
+    metrics = payload_of(engine.ingest(data_type="metrics"))
+    assert metrics["cpu"] == 42.5 and metrics["network"] == {"in": 1024, "out": 2048}
+
+    generic = payload_of(engine.ingest(data_type="telemetry"))
+    assert generic["sample"] is True and "telemetry" in generic["message"]
+
+
+def test_mark_indexed_partition_scoped(engine, tmp_path):
+    """K7 upsert: indexing one data_type must not rewrite other
+    data_types' metadata partitions (path + mtime + bytes stable), and
+    must stamp only the rows actually indexed (VERDICT r1 #3)."""
+    import os
+    from pathlib import Path
+
+    engine.ingest_batch(SAMPLES, data_type="sales")
+    assert engine.index_incremental() == 3
+    sales_at = {
+        r["id"]: r["indexed_at"]
+        for r in engine.meta().filter(F.col("data_type") == "sales").collect()
+    }
+    assert all(ts is not None for ts in sales_at.values())
+
+    def snapshot(dt):
+        part = Path(engine.meta_path) / f"data_type={dt}"
+        return {
+            str(p): (os.path.getmtime(p), os.path.getsize(p))
+            for p in part.rglob("*.parquet")
+        }
+
+    before = snapshot("sales")
+    engine.ingest_batch([{"cpu": 0.7}], data_type="metrics")
+    assert engine.index_incremental() == 1
+    # sales partition untouched on disk
+    assert snapshot("sales") == before
+    # sales rows keep their original stamp (not re-stamped)
+    after = {
+        r["id"]: r["indexed_at"]
+        for r in engine.meta().filter(F.col("data_type") == "sales").collect()
+    }
+    assert after == sales_at
+    # metrics row actually stamped
+    m = engine.meta().filter(F.col("data_type") == "metrics").first()
+    assert m["indexed"] and m["indexed_at"] is not None
+
+
+def test_index_cdc_stream_incremental(engine, spark):
+    """S11 true CDC (VERDICT r1 #6): ingest → meta change event →
+    index updated via the checkpointed changelog stream, without a
+    full rebuild and exactly-once per change."""
+    import os
+    from pathlib import Path
+
+    ids1 = engine.ingest_batch(SAMPLES[:2], data_type="sales")
+    engine.index_cdc()
+    assert engine.search_index().select("id").distinct().count() == 2
+    assert set(r["id"] for r in engine.search(term="laptop").collect()) <= set(ids1)
+    idx_files = {
+        str(p): os.path.getmtime(p)
+        for p in Path(engine.search_index_path).rglob("*.parquet")
+    }
+
+    # drain again with no changes: checkpoint makes it a no-op
+    engine.index_cdc()
+    assert engine.search_index().select("id").distinct().count() == 2
+
+    # new change event → only the new record indexed; prior index
+    # files untouched (append, not rebuild)
+    engine.ingest_batch([{"product": "Webcam", "quantity": 9}], data_type="sales")
+    engine.index_cdc()
+    assert engine.search_index().select("id").distinct().count() == 3
+    assert engine.search(term="webcam").count() == 1
+    after = {
+        str(p): os.path.getmtime(p)
+        for p in Path(engine.search_index_path).rglob("*.parquet")
+    }
+    assert set(idx_files) <= set(after)
+    assert all(after[p] == m for p, m in idx_files.items())
+    # metadata stamped for all three
+    assert engine.meta().filter(F.col("indexed")).count() == 3
+
+
+def test_engine_accepts_object_store_root(spark):
+    """Path-scheme agnosticism (VERDICT r1 #8): an s3a:// root builds
+    every path as a URI and never touches the local filesystem. No I/O
+    happens until a read/write executes against the scheme."""
+    eng = DataLakeEngine(spark, "s3a://my-lake/prod")
+    assert eng.is_remote
+    assert eng.zone("raw") == "s3a://my-lake/prod/raw"
+    assert eng.meta_path == "s3a://my-lake/prod/_meta"
+    assert eng.search_index_path == "s3a://my-lake/prod/_search_index"
+    # trailing slash normalizes away
+    assert DataLakeEngine(spark, "s3a://my-lake/prod/").zone("raw") == (
+        "s3a://my-lake/prod/raw"
+    )

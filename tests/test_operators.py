@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from serverless_datalake_aws_spark.operators.components import connected_components
 from serverless_datalake_aws_spark.operators.skew import salted_join, skew_stats
 from serverless_datalake_aws_spark.operators.upsert import merge_into, scd2_apply
 
@@ -39,6 +40,84 @@ def test_scd2_keeps_history(spark, tmp_path):
     assert len(closed) == 1 and closed[0]["v"] == 2
     # untouched key keeps exactly one current row
     assert out.filter((F.col("k") == "a") & F.col("valid_to").isNull()).count() == 1
+
+
+def _path_graph(spark, n):
+    return spark.createDataFrame([(i, i + 1) for i in range(n)], "a long, b long")
+
+
+def test_connected_components_labels(spark):
+    # two components: a path 0-1-2-3 and an edge 10-11
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    got = {r["node"]: r["label"] for r in connected_components(edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10}
+
+
+def test_connected_components_deep_path_converges(spark):
+    # diameter 15 > a naive 2-3 round propagation; must still converge
+    labels = connected_components(_path_graph(spark, 15), max_iters=20)
+    assert {r["label"] for r in labels.collect()} == {0}
+
+
+def test_connected_components_plan_depth_constant(spark):
+    """Lineage-truncation invariant (VERDICT r1 §wrong.5): the returned
+    plan must not grow with iteration count — localCheckpoint per round
+    keeps it one-round deep regardless of graph diameter."""
+    shallow = connected_components(_path_graph(spark, 2))
+    deep = connected_components(_path_graph(spark, 14))
+    plan_nodes = lambda df: str(  # noqa: E731
+        df._jdf.queryExecution().analyzed().toString()
+    ).count("\n")
+    assert plan_nodes(deep) == plan_nodes(shallow)
+    # and the leaf is a checkpointed RDD scan, not a 14-join tree
+    assert "LogicalRDD" in deep._jdf.queryExecution().analyzed().toString()
+
+
+def _naive_band_pairs(bands):
+    b1, b2 = bands.alias("b1"), bands.alias("b2")
+    return (
+        b1.join(
+            b2,
+            (F.col("b1.band_key") == F.col("b2.band_key"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(F.col("b1.doc_id").alias("doc1"), F.col("b2.doc_id").alias("doc2"))
+        .distinct()
+    )
+
+
+def test_capped_band_self_join_matches_naive_on_skew(spark):
+    """Hot-band guard invariant (VERDICT r1 #7): a band 4x over the cap
+    must yield EXACTLY the naive self-join's pair set."""
+    from serverless_datalake_aws_spark.operators.banding import (
+        capped_band_self_join,
+    )
+
+    rows = [(i, "hot") for i in range(200)]  # one degenerate band
+    rows += [(i, f"cold{i % 7}") for i in range(200, 260)]  # normal bands
+    bands = spark.createDataFrame(rows, "doc_id long, band_key string")
+    got = capped_band_self_join(bands, cap=50).distinct()
+    want = _naive_band_pairs(bands)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_capped_band_self_join_stays_hash_join(spark):
+    """Both legs must stay hash/sort-merge joins — no cartesian or
+    broadcast-nested-loop sneaking in for the hot path."""
+    from serverless_datalake_aws_spark.operators.banding import (
+        capped_band_self_join,
+    )
+
+    bands = spark.createDataFrame(
+        [(i, "hot") for i in range(120)], "doc_id long, band_key string"
+    )
+    plan = capped_band_self_join(bands, cap=40)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_salted_join_matches_plain_join(spark):

@@ -89,6 +89,21 @@ def test_compact_reduces_files(spark, tmp_path):
     assert read_any(spark, out).count() == 1000
 
 
+def test_compact_preserves_format(spark, tmp_path):
+    """Compacting a CSV table must rewrite CSV, not parquet — otherwise
+    extension-dispatched readers break afterwards (ADVICE r1)."""
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "id int, v string")
+    out = tmp_path / "many_csv"
+    df.repartition(8).write.option("header", True).csv(str(out))
+    assert len(list(out.glob("*.csv"))) >= 8
+    n = compact(spark, out, target_file_mb=128, fmt="csv")
+    assert n == 1
+    assert len(list(out.glob("*.csv"))) == 1
+    assert len(list(out.glob("*.parquet"))) == 0
+    back = read_any(spark, out)  # extension dispatch must still work
+    assert back.count() == 100
+
+
 def test_orc_roundtrip(spark, tmp_path):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
     out = tmp_path / "t_orc"
