@@ -44,6 +44,7 @@ _MODULES = (
     "metadata_queries",
     "text",
     "text2",
+    "text3",
     "dedup",
     "dedup2",
     "similarity",

