@@ -333,7 +333,12 @@ class DataLakeEngine:
         the dashboard-feeding aggregate, partitioned for pruning."""
         gold = (
             self.records("processed")
-            .groupBy("data_type", "ingest_date")
+            # partition-value inference reads ingest_date back as DATE;
+            # pin the summary contract to the ISO string the ingest
+            # wrote (and that curate_incremental derives from the feed)
+            .groupBy(
+                "data_type", F.col("ingest_date").cast("string").alias("ingest_date")
+            )
             .agg(
                 F.count("*").alias("n_records"),
                 F.sum(F.octet_length("payload")).alias("total_bytes"),
@@ -343,6 +348,65 @@ class DataLakeEngine:
             f"{self.zone('curated')}/daily_summary"
         )
         return self.spark.read.parquet(f"{self.zone('curated')}/daily_summary")
+
+    def curate_incremental(self, timeout_s: int = 600) -> DataFrame:
+        """Incremental gold-zone maintenance: fold ONLY the new
+        change-feed rows into the curated daily summary instead of
+        re-aggregating the record store (curate() rescans processed/;
+        at 100 TB that rescan is the cost this method deletes).
+
+        Same checkpointed-changelog pattern as index_cdc but with its
+        own checkpoint — independent consumers of one change feed. The
+        curated table itself is small (types × days), so the merged
+        result is rewritten wholesale via tmp+swap; the scale win is
+        that the INPUT per batch is the change set, never the lake."""
+        out = f"{self.zone('curated')}/daily_summary"
+        stream = self.spark.readStream.schema(META_SCHEMA).parquet(
+            self.changelog_path
+        )
+
+        def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+            delta = batch_df.groupBy(
+                "data_type",
+                F.date_format("timestamp", "yyyy-MM-dd").alias("ingest_date"),
+            ).agg(
+                F.count("*").alias("n_records"),
+                F.sum("size_bytes").alias("total_bytes"),
+            )
+            try:
+                cur = self.spark.read.parquet(out)
+                merged = (
+                    cur.unionByName(delta)
+                    .groupBy("data_type", "ingest_date")
+                    .agg(
+                        F.sum("n_records").alias("n_records"),
+                        F.sum("total_bytes").alias("total_bytes"),
+                    )
+                )
+            except Exception:
+                merged = delta
+            merged = merged.select(
+                "data_type", "ingest_date", "n_records", "total_bytes"
+            )
+            if self.is_remote:
+                merged.write.mode("overwrite").partitionBy("data_type").option(
+                    "partitionOverwriteMode", "dynamic"
+                ).parquet(out)
+                return
+            tmp = out + ".curate.tmp"
+            merged.write.mode("overwrite").partitionBy("data_type").parquet(tmp)
+            if Path(out).exists():
+                shutil.rmtree(out)
+            shutil.move(tmp, out)
+
+        q = (
+            stream.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", f"{self.root}/_checkpoints/curate")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        return self.spark.read.parquet(out)
 
     def process_stream(self, transform=None) -> None:
         """Streaming zone promotion (S10): checkpointed file-arrival

@@ -36,7 +36,15 @@ def capped_band_self_join(
 ) -> DataFrame:
     """Candidate pairs (doc1 < doc2) sharing a band key, with per-band
     work capped. Output matches the uncapped self-join exactly (pairs
-    may repeat across bands — callers dropDuplicates, as d04 does)."""
+    may repeat across bands — callers dropDuplicates, as d04 does).
+
+    `bands` is cached here: it is read at least three times (size
+    probe + both join sides) and its lineage is typically expensive
+    (minhash/simhash band derivation). The probe job materializes the
+    cache before any self-join starts, avoiding the double-fill race;
+    eviction is left to Spark's LRU (same policy as the d04/d05
+    fingerprint caches)."""
+    bands = bands.cache()
     sizes = bands.groupBy(key).agg(F.count("*").alias("_n"))
     hot_keys = sizes.filter(F.col("_n") > cap)
     if hot_keys.isEmpty():

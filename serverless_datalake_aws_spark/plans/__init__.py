@@ -49,6 +49,7 @@ _MODULES = (
     "dedup2",
     "similarity",
     "similarity2",
+    "similarity3",
     "events_queries",
     "timeseries",
     "search",

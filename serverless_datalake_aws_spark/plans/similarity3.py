@@ -1,0 +1,126 @@
+"""Round-2 similarity additions (SURVEY §2.11 ANN engineering).
+
+s11: recall@k audit of the LSH-bucketed ANN path against the exact
+brute-force ranking — the sketch-accuracy companion to d10 (MinHash
+audit): production ANN is only trustworthy with a measured recall
+number per index configuration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from serverless_datalake_aws_spark.catalog import table
+from serverless_datalake_aws_spark.functions import vector as VX
+from serverless_datalake_aws_spark.plans import query
+from serverless_datalake_aws_spark.plans.similarity import _COS_ORACLE_EXPR
+
+_K = 5
+
+
+@query(
+    "s11_ann_recall_audit",
+    oracle=f"""
+    WITH b AS (
+        SELECT *,
+               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        FROM embeddings
+    ), q AS (SELECT * FROM b WHERE vec_id < 20),
+    exact_sims AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               {_COS_ORACLE_EXPR} AS cos_sim
+        FROM q, embeddings e WHERE e.vec_id != q.vec_id
+    ),
+    exact_top AS (
+        SELECT query_id, neighbor_id FROM exact_sims
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) <= {_K}
+    ),
+    ann_sims AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               {_COS_ORACLE_EXPR} AS cos_sim
+        FROM q JOIN b e ON q.bucket = e.bucket AND e.vec_id != q.vec_id
+    ),
+    ann_top AS (
+        SELECT query_id, neighbor_id FROM ann_sims
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) <= {_K}
+    )
+    SELECT x.query_id,
+           count(a.neighbor_id) AS n_hit,
+           round(count(a.neighbor_id) / {_K}.0, 6) AS recall
+    FROM exact_top x
+    LEFT JOIN ann_top a
+      ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+    GROUP BY x.query_id
+    """,
+)
+def s11_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_K} of the sign-LSH bucketed ANN (s02's index) vs exact
+    brute force, per query — the engineering gate for any approximate
+    index (d10's audit pattern applied to vectors).
+
+    Scale: the audit runs on a SAMPLE of queries (here vec_id < 20;
+    production samples ~1e3), so the brute-force leg is
+    O(sample × corpus) — a deliberate, bounded cost that certifies the
+    O(corpus/buckets) serving path. Both legs broadcast the query side;
+    recall joins are on slim (query, neighbor) ids."""
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", VX.bucket_by_signs(F.col("embedding"), n_dims=4)
+    )
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    rk = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+
+    def top(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("_rk", F.row_number().over(rk))
+            .filter(F.col("_rk") <= _K)
+            .select("query_id", "neighbor_id")
+        )
+
+    exact = top(
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(VX.cosine(F.col("q_emb"), F.col("embedding")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    ann = top(
+        emb.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(VX.cosine(F.col("q_emb"), F.col("embedding")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    hit = F.col("a.neighbor_id").isNotNull()
+    return (
+        exact.alias("x")
+        .join(
+            ann.alias("a"),
+            (F.col("x.query_id") == F.col("a.query_id"))
+            & (F.col("x.neighbor_id") == F.col("a.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("x.query_id").alias("query_id"))
+        .agg(
+            F.count(F.when(hit, 1)).alias("n_hit"),
+            F.round(F.count(F.when(hit, 1)) / _K, 6).alias("recall"),
+        )
+    )

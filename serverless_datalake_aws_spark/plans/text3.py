@@ -18,6 +18,61 @@ from serverless_datalake_aws_spark.catalog import table
 from serverless_datalake_aws_spark.plans import query
 
 _TOPK = 20
+_CHUNK = 200
+_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+@query(
+    "t21_chunk_overlap",
+    oracle=f"""
+    SELECT doc_id,
+           k AS chunk_idx,
+           CAST(1 + k * {_STRIDE} AS BIGINT) AS chunk_start,
+           CAST(len(substr(text, 1 + k * {_STRIDE}, {_CHUNK})) AS BIGINT)
+               AS chunk_chars,
+           md5(substr(text, 1 + k * {_STRIDE}, {_CHUNK})) AS chunk_md5
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(0,
+                 CAST((len(text) - 1) // {_STRIDE} AS BIGINT))) AS k
+      FROM documents WHERE len(text) >= 1
+    )
+    """,
+)
+def t21_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunking ({_CHUNK}-char windows,
+    {_STRIDE}-char stride → {_CHUNK - _STRIDE}-char overlap) — the
+    retrieval/embedding chunker every RAG-style pipeline runs before
+    embedding. One row per chunk with its offset, length, and content
+    digest (the dedupable identity of the chunk).
+
+    Scale: sequence+explode multiplies rows executor-side with no
+    shuffle at all — output partitioning inherits the scan, so the
+    downstream embedder (mm03's mapInPandas shape) chains
+    shuffle-free. Chunk text itself is not materialized in the result;
+    the md5 stands in (join back by (doc_id, chunk_start) to re-slice
+    when needed)."""
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+    chunked = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                ((F.length("text") - 1) / _STRIDE).cast("long"),
+            )
+        ).alias("k"),
+    )
+    chunk = F.col("text").substr(
+        (F.lit(1) + F.col("k") * _STRIDE).cast("int"), F.lit(_CHUNK)
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("k").alias("chunk_idx"),
+        (F.lit(1) + F.col("k") * _STRIDE).cast("long").alias("chunk_start"),
+        F.length(chunk).cast("long").alias("chunk_chars"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
 
 
 @query(

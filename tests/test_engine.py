@@ -267,6 +267,34 @@ def test_index_cdc_stream_incremental(engine, spark):
     assert engine.meta().filter(F.col("indexed")).count() == 3
 
 
+def test_curate_incremental_matches_recompute(engine):
+    """Gold-zone maintenance from the change feed: folding only new
+    changelog rows must reproduce exactly what the full curate()
+    rescan computes — and re-draining with no changes is a no-op."""
+
+    def as_map(df):
+        return {
+            (r["data_type"], r["ingest_date"]): (r["n_records"], r["total_bytes"])
+            for r in df.collect()
+        }
+
+    engine.ingest_batch(SAMPLES, data_type="sales")
+    engine.ingest_batch([{"cpu": 0.5}], data_type="metrics")
+    first = as_map(engine.curate_incremental())
+    s_key = next(k for k in first if k[0] == "sales")
+    assert first[s_key][0] == 3 and first[s_key][1] > 0
+    # no new changes → identical table
+    assert as_map(engine.curate_incremental()) == first
+    # a new batch folds in additively
+    engine.ingest_batch([{"cpu": 0.9}], data_type="metrics")
+    inc = as_map(engine.curate_incremental())
+    m_key = next(k for k in inc if k[0] == "metrics")
+    assert inc[m_key][0] == 2
+    # and the incremental table equals a from-scratch recompute
+    engine.process()
+    assert as_map(engine.curate()) == inc
+
+
 def test_engine_accepts_object_store_root(spark):
     """Path-scheme agnosticism (VERDICT r1 #8): an s3a:// root builds
     every path as a URI and never touches the local filesystem. No I/O
