@@ -38,6 +38,7 @@ _MODULES = (
     "relational6",
     "relational7",
     "relational8",
+    "relational9",
     "sqlfuncs",
     "sqlfuncs2",
     "nested",

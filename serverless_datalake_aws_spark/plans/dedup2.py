@@ -473,3 +473,67 @@ def d10_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("_est") - F.col("_jac")), 4).alias("abs_err"),
         )
     )
+
+
+@query(
+    "d12_benchmark_contamination",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   generate_series(1, len(string_split(text,' ')) - 2),
+                   i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
+                   AS grams
+        FROM documents
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(grams) AS gm FROM g WHERE source = 'src0'
+    ),
+    train AS (
+        SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gm
+        FROM g WHERE source <> 'src0'
+    )
+    SELECT doc_id, count(*) AS n_shared,
+           any_value(n_grams) AS n_grams,
+           round(count(*)::DOUBLE / any_value(n_grams), 4) AS overlap_ratio
+    FROM train JOIN bench USING (gm)
+    GROUP BY doc_id
+    HAVING count(*)::DOUBLE / any_value(n_grams) >= 0.1
+    """,
+)
+def d12_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark decontamination (§2.11): flag training documents
+    whose distinct word 3-grams overlap a held-out benchmark source
+    (here `src0`) above 10% — the n-gram-overlap contamination check
+    used before LLM pretraining (the technique published with GPT-2/
+    GPT-3 and open reproductions; 8-13-gram windows at production
+    vocabulary, 3-grams at this synthetic 40-word vocabulary).
+
+    Scale: the benchmark gram set (eval suites, ~MBs) is broadcast, so
+    the corpus side streams map-only into a partial-agg groupBy on
+    doc_id — one shuffle proportional to matched grams only. The ratio
+    compare is int/int division, exact in both engines."""
+    docs = table(spark, sf_dir, "documents")
+    grams = F.array_distinct(TX.word_ngrams("text", 3))
+    bench = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.explode(grams).alias("gm"))
+        .distinct()
+    )
+    train = docs.filter(F.col("source") != "src0").select(
+        "doc_id", F.size(grams).alias("n_grams"), F.explode(grams).alias("gm")
+    )
+    shared = F.count("*")
+    ratio = shared.cast("double") / F.first("n_grams")
+    return (
+        train.join(F.broadcast(bench), "gm")
+        .groupBy("doc_id")
+        .agg(
+            shared.alias("n_shared"),
+            F.first("n_grams").alias("n_grams"),
+            F.round(ratio, 4).alias("overlap_ratio"),
+        )
+        .filter(
+            F.col("n_shared").cast("double") / F.col("n_grams") >= 0.1
+        )
+    )

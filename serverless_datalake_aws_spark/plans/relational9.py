@@ -1,0 +1,179 @@
+"""Ninth tranche: the last TPC-H query shapes missing from the
+delegated-SQL surface (Q6, Q11, Q15, Q16, Q17, Q20), adapted to the
+testdata schema (no partsupp table — `lineitem` grouped on
+(l_partkey, l_suppkey) stands in as the supply fact, and
+supplier/part predicates replace the comment/container columns the
+testdata lacks). Completes the Athena-delegation inventory from the
+reference (`query-data-lambda.py:195-218`, SURVEY §2.7): with these,
+every TPC-H query shape has a registered, oracle-checked equivalent.
+
+Numeric-parity rule (the repo-wide convention from relational7/8):
+any value that feeds a THRESHOLD COMPARE or equality (Q11's
+fraction-of-total, Q15's max-revenue equality) is summed through an
+exact DECIMAL image so Spark and DuckDB agree bit-for-bit regardless
+of partial-sum order; display-only aggregates round to 4 dp.
+
+Scale notes: Q6 is the canonical full-pushdown scan (predicates reach
+the parquet reader, no shuffle at all — asserted in
+tests/test_plans.py). Q11/Q15 aggregate lineitem once and reuse the
+CTE for the scalar threshold — Spark plans the reused subquery as a
+shared exchange under AQE. Q17's correlated per-part average becomes
+a broadcast-joined aggregate on p_partkey; Q20's nested IN chain is
+two semi-joins, both keyed on the natural partition columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from serverless_datalake_aws_spark.catalog import register_views
+from serverless_datalake_aws_spark.plans import query
+
+_Q72 = """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@query("q72_forecast_revenue", oracle=_Q72)
+def q72_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): single-table scan whose
+    entire WHERE clause pushes down to the parquet reader — the
+    benchmark's measure of pure scan+filter throughput. No join, no
+    shuffle; one partial+final agg."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_Q72)
+
+
+_Q73 = """
+    WITH supply AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4)))
+                   AS value
+        FROM lineitem
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, CAST(value AS DOUBLE) AS value
+    FROM supply
+    WHERE value > (SELECT sum(value) * 0.002 FROM supply)
+"""
+
+
+@query("q73_important_parts", oracle=_Q73)
+def q73_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped (important stock identification): per-part
+    supply value for one nation's suppliers, kept only where it
+    exceeds a fraction of the nation total (scalar subquery over the
+    same CTE). partsupp is absent from testdata, so lineitem is the
+    supply fact. The threshold compare runs on exact decimals — a
+    double sum's partial-order noise would flip boundary parts
+    between engines."""
+    register_views(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    return spark.sql(_Q73)
+
+
+_Q74 = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(18,4))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@query("q74_top_supplier", oracle=_Q74)
+def q74_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, keep
+    the max (ties included). The reference formulates this as a VIEW +
+    scalar subquery; a CTE is the same plan. Equality against the max
+    demands exact arithmetic — hence the decimal image."""
+    register_views(spark, sf_dir, ("lineitem", "supplier"))
+    return spark.sql(_Q74)
+
+
+_Q75 = """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("q75_supplier_part_relation", oracle=_Q75)
+def q75_supplier_part_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped (parts/supplier relationship): distinct
+    supplier counts per (brand, type, size) bucket with negated
+    predicates and a NOT IN exclusion subquery (negative-balance
+    suppliers stand in for the complaint-comment filter). Catalyst
+    turns the NOT IN into a null-aware anti join; the part dim is
+    broadcast."""
+    register_views(spark, sf_dir, ("part", "lineitem", "supplier"))
+    return spark.sql(_Q75)
+
+
+_Q76 = """
+    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+      AND l_quantity < (
+          SELECT 0.4 * avg(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@query("q76_small_quantity_revenue", oracle=_Q76)
+def q76_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): lineitems below 40%
+    of their part's average quantity. The correlated scalar average is
+    planned as a per-part aggregate joined back on p_partkey — one
+    extra pass over lineitem, not a per-row subquery. Quantities are
+    integral doubles, so the average is exact in both engines and the
+    threshold compare cannot flip."""
+    register_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_Q76)
+
+
+_Q77 = """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(l_quantity) > 60
+    )
+"""
+
+
+@query("q77_promotion_suppliers", oracle=_Q77)
+def q77_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped (potential part promotion): suppliers who
+    moved more than a threshold quantity of a named part family in a
+    year — nested IN chain (part-name semi-join inside a grouped
+    HAVING semi-join). Integral quantity sums keep the HAVING
+    threshold exact. Both INs become left-semi hash joins on the
+    natural keys."""
+    register_views(spark, sf_dir, ("supplier", "lineitem", "part"))
+    return spark.sql(_Q77)

@@ -124,3 +124,64 @@ def s11_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count(F.when(hit, 1)) / _K, 6).alias("recall"),
         )
     )
+
+
+@query(
+    "s12_knn_graph",
+    oracle=f"""
+    WITH sims AS (
+        SELECT q.vec_id AS src, e.vec_id AS dst, q.label AS label,
+               {_COS_ORACLE_EXPR} AS cos_sim
+        FROM embeddings q JOIN embeddings e
+          ON q.label = e.label AND q.vec_id <> e.vec_id
+    )
+    SELECT src, dst, label, cos_sim, rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY src
+                    ORDER BY cos_sim DESC, dst) AS rk
+          FROM sims)
+    WHERE rk <= {_K}
+    """,
+)
+def s12_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-blocked k-NN graph (§2.11): top-{_K} cosine neighbors per
+    vector inside its label block — the edge list that feeds semantic
+    clustering / SemDeDup-style pruning downstream of d08's connected
+    components.
+
+    Scale: blocking bounds the pairwise cost at Σ|block|² (the s03
+    contract); at 100 TB the block key is an IVF cell (s05) instead of
+    a label, same plan. Norms are precomputed once per vector, the
+    per-source ranking is one window over block-local edges, and the
+    similarity is rounded to 6 dp before ranking so both engines break
+    ties identically."""
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            VX.norm(F.col("embedding")).alias("nrm"),
+        )
+        .cache()
+    )
+    emb.count()  # materialize before the self-join (both sides read it)
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = VX.dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    rk = W.partitionBy("src").orderBy(F.col("cos_sim").desc(), "dst")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            F.col("a.label").alias("label"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= _K)
+    )

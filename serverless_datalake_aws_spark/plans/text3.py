@@ -150,3 +150,55 @@ def t20_trigram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("lang", F.col("cand_lang").alias("predicted")).agg(
         F.count("*").alias("n_docs")
     )
+
+
+@query(
+    "t22_source_sampling_weights",
+    oracle="""
+    WITH s AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_docs, n_tokens,
+               pow(n_tokens::DOUBLE
+                   / (SELECT CAST(sum(n_tokens) AS BIGINT) FROM s), 0.3)
+                   AS pw
+        FROM s
+    )
+    SELECT source, n_docs, n_tokens,
+           round(pw / (SELECT sum(pw) FROM w), 6) AS sample_weight
+    FROM w
+    """,
+)
+def t22_source_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights (§2.11): the
+    multilingual/multi-source mixing rule (p_s ∝ share^alpha,
+    alpha=0.3) from the mC4/XLM-R lineage — upsamples low-resource
+    sources for training-data mixture design. Token counts per source,
+    raised to alpha, renormalized.
+
+    Scale: two tiny aggregations (one row per source); the token count
+    is the only pass over the corpus, map-side combined. Exact integer
+    token sums keep the power-law input deterministic across engines;
+    the 6-dp round absorbs libm pow ulp drift."""
+    docs = table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    total = per_src.agg(F.sum("n_tokens").alias("tot")).select("tot")
+    w = per_src.crossJoin(F.broadcast(total)).withColumn(
+        "pw", F.pow(F.col("n_tokens").cast("double") / F.col("tot"), 0.3)
+    )
+    z = w.agg(F.sum("pw").alias("z")).select("z")
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("pw") / F.col("z"), 6).alias("sample_weight"),
+        )
+    )
