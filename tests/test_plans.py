@@ -217,3 +217,29 @@ def test_q68_salted_join_shape(spark):
     plan = _plan(spark, "q68_salted_join")
     assert "Generate" in plan
     assert "_salt" in plan
+
+
+def test_q72_full_pushdown_no_join(spark):
+    # TPC-H Q6: the whole WHERE clause must reach the parquet reader
+    plan = _plan(spark, "q72_forecast_revenue")
+    assert "PushedFilters" in plan
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in plan.split("PushedFilters", 1)[1].split("]")[0], c
+    assert "Join" not in plan  # pure scan+agg
+    assert plan.count("HashAggregate") >= 2  # partial before the shuffle
+
+
+def test_d12_benchmark_set_is_broadcast(spark):
+    # the benchmark gram set must broadcast; the corpus side must not
+    # shuffle into a sort-merge join
+    plan = _plan(spark, "d12_benchmark_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q76_correlated_avg_is_aggregate_join(spark):
+    # Q17's per-part average must plan as one aggregate joined back,
+    # not a per-row subquery
+    plan = _plan(spark, "q76_small_quantity_revenue")
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" in plan
