@@ -70,13 +70,19 @@ def s11_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(sample × corpus) — a deliberate, bounded cost that certifies the
     O(corpus/buckets) serving path. Both legs broadcast the query side;
     recall joins are on slim (query, neighbor) ids."""
+    # norms once per row; both scoring legs evaluate a single dot per
+    # pair (same factored-fp convention as s01/s02/s05)
     emb = table(spark, sf_dir, "embeddings").withColumn(
         "bucket", VX.bucket_by_signs(F.col("embedding"), n_dims=4)
-    )
+    ).withColumn("nrm", VX.norm(F.col("embedding")))
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
         F.col("bucket").alias("q_bucket"),
+    )
+    cos = VX.dot(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_nrm") * F.col("nrm")
     )
     rk = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
 
@@ -91,9 +97,7 @@ def s11_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(VX.cosine(F.col("q_emb"), F.col("embedding")), 6).alias(
-                "cos_sim"
-            ),
+            F.round(cos, 6).alias("cos_sim"),
         )
     )
     ann = top(
@@ -104,9 +108,7 @@ def s11_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(VX.cosine(F.col("q_emb"), F.col("embedding")), 6).alias(
-                "cos_sim"
-            ),
+            F.round(cos, 6).alias("cos_sim"),
         )
     )
     hit = F.col("a.neighbor_id").isNotNull()
