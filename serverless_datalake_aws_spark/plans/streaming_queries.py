@@ -254,3 +254,41 @@ def st06_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@query(
+    "st07_stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
+           c.c_mktsegment AS mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def st07_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (§2.9): the event stream joined to
+    a static customer dimension — the streaming twin of J1 keyed
+    enrichment. The static side is re-read per micro-batch and
+    broadcast (it's a dim), so the stream never shuffles.
+
+    Unlike the watermarked entries, an availableNow drain of a
+    stream-static INNER join emits exactly the batch-join rows — fully
+    deterministic — so this entry carries a real value-level oracle,
+    not just a rows-only check."""
+    from serverless_datalake_aws_spark.catalog import table
+
+    static_dim = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("mktsegment")
+    )
+    name = f"st07_{uuid.uuid4().hex[:8]}"
+    q = (
+        _events_stream(spark, sf_dir)
+        .join(F.broadcast(static_dim), F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "mktsegment")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

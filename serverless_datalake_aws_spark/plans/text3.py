@@ -202,3 +202,95 @@ def t22_source_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("pw") / F.col("z"), 6).alias("sample_weight"),
         )
     )
+
+
+_CM_DEPTH = 4
+_CM_WIDTH = 64
+_CM_TOPK = 20
+
+
+@query(
+    "t23_count_min_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    exact AS (
+        SELECT tok, count(*) AS exact_n FROM tok GROUP BY tok
+    ),
+    bucketed AS (
+        SELECT tok, exact_n, d,
+               CAST(concat('0x', substr(md5(concat(CAST(d AS VARCHAR), ':', tok)), 1, 14))
+                    AS BIGINT) % {_CM_WIDTH} AS bucket
+        FROM exact, generate_series(0, {_CM_DEPTH - 1}) AS gs(d)
+    ),
+    sketch AS (
+        SELECT d, bucket, CAST(sum(exact_n) AS BIGINT) AS cm
+        FROM bucketed GROUP BY d, bucket
+    ),
+    top AS (
+        SELECT tok, exact_n FROM exact
+        ORDER BY exact_n DESC, tok LIMIT {_CM_TOPK}
+    )
+    SELECT t.tok, t.exact_n,
+           CAST(min(s.cm) AS BIGINT) AS est_n,
+           CAST(min(s.cm) - t.exact_n AS BIGINT) AS overestimate
+    FROM top t
+    JOIN bucketed b ON b.tok = t.tok
+    JOIN sketch s ON s.d = b.d AND s.bucket = b.bucket
+    GROUP BY t.tok, t.exact_n
+    """,
+)
+def t23_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters with accuracy audit (§2.11): a
+    4×64 count-min sketch over the token stream, estimates for the
+    top-20 exact heavy hitters, and the per-token overestimate
+    (always ≥ 0 — count-min errs only upward). The d10/s11 audit
+    pattern applied to frequency sketches.
+
+    Scale: the sketch is 4·64 integers REGARDLESS of
+    corpus size — each executor folds its partition into partial bucket
+    sums (one map-side-combined groupBy), and merging sketches is
+    addition. At 100 TB the exact-count leg disappears and only the
+    sketch runs; here it exists to measure the error the width/depth
+    choice buys. All-integer math — no parity drift possible."""
+    from serverless_datalake_aws_spark.functions import text as TX
+
+    docs = table(spark, sf_dir, "documents")
+    exact = (
+        docs.select(F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("exact_n"))
+    )
+    buckets = F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{d}:"), F.col("tok"))),
+                        1,
+                        14,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _CM_WIDTH
+            )
+            for d in range(_CM_DEPTH)
+        ]
+    )
+    bucketed = exact.select(
+        "tok", "exact_n", F.posexplode(buckets).alias("d", "bucket")
+    )
+    sketch = bucketed.groupBy("d", "bucket").agg(F.sum("exact_n").alias("cm"))
+    top = exact.orderBy(F.col("exact_n").desc(), "tok").limit(_CM_TOPK)
+    return (
+        bucketed.join(F.broadcast(top.select("tok")), "tok")
+        .join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("tok")
+        .agg(
+            F.first("exact_n").alias("exact_n"),
+            F.min("cm").alias("est_n"),
+            (F.min("cm") - F.first("exact_n")).alias("overestimate"),
+        )
+    )
