@@ -128,3 +128,49 @@ def frame_sample(media_df: DataFrame, every_ms: int = 1000) -> DataFrame:
             ),
         )
     )
+
+
+def audio_windows(
+    media_df: DataFrame, window_ms: int = 2000, hop_ms: int = 1000
+) -> DataFrame:
+    """Sliding-window chunking for audio: one row per full window of
+    `window_ms` every `hop_ms` (speech-pipeline frame/hop shape at
+    pipeline granularity). Decode is stubbed — the window arithmetic,
+    sample offsets, and row-multiplication shape are the production
+    contract a torchaudio/ffmpeg chunker drops into.
+
+    Rows with duration < window_ms emit nothing (full windows only).
+    Shuffle-free: sequence+explode multiplies rows executor-side."""
+    # explicit floor: DuckDB CAST(double AS BIGINT) rounds, Spark's
+    # truncates — floor() first makes both engines agree on fractional
+    # trailing windows
+    n_win = (
+        F.floor(
+            (F.coalesce(F.col("meta.duration_ms"), F.lit(0)) - window_ms)
+            / hop_ms
+        ).cast("long")
+        + 1
+    )
+    sr = F.coalesce(F.col("meta.sample_rate"), F.lit(0))
+    return (
+        media_df.filter(F.col("modality") == "audio")
+        .filter(F.coalesce(F.col("meta.duration_ms"), F.lit(0)) >= window_ms)
+        .withColumn("win_idx", F.explode(F.sequence(F.lit(0), n_win - 1)))
+        .select(
+            "media_id",
+            "win_idx",
+            (F.col("win_idx") * hop_ms).alias("start_ms"),
+            (F.col("win_idx") * hop_ms + window_ms).alias("end_ms"),
+            (F.col("win_idx") * hop_ms * sr / 1000).cast("long").alias(
+                "start_sample"
+            ),
+            F.sha2(
+                F.concat(
+                    F.col("payload"),
+                    F.lit(":").cast("binary"),
+                    F.col("win_idx").cast("string").cast("binary"),
+                ),
+                256,
+            ).alias("chunk_stub_hash"),
+        )
+    )

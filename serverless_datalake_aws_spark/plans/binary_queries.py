@@ -165,3 +165,59 @@ def mm04_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
         "frame_stub_hash",
     )
+
+
+@query(
+    "mm05_audio_chunk_windows",
+    oracle="""
+    WITH aud AS (
+      SELECT CAST(doc_id AS VARCHAR) AS media_id, text,
+             CAST(n_chars * 10 AS BIGINT) AS duration_ms
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT media_id,
+           i AS win_idx,
+           i * 1000 AS start_ms,
+           i * 1000 + 2000 AS end_ms,
+           CAST(i * 1000 * 16 AS BIGINT) AS start_sample,
+           sha256(text || ':' || CAST(i AS VARCHAR)) AS chunk_stub_hash
+    FROM (
+      SELECT media_id, text,
+             unnest(generate_series(0,
+                 CAST(floor((duration_ms - 2000) / 1000.0) AS BIGINT))) AS i
+      FROM aud WHERE duration_ms >= 2000
+    )
+    """,
+)
+def mm05_audio_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio sliding-window chunking (operators/multimodal.audio_windows)
+    as an oracle-verified query: 2 s windows every 1 s over durations
+    synthesized from n_chars (10 ms/char), 16 kHz sample offsets, chunk
+    hash = sha256(payload || ':' || idx) as the decode seam — the mm04
+    pattern for the audio modality (full windows only; sub-window clips
+    emit no rows).
+
+    Scale: identical to mm04 — executor-side row multiplication, no
+    shuffle, chains into mm03's mapInPandas featurizer partition-local."""
+    from serverless_datalake_aws_spark.operators.multimodal import audio_windows
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("audio").alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+            F.lit(16000).alias("sample_rate"),
+        ).alias("meta"),
+    )
+    return audio_windows(media, window_ms=2000, hop_ms=1000).select(
+        "media_id",
+        F.col("win_idx").cast("long").alias("win_idx"),
+        F.col("start_ms").cast("long").alias("start_ms"),
+        F.col("end_ms").cast("long").alias("end_ms"),
+        "start_sample",
+        "chunk_stub_hash",
+    )
