@@ -204,3 +204,63 @@ def e03_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("session_value"),
         F.min("ts").alias("session_start"),
     )
+
+
+@query(
+    "e12_activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ), grp AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INTEGER) * INTERVAL 1 DAY AS anchor
+        FROM days
+    ), islands AS (
+        SELECT user_id, min(d) AS streak_start, max(d) AS streak_end,
+               CAST(count(*) AS BIGINT) AS streak_days
+        FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           strftime(streak_start, '%Y-%m-%d') AS streak_start,
+           strftime(streak_end, '%Y-%m-%d') AS streak_end,
+           streak_days
+    FROM islands
+    QUALIFY row_number() OVER (PARTITION BY user_id
+            ORDER BY streak_days DESC, streak_start) = 1
+    """,
+)
+def e12_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-active-day streak per user
+    via the row_number-difference anchor trick (consecutive dates share
+    `date - rank` as a constant). The discrete-sequence complement to
+    e03's time-gap sessionization.
+
+    Scale: one shuffle on user_id; islands are grouped map-side after
+    the window; dates emitted as ISO strings (the q29 convention —
+    date-typed columns normalize differently across engines)."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("d"))
+    grp = days.withColumn("anchor", F.date_sub(F.col("d"), rn))
+    islands = grp.groupBy("user_id", "anchor").agg(
+        F.min("d").alias("s"),
+        F.max("d").alias("e"),
+        F.count("*").alias("streak_days"),
+    )
+    top = W.partitionBy("user_id").orderBy(F.col("streak_days").desc(), "s")
+    return (
+        islands.withColumn("_rk", F.row_number().over(top))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "user_id",
+            F.date_format("s", "yyyy-MM-dd").alias("streak_start"),
+            F.date_format("e", "yyyy-MM-dd").alias("streak_end"),
+            "streak_days",
+        )
+    )

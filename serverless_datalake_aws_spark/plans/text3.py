@@ -294,3 +294,63 @@ def t23_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("cm") - F.first("exact_n")).alias("overestimate"),
         )
     )
+
+
+@query(
+    "t24_source_divergence",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    sc AS (
+        SELECT source, tok, count(*)::DOUBLE AS n FROM tok GROUP BY 1, 2
+    ),
+    st AS (SELECT source, sum(n) AS tot FROM sc GROUP BY 1),
+    cc AS (SELECT tok, count(*)::DOUBLE AS cn FROM tok GROUP BY 1),
+    ct AS (SELECT sum(cn) AS ctot FROM cc)
+    SELECT sc.source,
+           CAST(st.tot AS BIGINT) AS n_tokens,
+           round(sum((n / tot) * ln((n / tot) / (cn / ctot))), 6)
+               AS kl_divergence
+    FROM sc
+      JOIN st USING (source)
+      JOIN cc USING (tok)
+      CROSS JOIN ct
+    GROUP BY sc.source, st.tot
+    """,
+)
+def t24_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution
+    (§2.11 mixture diagnostics): KL(P_source ‖ P_corpus) flags sources
+    whose token distribution drifts from the blend — the quantitative
+    companion to t22's mixing weights when curating a training mixture.
+
+    Scale: two token-count aggregations (map-side combined) and a join
+    on the vocabulary — shuffle ∝ vocabulary × sources, not corpus
+    bytes. Corpus totals are scalar broadcasts. Counts stay exact
+    integers until the final double division; 6-dp round absorbs
+    summation-order ulp."""
+    from serverless_datalake_aws_spark.functions import text as TX
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(TX.tokens("text")).alias("tok"))
+    sc = tok.groupBy("source", "tok").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    st = sc.groupBy("source").agg(F.sum("n").alias("tot"))
+    cc = tok.groupBy("tok").agg(F.count("*").cast("double").alias("cn"))
+    ct = cc.agg(F.sum("cn").alias("ctot"))
+    p_s = F.col("n") / F.col("tot")
+    p_c = F.col("cn") / F.col("ctot")
+    return (
+        sc.join(F.broadcast(st), "source")
+        .join(F.broadcast(cc), "tok")
+        .crossJoin(F.broadcast(ct))
+        .groupBy("source", "tot")
+        .agg(F.round(F.sum(p_s * F.log(p_s / p_c)), 6).alias("kl_divergence"))
+        .select(
+            "source",
+            F.col("tot").cast("long").alias("n_tokens"),
+            "kl_divergence",
+        )
+    )
