@@ -109,3 +109,88 @@ def test_p03_triangle_anchor_is_minimum(spark):
             F.max("n_nationkey")
         ).first()[0]
         assert all(r.nation < max_nation for r in df)
+
+
+def test_t23_count_min_never_underestimates(spark):
+    # count-min's one-sided error guarantee: est >= exact, always
+    rows = all_queries()["t23_count_min_heavy_hitters"](spark, SF_DIR).collect()
+    assert rows  # heavy hitters exist
+    for r in rows:
+        assert r.est_n >= r.exact_n, (r.tok, r.est_n, r.exact_n)
+        assert r.overestimate == r.est_n - r.exact_n
+
+
+def test_s12_knn_graph_degree_and_block_closure(spark):
+    rows = all_queries()["s12_knn_graph"](spark, SF_DIR).collect()
+    from collections import Counter
+
+    deg = Counter(r.src for r in rows)
+    emb = {
+        r.vec_id: r.label
+        for r in table(spark, SF_DIR, "embeddings").collect()
+    }
+    for src, d in deg.items():
+        assert d <= 5, (src, d)  # top-k bound
+    for r in rows:
+        assert emb[r.src] == emb[r.dst] == r.label  # edges stay in-block
+        assert r.src != r.dst  # no self-loops
+        assert -1.0 <= r.cos_sim <= 1.0
+
+
+def test_d12_contamination_ratio_bounds(spark):
+    rows = all_queries()["d12_benchmark_contamination"](spark, SF_DIR).collect()
+    bench_ids = {
+        r.doc_id
+        for r in table(spark, SF_DIR, "documents")
+        .filter(F.col("source") == "src0")
+        .select("doc_id")
+        .collect()
+    }
+    for r in rows:
+        assert r.doc_id not in bench_ids  # benchmark never flags itself
+        assert 0 < r.n_shared <= r.n_grams
+        assert r.overlap_ratio >= 0.1  # reported = above threshold
+
+
+def test_e12_streaks_are_consistent_intervals(spark):
+    import datetime
+
+    rows = all_queries()["e12_activity_streaks"](spark, SF_DIR).collect()
+    seen_users = set()
+    for r in rows:
+        assert r.user_id not in seen_users  # one longest streak per user
+        seen_users.add(r.user_id)
+        s = datetime.date.fromisoformat(r.streak_start)
+        e = datetime.date.fromisoformat(r.streak_end)
+        assert (e - s).days + 1 == r.streak_days  # contiguous by definition
+
+
+def test_t22_sampling_weights_normalize_and_flatten(spark):
+    rows = all_queries()["t22_source_sampling_weights"](spark, SF_DIR).collect()
+    assert abs(sum(r.sample_weight for r in rows) - 1.0) < 1e-4
+    # temperature < 1 flattens the distribution: every source's weight
+    # sits between its raw share and the uniform share (up to rounding)
+    tot = sum(r.n_tokens for r in rows)
+    uniform = 1.0 / len(rows)
+    for r in rows:
+        share = r.n_tokens / tot
+        lo, hi = min(share, uniform) - 1e-6, max(share, uniform) + 1e-6
+        assert lo <= r.sample_weight <= hi, (r.source, share, r.sample_weight)
+
+
+def test_mm05_windows_tile_durations(spark):
+    rows = all_queries()["mm05_audio_chunk_windows"](spark, SF_DIR).collect()
+    assert rows
+    docs = {
+        r.doc_id: r.n_chars
+        for r in table(spark, SF_DIR, "documents").collect()
+    }
+    from collections import Counter
+
+    per_media = Counter(r.media_id for r in rows)
+    for media_id, n_win in per_media.items():
+        dur = docs[int(media_id)] * 10
+        assert n_win == (dur - 2000) // 1000 + 1  # full windows only
+    for r in rows:
+        assert r.end_ms - r.start_ms == 2000
+        assert r.start_sample == r.start_ms * 16  # 16 kHz offsets
