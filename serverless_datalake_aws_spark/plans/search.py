@@ -257,3 +257,57 @@ def x06_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 2)
         .orderBy("dist", F.desc("n"), "token")
     )
+
+
+@query(
+    "x07_search_highlight",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, w, list_position(w, 'spark') AS pos
+        FROM toks WHERE list_position(w, 'spark') > 0
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS first_pos,
+           array_to_string(
+               w[greatest(pos - 2, 1):least(pos + 2, len(w))], ' ')
+               AS snippet
+    FROM hits
+    """,
+)
+def x07_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-hit highlighting (the OpenSearch `highlight` feature,
+    X5 surface): for each document matching a term, the first match
+    position and a ±2-token snippet around it — what a search UI
+    renders under each result.
+
+    Scale: array-local math only (position + slice on the token
+    array), zero shuffle; the match predicate prunes at the scan like
+    x01. Slice bounds are clamped identically in both engines
+    (1-based, end-inclusive)."""
+    docs = table(spark, sf_dir, "documents")
+    w = TX.tokens("text")
+    pos = F.array_position(w, "spark")
+    return (
+        docs.select("doc_id", w.alias("w"), pos.alias("pos"))
+        .filter(F.col("pos") > 0)
+        .select(
+            "doc_id",
+            F.col("pos").alias("first_pos"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "w",
+                    F.greatest(F.col("pos") - 2, F.lit(1)).cast("int"),
+                    (
+                        F.least(
+                            F.col("pos") + 2, F.size("w").cast("long")
+                        )
+                        - F.greatest(F.col("pos") - 2, F.lit(1))
+                        + 1
+                    ).cast("int"),
+                ),
+            ).alias("snippet"),
+        )
+    )
