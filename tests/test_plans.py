@@ -243,3 +243,21 @@ def test_q76_correlated_avg_is_aggregate_join(spark):
     plan = _plan(spark, "q76_small_quantity_revenue")
     assert plan.count("HashAggregate") >= 2
     assert "Join" in plan
+
+
+def test_d12_ngram_chain_not_recomputed_per_exploded_row(spark):
+    # regression gate for the 15x pathology: size(array_distinct(...))
+    # must never be planned above the Generate (once per exploded row)
+    plan = _plan(spark, "d12_benchmark_contamination")
+    for line in plan.splitlines():
+        if "size(array_distinct" in line:
+            raise AssertionError(
+                "n-gram size recomputed post-explode: " + line[:120]
+            )
+
+
+def test_q38_distinct_leg_does_not_expand_sketches(spark):
+    # regression gate for the 14x pathology: no Expand-based distinct
+    # plan multiplying the HLL/percentile work
+    plan = _plan(spark, "q38_approx_aggs")
+    assert "Expand" not in plan
