@@ -177,3 +177,36 @@ def q77_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural keys."""
     register_views(spark, sf_dir, ("supplier", "lineitem", "part"))
     return spark.sql(_Q77)
+
+
+_Q78 = """
+    WITH nat AS (
+        SELECT n_name,
+               sum(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    SELECT n_name,
+           round(rev, 4) AS revenue,
+           round(rev / sum(rev) OVER (), 6) AS share_of_total,
+           round(sum(rev) OVER (ORDER BY rev DESC, n_name
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / sum(rev) OVER (), 6) AS cumulative_share
+    FROM nat
+"""
+
+
+@query("q78_ratio_to_report", oracle=_Q78)
+def q78_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report / share-of-total (the Oracle RATIO_TO_REPORT /
+    BI "percent of total" shape, §2.7 window surface): per-nation
+    revenue share plus the cumulative (Pareto) share in descending
+    revenue order — one empty-frame window over a 25-row aggregate.
+
+    Scale: the window runs over the AGGREGATED rows (|nations|), never
+    the fact table; the fact scan is one partial+final agg with dims
+    broadcast."""
+    register_views(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    return spark.sql(_Q78)
