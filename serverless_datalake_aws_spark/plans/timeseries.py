@@ -350,3 +350,62 @@ def e11_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("value"), 4).alias("volume"),
     )
+
+
+@query(
+    "e10_seasonal_baseline",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               date_trunc('hour', ts) AS win,
+               CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+               round(sum(value), 4) AS v
+        FROM events
+        GROUP BY 1, 2, 3
+    ),
+    baseline AS (
+        SELECT event_type, hod,
+               avg(v) AS mu,
+               stddev_samp(v) AS sigma
+        FROM hourly GROUP BY 1, 2
+    )
+    SELECT h.event_type, h.win, h.v,
+           round(b.mu, 4) AS hod_baseline,
+           round((h.v - b.mu) / b.sigma, 4) AS deviation_z
+    FROM hourly h JOIN baseline b
+      ON h.event_type = b.event_type AND h.hod = b.hod
+    WHERE b.sigma > 0 AND abs((h.v - b.mu) / b.sigma) > 2
+    """,
+)
+def e10_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each hourly bucket compared
+    to its hour-of-day baseline (mean/stddev per event_type × 0-23),
+    reporting buckets more than 2 sigma off their diurnal norm — the
+    seasonality-aware twin of e09's global MAD outliers.
+
+    Scale: the hourly rollup is the only corpus-sized aggregation
+    (partial+final, one shuffle); the 24×|types| baseline is a
+    broadcast join back. The z-threshold compares on values rounded
+    identically in both engines (v at 4 dp before the stats), keeping
+    the sigma compare deterministic."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("win"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    baseline = hourly.groupBy("event_type", "hod").agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sigma")
+    )
+    z = (F.col("v") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.join(F.broadcast(baseline), ["event_type", "hod"])
+        .filter((F.col("sigma") > 0) & (F.abs(z) > 2))
+        .select(
+            "event_type",
+            "win",
+            "v",
+            F.round("mu", 4).alias("hod_baseline"),
+            F.round(z, 4).alias("deviation_z"),
+        )
+    )
