@@ -267,7 +267,9 @@ def st06_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def st07_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join (§2.9): the event stream joined to
     a static customer dimension — the streaming twin of J1 keyed
-    enrichment. The static side is re-read per micro-batch and
+    enrichment (reference: per-object metadata get_item + combine,
+    index-data-lambda.py:134-155, executed there as an N+1 loop per
+    arriving file; here one broadcast join per micro-batch). The static side is re-read per micro-batch and
     broadcast (it's a dim), so the stream never shuffles.
 
     Unlike the watermarked entries, an availableNow drain of a
