@@ -187,3 +187,137 @@ def s12_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(rk))
         .filter(F.col("rk") <= _K)
     )
+
+
+@query(
+    "s13_kmeans_convergence",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS cluster, e AS c FROM v WHERE vec_id < 8),
+    d1 AS (
+      SELECT v.vec_id, v.e, s.cluster,
+             greatest(list_dot_product(v.e, v.e)
+                      + list_dot_product(s.c, s.c)
+                      - 2 * list_dot_product(v.e, s.c), 0) AS d2
+      FROM v, seeds s
+    ),
+    a1 AS (
+      SELECT vec_id, e, cluster FROM d1
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1
+    ),
+    pm AS (
+      SELECT a1.cluster, g.i AS pos, round(avg(e[g.i]), 6) AS m
+      FROM a1 CROSS JOIN generate_series(1, 64) AS g(i)
+      GROUP BY a1.cluster, g.i
+    ),
+    c1 AS (
+      SELECT cluster, list(m ORDER BY pos) AS c FROM pm GROUP BY cluster
+    ),
+    shift AS (
+      SELECT c1.cluster,
+             round(sqrt(greatest(list_dot_product(c1.c, c1.c)
+                      + list_dot_product(s.c, s.c)
+                      - 2 * list_dot_product(c1.c, s.c), 0)), 6) AS shift1
+      FROM c1 JOIN seeds s ON c1.cluster = s.cluster
+    ),
+    d2_ AS (
+      SELECT v.vec_id, c1.cluster,
+             greatest(list_dot_product(v.e, v.e)
+                      + list_dot_product(c1.c, c1.c)
+                      - 2 * list_dot_product(v.e, c1.c), 0) AS d2
+      FROM v, c1
+    ),
+    a2 AS (
+      SELECT vec_id, cluster, d2 FROM d2_
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1
+    )
+    SELECT a2.cluster,
+           count(*) AS n_members,
+           round(avg(sqrt(a2.d2)), 6) AS avg_dist,
+           any_value(s.shift1) AS centroid_shift
+    FROM a2 JOIN shift s ON a2.cluster = s.cluster
+    GROUP BY a2.cluster
+    """,
+)
+def s13_kmeans_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Lloyd iterations with a convergence metric (the
+    s09 step iterated): assign → recompute centroids → measure each
+    centroid's L2 shift → reassign against the new centroids. The
+    per-cluster shift is THE stopping signal of distributed k-means;
+    monitoring it is how the driver loop decides to stop.
+
+    Determinism across engines: updated centroids are quantized to
+    6 dp before the second assignment, so both engines argmin against
+    identical arrays (an unrounded avg would differ by partial-sum
+    order and could flip boundary assignments). All distances use the
+    dot-product identity so folds accumulate in index order.
+
+    Scale: per iteration — one broadcast of k centroids, one map-only
+    assignment pass, one (cluster × dims)-cell shuffle for the update.
+    The loop in production wraps THIS plan with per-iteration
+    localCheckpoint (the d08/p02 lineage rule)."""
+    emb = table(spark, sf_dir, "embeddings")
+    e = F.expr("transform(embedding, x -> cast(x as double))")
+    v = emb.select("vec_id", e.alias("e"))
+    seeds = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"), F.col("e").alias("c")
+    )
+
+    def d2(a, b):
+        return F.greatest(
+            VX.dot(a, a) + VX.dot(b, b) - 2 * VX.dot(a, b), F.lit(0.0)
+        )
+
+    a1 = (
+        v.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "e", "cluster", d2(F.col("e"), F.col("c")).alias("d2"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("cluster", "e"), F.struct("d2", "cluster")
+            ).alias("b")
+        )
+        .select(F.col("b.cluster").alias("cluster"), F.col("b.e").alias("e"))
+    )
+    c1 = (
+        a1.select("cluster", F.posexplode("e").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), x -> x.m)"
+            ).alias("c")
+        )
+        .cache()
+    )
+    c1.count()  # materialize: read by shift + the second assignment
+    shift = c1.join(
+        seeds.withColumnRenamed("c", "c0"), "cluster"
+    ).select(
+        "cluster",
+        F.round(F.sqrt(d2(F.col("c"), F.col("c0"))), 6).alias("shift1"),
+    )
+    a2 = (
+        v.crossJoin(F.broadcast(c1))
+        .select("vec_id", "cluster", d2(F.col("e"), F.col("c")).alias("d2"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("cluster", "d2"), F.struct("d2", "cluster")
+            ).alias("b")
+        )
+        .select(F.col("b.cluster").alias("cluster"), F.col("b.d2").alias("d2"))
+    )
+    return (
+        a2.join(F.broadcast(shift), "cluster")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg(F.sqrt("d2")), 6).alias("avg_dist"),
+            F.first("shift1").alias("centroid_shift"),
+        )
+    )

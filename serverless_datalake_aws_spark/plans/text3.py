@@ -354,3 +354,78 @@ def t24_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_divergence",
         )
     )
+
+
+@query(
+    "t25_quality_filter_report",
+    oracle="""
+    WITH sig AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               CAST(len(replace(text, ' ', '')) AS DOUBLE)
+                   / greatest(len(string_split(text, ' ')), 1)
+                   AS mean_tok_len
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           round(CAST(n_distinct AS DOUBLE) / greatest(n_tokens, 1), 6)
+               AS diversity,
+           round(mean_tok_len, 6) AS mean_tok_len,
+           (n_tokens >= 20
+            AND CAST(n_distinct AS DOUBLE) / greatest(n_tokens, 1) >= 0.3
+            AND mean_tok_len BETWEEN 2 AND 12) AS keep,
+           CASE
+             WHEN n_tokens < 20 THEN 'too_short'
+             WHEN CAST(n_distinct AS DOUBLE) / greatest(n_tokens, 1) < 0.3
+                  THEN 'low_diversity'
+             WHEN mean_tok_len < 2 OR mean_tok_len > 12
+                  THEN 'token_len_outlier'
+           END AS drop_reason
+    FROM sig
+    """,
+)
+def t25_quality_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality filter with per-document verdicts and the
+    first failed rule (§2.11) — the 'filter with reasons' stage real
+    curation pipelines run (Gopher/C4-style rule stacks) and audit by
+    drop_reason histogram. Rules: minimum length, type-token
+    diversity, mean token length band.
+
+    Scale: every signal is row-local array math — no shuffle, no UDF;
+    the report streams at scan speed. Ratios are int/int divisions
+    (exact in both engines) so rule boundaries cannot flip."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    mean_len = F.length(F.regexp_replace("text", " ", "")).cast(
+        "double"
+    ) / F.greatest(n_tokens, F.lit(1))
+    diversity = n_distinct.cast("double") / F.greatest(n_tokens, F.lit(1))
+    sig = docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        diversity.alias("_div"),
+        mean_len.alias("_mtl"),
+    )
+    keep = (
+        (F.col("n_tokens") >= 20)
+        & (F.col("_div") >= 0.3)
+        & F.col("_mtl").between(2, 12)
+    )
+    reason = (
+        F.when(F.col("n_tokens") < 20, "too_short")
+        .when(F.col("_div") < 0.3, "low_diversity")
+        .when(
+            (F.col("_mtl") < 2) | (F.col("_mtl") > 12), "token_len_outlier"
+        )
+    )
+    return sig.select(
+        "doc_id",
+        "n_tokens",
+        F.round("_div", 6).alias("diversity"),
+        F.round("_mtl", 6).alias("mean_tok_len"),
+        keep.alias("keep"),
+        reason.alias("drop_reason"),
+    )
