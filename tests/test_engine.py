@@ -308,3 +308,18 @@ def test_engine_accepts_object_store_root(spark):
     assert DataLakeEngine(spark, "s3a://my-lake/prod/").zone("raw") == (
         "s3a://my-lake/prod/raw"
     )
+
+
+def test_ingested_lake_scan_prunes_partitions(engine):
+    # the hive layout (data_type/ingest_date) must buy actual partition
+    # pruning — the scale property the reference's flat key scheme lacks
+    engine.ingest_batch(SAMPLES, data_type="sales")
+    engine.ingest_batch([{"cpu": 0.9}], data_type="metrics")
+    df = engine.records("raw").filter("data_type = 'sales'")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    scan = plan.split("Scan parquet", 1)[1]
+    part_line = [l for l in scan.splitlines() if "PartitionFilters" in l]
+    assert part_line and "data_type" in part_line[0], plan[:1500]
+    assert df.count() == 3  # pruned scan still returns the right rows
