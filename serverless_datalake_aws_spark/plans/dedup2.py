@@ -546,3 +546,50 @@ def d12_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(ratio >= 0.1)
         .select("doc_id", "n_shared", "n_grams", "overlap_ratio")
     )
+
+
+@query(
+    "d13_edit_distance_join",
+    oracle="""
+    WITH n AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name1, b.p_name AS name2,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM n a JOIN n b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def d13_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity self-join (edit distance ≤ 3) over the
+    distinct part-name vocabulary — the entity-resolution /
+    catalog-matching relation join (cf. PAPERS.md compressed-index
+    string-similarity joins; x06 is the per-query lookup, this is the
+    set-to-set join).
+
+    Scale: all-pairs levenshtein is O(N²·len²) — the plan blocks on
+    length buckets (lev ≥ |len(a)−len(b)|, so pairs within distance 3
+    always land in the same or adjacent floor(len/4) bucket; one side
+    emits its bucket ±1, the other its bucket). Candidates are an
+    equi-join on the bucket key; the exact distance verifies only
+    candidates. levenshtein is JVM-codegen, not a UDF."""
+    from serverless_datalake_aws_spark.catalog import table as _table
+
+    names = (
+        _table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("bk", F.floor(F.length("p_name") / 4))
+    )
+    a = names.select(
+        F.col("p_name").alias("name1"),
+        F.explode(
+            F.sequence(F.col("bk") - 1, F.col("bk") + 1)
+        ).alias("bk"),
+    )
+    b = names.select(F.col("p_name").alias("name2"), "bk")
+    dist = F.levenshtein("name1", "name2")
+    return (
+        a.join(b, ["bk"])
+        .filter(F.col("name1") < F.col("name2"))
+        .filter(dist <= 3)
+        .select("name1", "name2", dist.cast("long").alias("dist"))
+    )
