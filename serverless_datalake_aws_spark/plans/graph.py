@@ -190,3 +190,89 @@ def p03_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_triangles"))
         .orderBy(F.desc("n_triangles"), "nation")
     )
+
+
+@query(
+    "p04_bfs_hops",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    d0 AS (
+      SELECT node, CASE WHEN node = 0 THEN 0 END AS d FROM nodes
+    ),
+    d1 AS (
+      SELECT n.node,
+             least(any_value(d0c.d),
+                   min(d0n.d) + 1) AS d
+      FROM nodes n
+      JOIN d0 d0c ON d0c.node = n.node
+      LEFT JOIN sym ON sym.dst = n.node
+      LEFT JOIN d0 d0n ON d0n.node = sym.src
+      GROUP BY n.node
+    ),
+    d2 AS (
+      SELECT n.node,
+             least(any_value(d1c.d),
+                   min(d1n.d) + 1) AS d
+      FROM nodes n
+      JOIN d1 d1c ON d1c.node = n.node
+      LEFT JOIN sym ON sym.dst = n.node
+      LEFT JOIN d1 d1n ON d1n.node = sym.src
+      GROUP BY n.node
+    )
+    SELECT CAST(d AS BIGINT) AS hops, count(*) AS n_nodes
+    FROM d2 WHERE d IS NOT NULL
+    GROUP BY d
+    """,
+)
+def p04_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled BFS rounds from supplier 0 over the undirected
+    trade graph: per-node hop distance via iterated min-propagation
+    (dist = min(own, min(neighbor)+1)), reported as a reachability
+    histogram (hops → node count). Completes the graph-operator family:
+    p02 centrality, p03 clustering, d08 connectivity, p04 DISTANCE.
+
+    Scale: each round is one join of the frontier against the cached
+    edge list plus a min-aggregation — the standard Pregel-on-DataFrames
+    step; production loops this plan with per-iteration
+    localCheckpoint (d08's lineage rule). All-integer distances."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    sym.count()  # materialize: read every round
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    dist = nodes.withColumn(
+        "d", F.when(F.col("node") == 0, F.lit(0)).cast("int")
+    )
+    for _ in range(2):
+        neigh = (
+            sym.join(
+                F.broadcast(dist.withColumnRenamed("node", "src")), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.min("d") + 1).alias("nd"))
+        )
+        dist = (
+            dist.join(F.broadcast(neigh), "node", "left")
+            .select("node", F.least("d", "nd").alias("d"))
+            .localCheckpoint()
+        )
+    return (
+        dist.filter(F.col("d").isNotNull())
+        .groupBy(F.col("d").cast("long").alias("hops"))
+        .agg(F.count("*").alias("n_nodes"))
+    )

@@ -429,3 +429,62 @@ def t25_quality_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep.alias("keep"),
         reason.alias("drop_reason"),
     )
+
+
+@query(
+    "t26_ngram_novelty",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(string_split(text,' ')) - 2),
+                   i -> array_to_string(string_split(text,' ')[i:i+2], ' '))))
+                   AS gm
+        FROM documents
+    ),
+    first_seen AS (
+        SELECT gm, min(doc_id) AS first_doc FROM g GROUP BY gm
+    )
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS novelty
+    FROM g JOIN first_seen f USING (gm)
+    GROUP BY g.doc_id
+    """,
+)
+def t26_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence n-gram novelty per document (§2.11): the
+    fraction of a doc's distinct 3-grams never seen in any
+    earlier-id document — the freshness/diminishing-returns curve
+    dataset curators read before adding another crawl snapshot (novelty
+    → 0 means the source is exhausted; near-dups show up as ~0 novelty
+    documents).
+
+    Scale: one explode + one min-aggregation on the gram key + one join
+    back — shuffle ∝ distinct grams, not corpus bytes; the novelty
+    flag is an integer compare on the aggregated first_doc. All-integer
+    math, no parity drift."""
+    docs = table(spark, sf_dir, "documents")
+    from serverless_datalake_aws_spark.functions import text as TX
+
+    g = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.word_ngrams("text", 3))).alias("gm"),
+    ).cache()
+    g.count()  # materialize: read by first_seen and the join leg
+    first_seen = g.groupBy("gm").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        g.join(first_seen, "gm")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            novel.alias("n_novel"),
+            F.round(novel.cast("double") / F.count("*"), 6).alias("novelty"),
+        )
+    )
