@@ -294,3 +294,53 @@ def st07_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@query(
+    "st08_stream_left_enrich_stub",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type,
+           coalesce(c.c_mktsegment, 'UNKNOWN') AS mktsegment,
+           (c.c_custkey IS NULL) AS stubbed
+    FROM events e
+    LEFT JOIN (SELECT * FROM customer WHERE c_custkey < 100) c
+      ON e.user_id = c.c_custkey
+    """,
+)
+def st08_stream_left_enrich_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static LEFT-OUTER enrichment with a fallback stub — the
+    reference's J1 semantics (missing metadata → stub row,
+    index-data-lambda.py:134-155) executed as a stream: events whose
+    dimension row is absent keep flowing with a coalesced default and a
+    `stubbed` flag instead of being dropped. The dim is truncated to
+    c_custkey < 100 so both match and stub paths exist in the output.
+
+    Stream-static LEFT joins emit immediately (no watermark needed —
+    the static side is complete per micro-batch), so an availableNow
+    drain is deterministic and carries a full value oracle, like st07."""
+    from serverless_datalake_aws_spark.catalog import table
+
+    dim = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 100)
+        .select("c_custkey", "c_mktsegment")
+    )
+    name = f"st08_{uuid.uuid4().hex[:8]}"
+    q = (
+        _events_stream(spark, sf_dir)
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"), "left")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("mktsegment"),
+            F.col("c_custkey").isNull().alias("stubbed"),
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
