@@ -264,3 +264,94 @@ def e12_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "streak_days",
         )
     )
+
+
+@query(
+    "e13_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           count(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def e13_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (Markov bigram counts over each
+    user's time-ordered event sequence) — the behavioral-analytics
+    input for next-event prediction and funnel discovery (e05 checks
+    ONE ordered pattern; this counts ALL adjacent transitions).
+
+    Scale: one shuffle on user_id for the lead() window, then a
+    map-side-combined count on the (from, to) pair — |types|² output
+    rows regardless of corpus size. Deterministic ordering tie-break on
+    (ts, event_id); all-integer math."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "e14_dwell_percentiles",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+                    AS BIGINT) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_gaps,
+           round(quantile_cont(gap_us, 0.50) / 1000000, 4) AS p50_s,
+           round(quantile_cont(gap_us, 0.90) / 1000000, 4) AS p90_s,
+           round(quantile_cont(gap_us, 0.99) / 1000000, 4) AS p99_s
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def e14_dwell_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event dwell-time percentiles per arriving event type —
+    the latency-distribution view (p50/p90/p99 seconds since the
+    user's previous event) ops dashboards track. Gaps are computed in
+    exact integer microseconds (the e03 rule) and only the final
+    display values divide into seconds.
+
+    Scale: one user_id window shuffle, then per-type exact percentiles
+    (group sort; swap to approx_percentile at 100 TB per the q53/q38
+    contract note). One array-percentile aggregate buffers each group
+    once, not three times."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+    ).filter(F.col("gap_us").isNotNull())
+    pct = F.percentile("gap_us", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return g.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.element_at(pct, 1) / 1_000_000, 4).alias("p50_s"),
+        F.round(F.element_at(pct, 2) / 1_000_000, 4).alias("p90_s"),
+        F.round(F.element_at(pct, 3) / 1_000_000, 4).alias("p99_s"),
+    )
