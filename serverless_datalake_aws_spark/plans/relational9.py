@@ -25,6 +25,7 @@ two semi-joins, both keyed on the natural partition columns.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from serverless_datalake_aws_spark.catalog import register_views
 from serverless_datalake_aws_spark.plans import query
@@ -210,3 +211,52 @@ def q78_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast."""
     register_views(spark, sf_dir, ("lineitem", "supplier", "nation"))
     return spark.sql(_Q78)
+
+
+_Q79 = """
+    SELECT * FROM (
+        SELECT o_orderkey AS ref_id, 'order' AS kind,
+               o_orderdate AS at, o_totalprice AS amount,
+               NULL AS event_type
+        FROM orders WHERE o_orderdate >= TIMESTAMP '2001-07-01'
+        UNION ALL BY NAME
+        SELECT event_id AS ref_id, 'event' AS kind,
+               ts AS at, NULL AS amount, event_type
+        FROM events WHERE ts >= TIMESTAMP '2001-07-01'
+    )
+"""
+
+
+@query("q79_heterogeneous_feed", oracle=_Q79)
+def q79_heterogeneous_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous activity feed: orders and events unioned BY NAME
+    with missing columns null-filled (Spark
+    `unionByName(allowMissingColumns=True)` = DuckDB `UNION ALL BY
+    NAME`) — the schema-evolution append every multi-source lake needs
+    when sources don't share a schema.
+
+    Scale: both branches scan-filter with predicate pushdown and union
+    without any shuffle; the feed streams out partition-local."""
+    from serverless_datalake_aws_spark.catalog import table as _t
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2001-07-01")
+        .select(
+            F.col("o_orderkey").alias("ref_id"),
+            F.lit("order").alias("kind"),
+            F.col("o_orderdate").alias("at"),
+            F.col("o_totalprice").alias("amount"),
+        )
+    )
+    events = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts") >= "2001-07-01")
+        .select(
+            F.col("event_id").alias("ref_id"),
+            F.lit("event").alias("kind"),
+            F.col("ts").alias("at"),
+            "event_type",
+        )
+    )
+    return orders.unionByName(events, allowMissingColumns=True)

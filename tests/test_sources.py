@@ -143,3 +143,19 @@ def test_binary_source(spark, tmp_path):
     rows = df.select("path", "length", "content").collect()
     assert len(rows) == 2
     assert all(r["length"] > 0 and isinstance(r["content"], bytes) for r in rows)
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    # the lake's schema-evolution contract: a later batch adds a column;
+    # mergeSchema read surfaces it with nulls for the old rows
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.mode(
+        "append"
+    ).parquet(out)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(out)
+    df = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(df.columns) == {"id", "v", "score"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows[1] is None and rows[2] == 9.5
