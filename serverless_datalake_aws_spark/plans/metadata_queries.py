@@ -72,3 +72,43 @@ def m03_existence_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users")
     )
+
+
+@query(
+    "m04_freshness_audit",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS global_max FROM events)
+    SELECT event_type,
+           count(*) AS n_records,
+           max(ts) AS latest,
+           CAST(epoch_us(global_max) - epoch_us(max(ts)) AS BIGINT)
+               AS lag_us
+    FROM events CROSS JOIN mx
+    GROUP BY event_type, global_max
+    """,
+)
+def m04_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type freshness audit: record counts, latest timestamp, and
+    staleness lag behind the lake's high-water mark — the reference's
+    indexing tallies (totalItems/indexedItems,
+    index-data-lambda.py:307-315,379-388) upgraded into the table-
+    health dashboard every lake operator actually watches.
+
+    Scale: one pass, map-side combined; the global max is a scalar
+    broadcast. Lag computed in exact integer microseconds (the e03
+    rule)."""
+    ev = table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("global_max"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("event_type", "global_max")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.max("ts").alias("latest"),
+            (
+                F.unix_micros(F.first("global_max"))
+                - F.unix_micros(F.max("ts"))
+            ).alias("lag_us"),
+        )
+        .drop("global_max")
+    )
