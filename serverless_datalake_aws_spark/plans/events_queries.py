@@ -355,3 +355,51 @@ def e14_dwell_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(pct, 2) / 1_000_000, 4).alias("p90_s"),
         F.round(F.element_at(pct, 3) / 1_000_000, 4).alias("p99_s"),
     )
+
+
+@query(
+    "e15_weekly_growth",
+    oracle="""
+    WITH weekly AS (
+        SELECT event_type,
+               CAST(date_trunc('week', ts) AS DATE) AS wk,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           strftime(wk, '%Y-%m-%d') AS week_start,
+           n,
+           lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev_n,
+           round((n - lag(n) OVER (PARTITION BY event_type ORDER BY wk))
+                 ::DOUBLE
+                 / lag(n) OVER (PARTITION BY event_type ORDER BY wk), 6)
+               AS wow_growth
+    FROM weekly
+    """,
+)
+def e15_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type: weekly counts with the
+    previous week's count and relative growth — the BI trend line
+    every activity dashboard opens with.
+
+    Scale: the weekly rollup is the only corpus pass; the lag window
+    runs over |types|×|weeks| aggregate rows. Growth is an int/int
+    division (exact in both engines); weeks emitted as ISO strings
+    (the q29 date convention)."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("event_type").orderBy("wk")
+    prev = F.lag("n").over(w)
+    return weekly.select(
+        "event_type",
+        F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+        "n",
+        prev.alias("prev_n"),
+        F.round((F.col("n") - prev).cast("double") / prev, 6).alias(
+            "wow_growth"
+        ),
+    )

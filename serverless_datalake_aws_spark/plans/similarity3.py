@@ -321,3 +321,126 @@ def s13_kmeans_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("shift1").alias("centroid_shift"),
         )
     )
+
+
+_DQ_ORACLE = """
+        list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+            x -> lo + round((x - lo) / (hi - lo) * 255) * (hi - lo) / 255)
+"""
+
+
+@query(
+    "s14_quantized_recall",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS lo,
+               list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS hi
+        FROM embeddings
+    ),
+    v AS (
+        SELECT vec_id, e, {_DQ_ORACLE} AS dq
+        FROM base JOIN embeddings USING (vec_id)
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < 10),
+    exact_top AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id
+        FROM q, v WHERE v.vec_id != q.vec_id
+        QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY
+            round(list_dot_product(q.e, v.e)
+                  / (sqrt(list_dot_product(q.e, q.e))
+                   * sqrt(list_dot_product(v.e, v.e))), 6) DESC,
+            v.vec_id) <= {_K}
+    ),
+    quant_top AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id
+        FROM q, v WHERE v.vec_id != q.vec_id
+        QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY
+            round(list_dot_product(q.dq, v.dq)
+                  / (sqrt(list_dot_product(q.dq, q.dq))
+                   * sqrt(list_dot_product(v.dq, v.dq))), 6) DESC,
+            v.vec_id) <= {_K}
+    )
+    SELECT x.query_id,
+           count(a.neighbor_id) AS n_hit,
+           round(count(a.neighbor_id) / {_K}.0, 6) AS recall
+    FROM exact_top x
+    LEFT JOIN quant_top a
+      ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+    GROUP BY x.query_id
+    """,
+)
+def s14_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_K} of int8-scalar-quantized search vs exact float
+    search — the deployment gate for s06's compression scheme (s11
+    measures the INDEX's recall; this measures what QUANTIZATION alone
+    costs). Both legs brute-force so the difference is purely the
+    storage precision.
+
+    Scale: dequantized arrays and both norms are computed ONCE per
+    vector in a cached projection; each scoring pass is then a single
+    dot per pair (the s01 rule). The audit runs on a query sample."""
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+        F.array_min("embedding").cast("double").alias("lo"),
+        F.array_max("embedding").cast("double").alias("hi"),
+    )
+    dq = F.expr(
+        "transform(e, x -> lo + round((x - lo) / (hi - lo) * 255)"
+        " * (hi - lo) / 255)"
+    )
+    v = base.select(
+        "vec_id",
+        "e",
+        dq.alias("dq"),
+    ).select(
+        "vec_id",
+        "e",
+        "dq",
+        VX.norm(F.col("e")).alias("en"),
+        VX.norm(F.col("dq")).alias("dqn"),
+    ).cache()
+    v.count()  # materialize: four consumers (two legs × two sides)
+    q = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("dq").alias("qdq"),
+        F.col("en").alias("qen"),
+        F.col("dqn").alias("qdqn"),
+    )
+    rk = W.partitionBy("query_id").orderBy(F.col("cs").desc(), "neighbor_id")
+
+    def top(sim_col):
+        return (
+            v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(sim_col, 6).alias("cs"),
+            )
+            .withColumn("_rk", F.row_number().over(rk))
+            .filter(F.col("_rk") <= _K)
+            .select("query_id", "neighbor_id")
+        )
+
+    exact = top(VX.dot(F.col("qe"), F.col("e")) / (F.col("qen") * F.col("en")))
+    quant = top(
+        VX.dot(F.col("qdq"), F.col("dq")) / (F.col("qdqn") * F.col("dqn"))
+    )
+    hit = F.col("a.neighbor_id").isNotNull()
+    return (
+        exact.alias("x")
+        .join(
+            quant.alias("a"),
+            (F.col("x.query_id") == F.col("a.query_id"))
+            & (F.col("x.neighbor_id") == F.col("a.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("x.query_id").alias("query_id"))
+        .agg(
+            F.count(F.when(hit, 1)).alias("n_hit"),
+            F.round(F.count(F.when(hit, 1)) / _K, 6).alias("recall"),
+        )
+    )
