@@ -593,3 +593,49 @@ def d13_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 3)
         .select("name1", "name2", dist.cast("long").alias("dist"))
     )
+
+
+@query(
+    "d14_dup_source_matrix",
+    oracle="""
+    WITH fp AS (SELECT doc_id, source, md5(text) AS h FROM documents)
+    SELECT least(a.source, b.source) AS source1,
+           greatest(a.source, b.source) AS source2,
+           count(*) AS n_dup_pairs,
+           count(DISTINCT a.h) AS n_contents
+    FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def d14_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-provenance matrix: exact-duplicate pairs grouped by
+    the (canonicalized) source pair — answers the curator's question
+    'WHICH feeds are copying each other' that d01's global counts
+    can't. Off-diagonal cells are cross-source syndication; diagonal
+    cells are within-source re-crawls.
+
+    Scale: the self-join keys on the content hash (the d01 rule — only
+    slim (hash, source, id) rows shuffle, never text), and dup groups
+    are tiny, so pair expansion is bounded by Σ group². Integer-exact
+    output."""
+    docs = table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "source", F.md5("text").alias("h")
+    ).cache()
+    fp.count()  # materialize before the self-join
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.least("a.source", "b.source").alias("source1"),
+            F.greatest("a.source", "b.source").alias("source2"),
+        )
+        .agg(
+            F.count("*").alias("n_dup_pairs"),
+            F.countDistinct("a.h").alias("n_contents"),
+        )
+    )

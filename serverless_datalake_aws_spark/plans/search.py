@@ -311,3 +311,38 @@ def x07_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("snippet"),
         )
     )
+
+
+@query(
+    "x08_boolean_retrieval",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(list_contains(w, 'fast') AS BIGINT)
+           + CAST(list_contains(w, 'quick') AS BIGINT) AS should_hits
+    FROM t
+    WHERE list_contains(w, 'spark')
+      AND list_contains(w, 'merge')
+      AND NOT list_contains(w, 'slow')
+    """,
+)
+def x08_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean compound retrieval — the OpenSearch `bool` query
+    (must / must_not / should): documents that contain ALL required
+    terms, none of the excluded ones, ranked input = how many optional
+    should-terms hit (the bool query's additive boost).
+
+    Scale: token-array membership is row-local (no index probe needed
+    at filter time; the x01-x03 inverted index serves the scoring
+    path), so the must/must_not mask pushes into the scan projection
+    and the corpus streams map-only. Integer-exact output."""
+    docs = table(spark, sf_dir, "documents")
+    w = TX.tokens("text")
+    has = lambda term: F.array_contains(w, term)
+    should = has("fast").cast("long") + has("quick").cast("long")
+    return (
+        docs.filter(has("spark") & has("merge") & ~has("slow"))
+        .select("doc_id", "lang", should.alias("should_hits"))
+    )

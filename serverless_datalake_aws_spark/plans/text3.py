@@ -488,3 +488,60 @@ def t26_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(novel.cast("double") / F.count("*"), 6).alias("novelty"),
         )
     )
+
+
+@query(
+    "t27_vocab_growth",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tk
+        FROM documents
+    ),
+    firsts AS (SELECT tk, min(doc_id) AS fd FROM tok GROUP BY tk),
+    n AS (SELECT max(doc_id) AS mx FROM documents),
+    newv AS (
+        SELECT least((fd * 10) // (mx + 1), 9) AS decile,
+               count(*) AS new_tokens
+        FROM firsts, n GROUP BY 1
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, new_tokens,
+           CAST(sum(new_tokens) OVER (ORDER BY decile) AS BIGINT)
+               AS vocab_size
+    FROM newv
+    """,
+)
+def t27_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve (the Heaps'-law companion to t16's
+    Zipf fit): new distinct tokens contributed by each corpus decile
+    (in doc_id order) and the cumulative vocabulary size — flattening
+    growth tells curators a source is lexically exhausted (the
+    corpus-level view of t26's per-doc novelty).
+
+    Scale: one distinct-token pass keyed on the token (shuffle ∝
+    vocabulary), then a 10-row cumulative window. Decile assignment is
+    pure integer division — no float boundaries to flip."""
+    docs = table(spark, sf_dir, "documents")
+    from serverless_datalake_aws_spark.functions import text as TX
+    from pyspark.sql.window import Window as W
+
+    tok = docs.select(
+        "doc_id", F.explode(TX.distinct_tokens("text")).alias("tk")
+    )
+    firsts = tok.groupBy("tk").agg(F.min("doc_id").alias("fd"))
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    newv = (
+        firsts.crossJoin(F.broadcast(mx))
+        .select(
+            F.least(
+                F.expr("(fd * 10) div (mx + 1)"), F.lit(9).cast("bigint")
+            ).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count("*").alias("new_tokens"))
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return newv.select(
+        "decile",
+        "new_tokens",
+        F.sum("new_tokens").over(w).alias("vocab_size"),
+    )
