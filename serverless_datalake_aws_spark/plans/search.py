@@ -346,3 +346,102 @@ def x08_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(has("spark") & has("merge") & ~has("slow"))
         .select("doc_id", "lang", should.alias("should_hits"))
     )
+
+
+_RRF_K = 60
+
+
+@query(
+    "x09_hybrid_rrf",
+    oracle=f"""
+    WITH lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY
+                   len(list_filter(string_split(text,' '), t -> t = 'spark'))
+                   DESC, doc_id) AS r
+        FROM documents
+        WHERE len(list_filter(string_split(text,' '), t -> t = 'spark')) > 0
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    vec AS (
+        SELECT vec_id AS doc_id,
+               row_number() OVER (ORDER BY
+                   round(list_dot_product(
+                       list_transform(qe, x -> CAST(x AS DOUBLE)),
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                   / (sqrt(list_dot_product(list_transform(qe, x -> CAST(x AS DOUBLE)),
+                                            list_transform(qe, x -> CAST(x AS DOUBLE))))
+                    * sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                            list_transform(embedding, x -> CAST(x AS DOUBLE))))), 6)
+                   DESC, vec_id) AS r
+        FROM embeddings, q WHERE vec_id != 0
+    )
+    SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+           round(coalesce(1.0 / ({_RRF_K} + lex.r), 0)
+                 + coalesce(1.0 / ({_RRF_K} + vec.r), 0), 6) AS rrf,
+           CAST(lex.r AS BIGINT) AS lex_rank,
+           CAST(vec.r AS BIGINT) AS vec_rank
+    FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """,
+)
+def x09_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (k=60): the lexical
+    leg ranks by term frequency (x01's scorer), the dense leg by
+    cosine to a query vector (s01's scorer), and RRF fuses the two
+    rankings — the modern default for search over corpora with both an
+    inverted index and an embedding index (doc_id ≡ vec_id by
+    construction in testdata).
+
+    Scale: each leg is its own top-ranking (lexical: scan+filter;
+    dense: broadcast query, map-only scoring); fusion joins two slim
+    (id, rank) lists. Rank positions are integers, so the fused score
+    1/(k+r) is bit-identical in both engines."""
+    from pyspark.sql.window import Window as W
+    from serverless_datalake_aws_spark.functions import vector as VX
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    tf = F.size(F.filter(TX.tokens("text"), lambda t: t == F.lit("spark")))
+    lex = (
+        docs.select("doc_id", tf.alias("tf"))
+        .filter(F.col("tf") > 0)
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(W.orderBy(F.col("tf").desc(), "doc_id")),
+        )
+        .select("doc_id", "lex_rank")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), VX.norm("embedding").alias("qn")
+    )
+    cos = VX.dot(F.col("qe"), F.col("embedding")) / (
+        F.col("qn") * VX.norm(F.col("embedding"))
+    )
+    vec = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), F.round(cos, 6).alias("cs"))
+        .withColumn(
+            "vec_rank",
+            F.row_number().over(W.orderBy(F.col("cs").desc(), "doc_id")),
+        )
+        .select("doc_id", "vec_rank")
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (_RRF_K + F.col("vec_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            rrf.alias("rrf"),
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.col("vec_rank").cast("long").alias("vec_rank"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+    )
