@@ -403,3 +403,46 @@ def e15_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wow_growth"
         ),
     )
+
+
+@query(
+    "e16_rolling_wau",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           count(DISTINCT du.user_id) AS wau
+    FROM days JOIN du
+      ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+    GROUP BY days.d
+    """,
+)
+def e16_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU) — the growth metric
+    every product dashboard tracks. DISTINCT-over-sliding-window isn't
+    expressible as a window aggregate in either engine, so the plan is
+    the standard reduction: distinct (day, user) pairs, then a bounded
+    range join of the day spine against them.
+
+    Scale: the distinct pair set is the only corpus-sized aggregation;
+    the range join expands each pair into ≤7 day buckets (bounded
+    fan-out, the q21 bucketize rule), then a distinct count per day.
+    All-integer; dates emitted as ISO strings (q29 convention)."""
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct().withColumnRenamed("d", "day_d")
+    return (
+        days.join(
+            du,
+            (F.col("d") <= F.col("day_d"))
+            & (F.col("d") >= F.date_sub(F.col("day_d"), 6)),
+        )
+        .groupBy("day_d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.date_format("day_d", "yyyy-MM-dd").alias("day"), "wau")
+    )
