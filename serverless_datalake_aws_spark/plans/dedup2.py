@@ -639,3 +639,135 @@ def d14_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("a.h").alias("n_contents"),
         )
     )
+
+
+_D15_SIG_ORACLE = f"""
+        list_transform(generate_series(0, {TX.MINHASH_K - 1}), i ->
+            list_min(list_transform(hs, x ->
+                (({TX.MINHASH_A0} + i * {TX.MINHASH_A_STEP}) * x
+                 + ({TX.MINHASH_B0} + i * {TX.MINHASH_B_STEP}))
+                % {TX.MINHASH_P})))
+"""
+
+
+@query(
+    "d15_source_minhash_similarity",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tk
+        FROM documents
+    ),
+    h AS (
+        SELECT source, list(DISTINCT
+                   CAST(concat('0x', substr(md5(tk), 1, 14)) AS BIGINT)
+                   % {TX.MINHASH_P}) AS hs
+        FROM tok GROUP BY source
+    ),
+    sig AS (SELECT source, {_D15_SIG_ORACLE} AS sg FROM h),
+    sizes AS (SELECT source, count(*) AS n FROM tok GROUP BY source),
+    inter AS (
+        SELECT a.source AS source1, b.source AS source2,
+               count(*) AS n_common
+        FROM tok a JOIN tok b
+          ON a.tk = b.tk AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.source1, i.source2,
+           round(i.n_common::DOUBLE
+                 / (sa.n + sb.n - i.n_common), 4) AS exact_jac,
+           round(len(list_filter(
+                     list_zip(s1.sg, s2.sg),
+                     p -> p[1] = p[2]))::DOUBLE / {TX.MINHASH_K}, 4)
+               AS est_jac
+    FROM inter i
+      JOIN sizes sa ON sa.source = i.source1
+      JOIN sizes sb ON sb.source = i.source2
+      JOIN sig s1 ON s1.source = i.source1
+      JOIN sig s2 ON s2.source = i.source2
+    """,
+)
+def d15_source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level similarity via MERGED MinHash signatures, audited
+    against exact Jaccard (§2.11): each source's signature is the
+    elementwise MIN of its documents' signatures — the mergeability
+    that lets every executor sketch its partition independently and a
+    32-long array per source travel to the driver, regardless of
+    corpus size. Estimated vs exact agreement is the audit (the d10
+    pattern lifted from documents to corpora).
+
+    Scale: the exact leg (distinct-token self-join) exists only as the
+    audit and is dropped at 100 TB; the sketch leg shuffles
+    (source, perm_idx, min) cells — sources × 32 rows. Same
+    md5-affine permutations as d04, so the whole pipeline is
+    oracle-reproducible."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(TX.distinct_tokens("text")).alias("tk")
+    ).distinct().cache()
+    tok.count()  # materialize: sketch leg + exact-audit leg + sizes
+    # per-source signature: explode each source-token hash through the
+    # 32 permutations ONCE (cells are slim ints), elementwise min
+    hs = tok.select(
+        "source",
+        (
+            F.conv(F.substring(F.md5("tk"), 1, 14), 16, 10).cast("long")
+            % TX.MINHASH_P
+        ).alias("h"),
+    )
+    perms = F.array(
+        *[
+            (
+                (
+                    F.lit(TX.MINHASH_A0 + i * TX.MINHASH_A_STEP) * F.col("h")
+                    + F.lit(TX.MINHASH_B0 + i * TX.MINHASH_B_STEP)
+                )
+                % TX.MINHASH_P
+            )
+            for i in range(TX.MINHASH_K)
+        ]
+    )
+    cells = hs.select("source", F.posexplode(perms).alias("i", "v"))
+    sig = (
+        cells.groupBy("source", "i")
+        .agg(F.min("v").alias("m"))
+        .groupBy("source")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, m))), x -> x.m)"
+            ).alias("sg")
+        )
+    )
+    sizes = tok.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tk") == F.col("b.tk"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source1"),
+            F.col("b.source").alias("source2"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    est = (
+        F.expr("size(filter(zip_with(sg1, sg2, (x, y) -> x = y), b -> b))")
+        / float(TX.MINHASH_K)
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed("n", "na").withColumnRenamed("source", "source1")), "source1")
+        .join(F.broadcast(sizes.withColumnRenamed("n", "nb").withColumnRenamed("source", "source2")), "source2")
+        .join(F.broadcast(sig.select(F.col("source").alias("source1"), F.col("sg").alias("sg1"))), "source1")
+        .join(F.broadcast(sig.select(F.col("source").alias("source2"), F.col("sg").alias("sg2"))), "source2")
+        .select(
+            "source1",
+            "source2",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                4,
+            ).alias("exact_jac"),
+            F.round(est, 4).alias("est_jac"),
+        )
+    )
