@@ -344,3 +344,41 @@ def st08_stream_left_enrich_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@query(
+    "st09_stream_complete_counts",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def st09_stream_complete_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-output-mode streaming aggregation — the third output
+    mode (st01 demonstrates append, the CDC/upsert paths update): the
+    sink holds the ENTIRE aggregate, re-emitted per batch, which is
+    what live dashboards subscribe to. No watermark needed (state is
+    the full aggregate), so an availableNow drain equals the batch
+    aggregation exactly — full value oracle.
+
+    Scale: complete mode's state is bounded by group cardinality
+    (|event_type|), not stream length — the mode is only correct when
+    that holds, which is exactly when you'd use it."""
+    name = f"st09_{uuid.uuid4().hex[:8]}"
+    q = (
+        _events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
