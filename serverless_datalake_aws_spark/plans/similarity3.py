@@ -444,3 +444,95 @@ def s14_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count(F.when(hit, 1)) / _K, 6).alias("recall"),
         )
     )
+
+
+@query(
+    "s15_coreset_prototypes",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, g.i AS pos, avg(e[g.i]) AS m
+      FROM v CROSS JOIN generate_series(1, 64) AS g(i)
+      GROUP BY label, g.i
+    ),
+    c AS (SELECT label, list(m ORDER BY pos) AS c FROM cent GROUP BY label),
+    d AS (
+      SELECT v.vec_id, v.label,
+             round(sqrt(greatest(list_dot_product(v.e, v.e)
+                      + list_dot_product(c.c, c.c)
+                      - 2 * list_dot_product(v.e, c.c), 0)), 6) AS dist
+      FROM v JOIN c USING (label)
+    ),
+    ranked AS (
+      SELECT vec_id, label, dist,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY dist, vec_id) AS rk_close,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY dist DESC, vec_id) AS rk_far
+      FROM d
+    )
+    SELECT vec_id, label, dist,
+           CASE WHEN rk_close <= 3 THEN 'prototype' ELSE 'outlier' END
+               AS role
+    FROM ranked WHERE rk_close <= 3 OR rk_far <= 3
+    """,
+)
+def s15_coreset_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype + outlier mining per label: the 3 vectors closest to
+    their label centroid (prototypes — what coreset/herding selection
+    keeps) and the 3 farthest (outliers — what quality pruning
+    inspects first). The selection step behind SemDeDup-style semantic
+    pruning of training data, downstream of s04's centroids.
+
+    Scale: centroid aggregation shuffles (label × dims) cells;
+    centroids broadcast back for a map-only distance pass; per-label
+    top-k is a window over block-local rows. Distances use the
+    dot-product identity (index-ordered folds) rounded before ranking
+    so both engines order identically."""
+    emb = table(spark, sf_dir, "embeddings")
+    e = F.expr("transform(embedding, x -> cast(x as double))")
+    v = emb.select("vec_id", "label", e.alias("e")).cache()
+    v.count()  # materialize: centroid agg + distance pass both read it
+    cent = (
+        v.select("label", F.posexplode("e").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), x -> x.m)"
+            ).alias("c")
+        )
+    )
+    d2 = F.greatest(
+        VX.dot(F.col("e"), F.col("e"))
+        + VX.dot(F.col("c"), F.col("c"))
+        - 2 * VX.dot(F.col("e"), F.col("c")),
+        F.lit(0.0),
+    )
+    d = v.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", F.round(F.sqrt(d2), 6).alias("dist")
+    )
+    rk_close = F.row_number().over(
+        W.partitionBy("label").orderBy("dist", "vec_id")
+    )
+    rk_far = F.row_number().over(
+        W.partitionBy("label").orderBy(F.col("dist").desc(), "vec_id")
+    )
+    return (
+        d.withColumn("rk_close", rk_close)
+        .withColumn("rk_far", rk_far)
+        .filter((F.col("rk_close") <= 3) | (F.col("rk_far") <= 3))
+        .select(
+            "vec_id",
+            "label",
+            "dist",
+            F.when(F.col("rk_close") <= 3, "prototype")
+            .otherwise("outlier")
+            .alias("role"),
+        )
+    )
