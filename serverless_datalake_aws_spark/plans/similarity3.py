@@ -536,3 +536,70 @@ def s15_coreset_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("role"),
         )
     )
+
+
+@query(
+    "s16_bitext_mining",
+    oracle=f"""
+    WITH v AS (
+        SELECT e.vec_id, d.lang, e.embedding,
+               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    )
+    SELECT q.vec_id AS vec1, e.vec_id AS vec2,
+           q.lang AS lang1, e.lang AS lang2,
+           {_COS_ORACLE_EXPR} AS cos_sim
+    FROM v q JOIN v e
+      ON q.bucket = e.bucket AND q.vec_id < e.vec_id
+         AND q.lang <> e.lang
+    WHERE {_COS_ORACLE_EXPR} >= 0.85
+    """,
+)
+def s16_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext candidate mining (§2.11): cross-lingual document pairs
+    whose embeddings are near-identical — the parallel-corpus mining
+    step (CCMatrix/WMT lineage) that harvests translation pairs for
+    multilingual training. Language comes from `documents`
+    (doc_id ≡ vec_id); candidates must differ in language and clear a
+    high cosine bar.
+
+    Scale: the pair space is blocked by the s02 sign-LSH bucket (same
+    index, reused), so cost is per-bucket, not N² — and the lang
+    inequality prunes within buckets. At production scale the margin
+    criterion (ratio to the k-th neighbor) replaces the absolute
+    threshold; the plan is unchanged."""
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    v = (
+        emb.join(docs, "vec_id")
+        .withColumn("bucket", VX.bucket_by_signs(F.col("embedding"), n_dims=4))
+        .withColumn("nrm", VX.norm(F.col("embedding")))
+        .select("vec_id", "lang", "embedding", "bucket", "nrm")
+        .cache()
+    )
+    v.count()  # materialize before the self-join
+    a, b = v.alias("a"), v.alias("b")
+    cos = VX.dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (F.col("a.lang") != F.col("b.lang")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec1"),
+            F.col("b.vec_id").alias("vec2"),
+            F.col("a.lang").alias("lang1"),
+            F.col("b.lang").alias("lang2"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.85)
+    )
