@@ -45,6 +45,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     this a no-op there.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Spark ≥4.x infers tz-less parquet TIMESTAMP(MICROS) as TIMESTAMP_NTZ
+    # by default, which rejects unix_micros() and diverges from DuckDB's
+    # naive-UTC collation; pin the pre-4.x LTZ read so every timestamp
+    # column compares bit-identically with the oracle.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

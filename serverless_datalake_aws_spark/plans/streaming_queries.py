@@ -15,7 +15,6 @@ import uuid
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from serverless_datalake_aws_spark.plans import query
 
@@ -27,29 +26,30 @@ try:  # stateful-UDF closures must survive worker-side import (see
 except Exception:  # pragma: no cover
     pass
 
-_EVENTS_NANOS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as int64
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table.
+
+    The driver's testdata has shipped `ts` as both TIMESTAMP(NANOS)
+    (reads as int64 under nanosAsLong) and TIMESTAMP(MICROS) (reads as
+    TimestampType once NTZ inference is pinned off) across rounds, so
+    sniff the batch-read schema instead of hardcoding either physical
+    type — a hardcoded int64 schema silently mis-scales µs data by
+    1000×.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source needs a directory; scope it to the events
     # table with a glob (the F8 prefix-filter analogue)
-    return (
+    stream = (
         spark.readStream.format("parquet")
-        .schema(_EVENTS_NANOS_SCHEMA)
+        .schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if dict(stream.dtypes).get("ts") == "bigint":  # nanos-era testdata
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
 
 
 @query("st01_stream_hourly_counts")  # rows-only: streaming append output

@@ -46,6 +46,9 @@ def get_session(
         # events.parquet carries TIMESTAMP(NANOS); sessions built here
         # read it as int64 without the per-scan conf flip in catalog.table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark ≥4.x reads tz-less parquet timestamps as TIMESTAMP_NTZ by
+        # default; keep the LTZ (UTC) read so unix_micros()/oracle parity hold
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", str(ui).lower())

@@ -1,10 +1,15 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from serverless_datalake_aws_spark.session import get_session
 
-SF_DIR = "/root/testdata/sf0.001"
+# Default mirrors the quick local loop; set SPARK_GRAFT_TEST_SF_DIR=
+# /root/testdata/sf0.01 to run the parity suite at the driver's gate SF
+# (round-1's three hash failures were exactly sf-sensitivity bugs).
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
