@@ -1,10 +1,16 @@
 """Streaming entries for the correctness harness (SURVEY §2.9).
 
 These run real Structured Streaming queries (availableNow drain over the
-parquet test tables) and return their results as DataFrames. They have
-no `oracle_sql` entry — streaming semantics (watermark-gated append
-output) aren't SQL-expressible — so the driver records the weaker
-rows-only check; the batch twins (e01/e03) carry the value-level parity.
+parquet test tables) and return their results as DataFrames. Every entry
+carries a full value-level DuckDB oracle: an availableNow drain of a
+single static file is deterministic, and watermark-gated append output
+is SQL-expressible once the final watermark is known — it is
+max(event_time) - delay, and append mode emits exactly the windows whose
+end <= that watermark ("the watermark passes the end of the window",
+Structured Streaming guide). The HAVING clauses below encode that gate;
+the boundary (<= vs <) was probed empirically at sf0.001 and sf0.01 and
+never lands on a window edge (watermarks inherit the µs jitter of the
+max event), so either comparison yields identical sets on this data.
 """
 
 from __future__ import annotations
@@ -52,12 +58,24 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-@query("st01_stream_hourly_counts")  # rows-only: streaming append output
+@query(
+    "st01_stream_hourly_counts",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL '2 hours' AS w FROM events)
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type, count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    HAVING time_bucket(INTERVAL '1 hour', min(ts)) + INTERVAL '1 hour'
+           <= (SELECT w FROM wm)
+    """,
+)
 def st01_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window counts as a real streaming query
     (file source → availableNow drain → memory sink). Append mode emits
     only watermark-closed windows — the streaming-only semantics the
-    batch twin e01 can't express."""
+    batch twin e01 can't express. The oracle replays that gate in SQL:
+    windows whose end <= max(ts) - 2h (the final watermark)."""
     name = f"st01_{uuid.uuid4().hex[:8]}"
     q = (
         _events_stream(spark, sf_dir)
@@ -77,13 +95,21 @@ def st01_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@query("st03_stream_dedup")  # rows-only: watermark-scoped streaming dedup
+@query(
+    "st03_stream_dedup",
+    oracle="""
+    SELECT event_type, count(DISTINCT event_id) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+)
 def st03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication with a bounded state store:
     dropDuplicatesWithinWatermark keeps each event_id's state only
     until the watermark passes it — the exactly-once upgrade of the
     reference's at-least-once S3-event delivery (SURVEY §2.9), with
-    state that cannot grow unboundedly at 100 TB/day."""
+    state that cannot grow unboundedly at 100 TB/day. Complete-mode
+    output over a single drained batch equals the batch distinct
+    count — the oracle."""
     name = f"st03_{uuid.uuid4().hex[:8]}"
     q = (
         _events_stream(spark, sf_dir)
@@ -115,13 +141,22 @@ def _user_stats_fn(key, pdfs, state):
     )
 
 
-@query("st04_stateful_user_stats")  # rows-only: custom stateful operator
+@query(
+    "st04_stateful_user_stats",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
 def st04_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful processing via applyInPandasWithState (SURVEY
     §2.9 'custom stateful operators'): a hand-written per-user
     accumulator in GroupState — the escape hatch for semantics the
     built-in windowed aggs can't express. State is per-key and
-    Arrow-batched; the shuffle key (user_id) bounds state locality."""
+    Arrow-batched; the shuffle key (user_id) bounds state locality.
+    Update mode emits each key's running totals once per batch it
+    appears in; a single-file availableNow drain is one data batch, so
+    the sink holds exactly the per-user batch aggregate — the oracle."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     name = f"st04_{uuid.uuid4().hex[:8]}"
@@ -146,14 +181,26 @@ def st04_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@query("st05_stream_stream_join")  # rows-only: watermarked stream-stream join
+@query(
+    "st05_stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           v.user_id AS user_id, round(p.value, 4) AS purchase_value
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL '1 hour'
+    """,
+)
 def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with a time-range condition: each
     'view' event joined to the same user's 'purchase' events within the
     following hour. Both sides carry watermarks, so the join state
     buffers at most (watermark horizon x key cardinality) rows — the
     bounded-state attribution join the reference's Lambda fabric could
-    only fake with DynamoDB lookups (SURVEY §2.9)."""
+    only fake with DynamoDB lookups (SURVEY §2.9). INNER join rows are
+    emitted as matched (the watermark only bounds state, not output),
+    so the drain equals the batch range-join — the oracle."""
     name = f"st05_{uuid.uuid4().hex[:8]}"
     views = (
         _events_stream(spark, sf_dir)
@@ -198,10 +245,37 @@ def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@query("st02_stream_sessions")  # rows-only: streaming session windows
+@query(
+    "st02_stream_sessions",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL '2 hours' AS w FROM events),
+    flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL '30 minutes'
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT min(ts) AS session_start, user_id, count(*) AS n_events,
+           round(sum(value), 4) AS session_value
+    FROM sessions
+    GROUP BY user_id, sid
+    HAVING max(ts) + INTERVAL '30 minutes' <= (SELECT w FROM wm)
+    """,
+)
 def st02_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """session_window aggregation (30-min gap) as a streaming query —
-    engine-managed keyed state, closed by the watermark."""
+    engine-managed keyed state, closed by the watermark. The oracle
+    replays the engine's session semantics in SQL: gap >= 30 min starts
+    a new session (session_window extends while the next event is
+    strictly inside last_ts + gap), and append mode emits sessions
+    whose end (last_ts + gap) <= the final watermark."""
     name = f"st02_{uuid.uuid4().hex[:8]}"
     q = (
         _events_stream(spark, sf_dir)
@@ -224,7 +298,23 @@ def st02_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@query("st06_stream_sliding_windows")  # rows-only: streaming append output
+@query(
+    "st06_stream_sliding_windows",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL '2 hours' AS w FROM events),
+    ev AS (
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - k * INTERVAL '15 minutes' AS window_start,
+               event_type
+        FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+    )
+    SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+           event_type, count(*) AS n
+    FROM ev
+    GROUP BY 1, 2, 3
+    HAVING window_start + INTERVAL '1 hour' <= (SELECT w FROM wm)
+    """,
+)
 def st06_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding (hopping) window counts — 1-hour windows advancing every
     15 minutes, so each event lands in 4 overlapping windows: the

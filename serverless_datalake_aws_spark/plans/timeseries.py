@@ -22,12 +22,12 @@ from serverless_datalake_aws_spark.plans import query
       SELECT user_id, date_trunc('hour', ts) AS h, avg(value) AS v
       FROM events WHERE user_id < 5 GROUP BY 1, 2
     ),
-    bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+    bounds AS (
+      SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY user_id
+    ),
     grid AS (
-      SELECT u.user_id, g.h
-      FROM (SELECT DISTINCT user_id FROM hourly) u,
-           (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
-            FROM bounds) g
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds
     ),
     joined AS (
       SELECT grid.user_id, grid.h, hourly.v,
@@ -65,7 +65,11 @@ def e07_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series linear interpolation over an hourly spine: per-user
     hourly averages gap-filled by interpolating between the nearest
     real observations (IGNORE NULLS window scans in both directions).
-    The spine is sequence()-generated (driver-sized); all window work
+    The spine is generated per user from that user's own [min, max]
+    hour bounds (not users × the global span): grid rows are
+    Σ per-user span, so a long-lived lake with many short-lived users
+    costs what those users actually span — the global-spine variant
+    was O(users × lake lifetime) before the left join. All window work
     partitions by user_id, so the plan parallelizes per key at any
     scale."""
     ev = table(spark, sf_dir, "events")
@@ -74,16 +78,14 @@ def e07_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
         .agg(F.avg("value").alias("v"))
     )
-    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     grid = (
-        hourly.select("user_id")
-        .distinct()
-        .crossJoin(
-            bounds.select(
-                F.explode(
-                    F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
-                ).alias("h")
-            )
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
         )
     )
     joined = grid.join(hourly, ["user_id", "h"], "left").withColumn(

@@ -24,17 +24,12 @@ def test_query_runs_nonempty(spark, name):
     assert df.count() >= 0
 
 
-# Streaming semantics (watermark-gated append) are not SQL-expressible;
-# the driver records rows-only checks for these. Batch twins e01/e03
-# carry the value-level parity.
-ROWS_ONLY = {
-    "st01_stream_hourly_counts",
-    "st02_stream_sessions",
-    "st03_stream_dedup",
-    "st04_stateful_user_stats",
-    "st05_stream_stream_join",
-    "st06_stream_sliding_windows",
-}
+# Every registered query — including the watermarked streaming entries,
+# whose append-mode gate is replayed in SQL against the final watermark
+# (max event time - delay) — now carries a value-level oracle. Keep the
+# set around so a future genuinely nondeterministic entry has a
+# declared escape hatch.
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_oracle_or_is_declared():
