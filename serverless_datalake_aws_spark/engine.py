@@ -66,6 +66,11 @@ RECORD_SCHEMA = T.StructType(
     ]
 )
 
+# Commit flag for the K7 staged-swap rewrite: a `_meta` stage directory
+# is published only once this file exists inside it; recovery rolls the
+# stage forward iff the flag landed, back otherwise.
+_SWAP_READY = "_SWAP_READY"
+
 
 def generate_sample_data(data_type: str) -> dict[str, Any]:
     """Typed sample payload for empty ingests — API parity with the
@@ -216,6 +221,8 @@ class DataLakeEngine:
 
     # -- metadata table ------------------------------------------------------
     def meta(self) -> DataFrame:
+        if not self.is_remote:
+            self._recover_meta_swap()
         return self.spark.read.schema(META_SCHEMA).parquet(self.meta_path)
 
     def records(self, zone: str = "raw") -> DataFrame:
@@ -480,14 +487,62 @@ class DataLakeEngine:
             return
         tmp = self.meta_path + ".mark.tmp"
         stamped.write.mode("overwrite").partitionBy("data_type").parquet(tmp)
-        # Swap by the partition dirs Spark actually wrote (handles its
-        # escaping of special chars in partition values).
-        for src in Path(tmp).glob("data_type=*"):
+        # Crash-safe swap: the staged write is published only after the
+        # _SWAP_READY flag lands, and each partition moves via two
+        # same-filesystem renames (dst → dst.old, src → dst) — a reader
+        # never observes a half-written partition, and _recover_meta_swap
+        # (run before every meta() scan) rolls an interrupted swap
+        # forward (flag present) or back (flag absent), so visible state
+        # per partition is always entirely-old or entirely-new. This is
+        # the local-FS analogue of the reference's atomic per-row
+        # DynamoDB update (index-data-lambda.py:165-172) at partition
+        # granularity; on object stores the dynamic-overwrite committer
+        # branch above owns the same contract.
+        (Path(tmp) / _SWAP_READY).touch()
+        self._publish_meta_swap(Path(tmp))
+
+    def _publish_meta_swap(self, tmp: Path) -> None:
+        """Publish a flag-complete staged `_meta` rewrite (K7 commit
+        step). Also the roll-forward half of crash recovery."""
+        for src in sorted(tmp.glob("data_type=*")):
             dst = Path(self.meta_path) / src.name
+            old = Path(self.meta_path) / (src.name + ".old")
+            if not old.exists() and dst.exists():
+                dst.rename(old)
+            if not dst.exists():
+                src.rename(dst)
+            if old.exists():
+                shutil.rmtree(old)
+        # A crash between `src.rename(dst)` and `rmtree(old)` strands a
+        # .old dir whose stage entry is gone; Spark's partition discovery
+        # would otherwise parse it as partition value "X.old".
+        for old in Path(self.meta_path).glob("data_type=*.old"):
+            dst = old.with_name(old.name[: -len(".old")])
             if dst.exists():
-                shutil.rmtree(dst)
-            shutil.move(str(src), str(dst))
+                shutil.rmtree(old)
+            else:
+                old.rename(dst)
         shutil.rmtree(tmp, ignore_errors=True)
+
+    def _recover_meta_swap(self) -> None:
+        """Converge `_meta` after a writer died mid-_mark_indexed: roll
+        the staged swap forward when its _SWAP_READY flag committed,
+        roll it back (restore any .old partition, drop the stage)
+        otherwise. Idempotent and cheap (two globs) — runs before every
+        metadata scan."""
+        tmp = Path(self.meta_path + ".mark.tmp")
+        if tmp.exists() and (tmp / _SWAP_READY).exists():
+            self._publish_meta_swap(tmp)
+            return
+        # no committed stage: anything half-swapped rolls back
+        for old in Path(self.meta_path).glob("data_type=*.old"):
+            dst = old.with_name(old.name[: -len(".old")])
+            if dst.exists():
+                shutil.rmtree(old)  # swap of this partition had finished
+            else:
+                old.rename(dst)
+        if tmp.exists():
+            shutil.rmtree(tmp, ignore_errors=True)
 
     # -- search surface (SURVEY §2.8) ----------------------------------------
     def _tokenize(self, recs: DataFrame) -> DataFrame:

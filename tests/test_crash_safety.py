@@ -1,0 +1,149 @@
+"""Fault-injection tests for the K7 metadata upsert's staged swap
+(engine._mark_indexed). The reference's DynamoDB per-attribute update
+(index-data-lambda.py:165-172) is atomic per row; the local-FS swap must
+not be weaker: a writer killed at ANY point between staging and publish
+must leave reader-visible `_meta` state entirely-old or entirely-new per
+partition — never a half-written partition, never a stray `.old`
+partition value — and a re-run must converge to the fully-new state.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+
+from serverless_datalake_aws_spark.engine import _SWAP_READY, DataLakeEngine
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    eng = DataLakeEngine(spark, tmp_path / "lake")
+    eng.ingest_batch(
+        [{"product": "Laptop", "price": 999.5}, {"product": "Mouse", "price": 19.9}],
+        data_type="sales",
+    )
+    eng.ingest_batch([{"cpu": 0.9}, {"cpu": 0.4}], data_type="metrics")
+    return eng
+
+
+def _meta_state(eng) -> dict[str, list[bool]]:
+    rows = eng.meta().select("data_type", "indexed").collect()
+    state: dict[str, list[bool]] = {}
+    for r in rows:
+        state.setdefault(r["data_type"], []).append(bool(r["indexed"] or False))
+    return {k: sorted(v) for k, v in state.items()}
+
+
+OLD = {"sales": [False, False], "metrics": [False, False]}
+NEW = {"sales": [True, True], "metrics": [True, True]}
+
+
+def _crash_mark_indexed(eng, monkeypatch, fail_call: int, method: str = "rename"):
+    """Run _mark_indexed with the fail_call-th invocation of the given
+    filesystem primitive raising — the moral equivalent of kill -9 at
+    that instant."""
+    calls = {"n": 0}
+    if method == "rename":
+        real = Path.rename
+
+        def boom(self, target):
+            calls["n"] += 1
+            if calls["n"] == fail_call:
+                raise OSError("injected crash mid-swap")
+            return real(self, target)
+
+        monkeypatch.setattr(Path, "rename", boom)
+    elif method == "touch":
+        real_touch = Path.touch
+
+        def boom(self, *a, **kw):
+            if self.name == _SWAP_READY:
+                raise OSError("injected crash before commit flag")
+            return real_touch(self, *a, **kw)
+
+        monkeypatch.setattr(Path, "touch", boom)
+    elif method == "rmtree":
+        real_rmtree = shutil.rmtree
+
+        def boom(path, *a, **kw):
+            calls["n"] += 1
+            if calls["n"] == fail_call:
+                raise OSError("injected crash before old-partition cleanup")
+            return real_rmtree(path, *a, **kw)
+
+        monkeypatch.setattr(shutil, "rmtree", boom)
+    with pytest.raises(OSError, match="injected crash"):
+        eng._mark_indexed()
+    monkeypatch.undo()
+
+
+def test_crash_before_commit_flag_rolls_back(engine, monkeypatch):
+    """Writer dies after staging the rewrite but before the _SWAP_READY
+    flag: readers keep the old state and the stage is garbage-collected."""
+    _crash_mark_indexed(engine, monkeypatch, fail_call=0, method="touch")
+    assert _meta_state(engine) == OLD
+    assert not Path(engine.meta_path + ".mark.tmp").exists()
+    # and a clean re-run converges to fully-new
+    engine._mark_indexed()
+    assert _meta_state(engine) == NEW
+
+
+@pytest.mark.parametrize("fail_call", [1, 2, 3, 4])
+def test_crash_mid_publish_rolls_forward(engine, monkeypatch, fail_call):
+    """Writer dies on the Nth rename of the publish loop (each partition
+    swap is two renames; 2 partitions = 4 chances). The flag committed,
+    so recovery rolls FORWARD: the next metadata read sees the
+    fully-new state, with no stage dir and no stray .old partition."""
+    _crash_mark_indexed(engine, monkeypatch, fail_call, method="rename")
+    state = _meta_state(engine)  # meta() runs _recover_meta_swap first
+    assert state == NEW, f"crash at rename #{fail_call} left {state}"
+    assert not Path(engine.meta_path + ".mark.tmp").exists()
+    assert list(Path(engine.meta_path).glob("data_type=*.old")) == []
+    assert set(state) == {"sales", "metrics"}  # no 'X.old' partition values
+
+
+def test_crash_before_old_cleanup_never_doubles(engine, monkeypatch):
+    """Writer dies between publishing a partition and deleting its .old
+    twin: recovery must drop the stale copy, not let Spark's partition
+    discovery resurrect it as partition value 'sales.old'."""
+    _crash_mark_indexed(engine, monkeypatch, fail_call=1, method="rmtree")
+    state = _meta_state(engine)
+    assert state == NEW
+    assert sum(len(v) for v in state.values()) == 4  # no doubled rows
+
+
+@pytest.mark.parametrize("fail_call", [1, 2, 3, 4])
+def test_no_partition_ever_mixes_generations(engine, monkeypatch, fail_call):
+    """Even BEFORE recovery runs, no visible partition directory ever
+    holds a MIX of pre-swap and staged parquet files: the swap moves
+    whole directories via rename, so each partition's file set is a
+    subset of exactly one generation. (A partition can be transiently
+    ABSENT between its two renames — the documented gap closed by
+    _recover_meta_swap, which every meta() read runs first.)"""
+    old_gen = {
+        p.name: {f.name for f in p.glob("*.parquet")}
+        for p in Path(engine.meta_path).glob("data_type=*")
+    }
+    _crash_mark_indexed(engine, monkeypatch, fail_call, method="rename")
+    tmp = Path(engine.meta_path + ".mark.tmp")
+    new_gen = {
+        p.name: {f.name for f in p.glob("*.parquet")}
+        for p in tmp.glob("data_type=*")
+        if not p.name.endswith(".old")
+    }
+    for p in Path(engine.meta_path).glob("data_type=*"):
+        if p.name.endswith(".old"):
+            continue
+        files = {f.name for f in p.glob("*.parquet")}
+        from_old = files <= old_gen.get(p.name, set())
+        # staged files moved wholesale keep their names; a partition no
+        # longer present in tmp was fully published
+        from_new = p.name not in new_gen
+        assert files and (from_old or from_new), (
+            f"partition {p.name} mixes generations after crash at "
+            f"rename #{fail_call}: {files}"
+        )
+    # after recovery (any meta() read), converged fully-new
+    assert _meta_state(engine) == NEW
