@@ -20,11 +20,24 @@ Replication factor on hot rows is ~g per side — the standard skew-join
 trade (bounded tasks for bounded duplication). Both legs stay hash
 joins; no cartesian/broadcast-nested-loop appears (plan-asserted in
 tests/test_plans.py).
+
+`payload` + `pair_filter` push the verify step INSIDE the join: when
+band keys are weakly selective (biased simhash bits concentrate most of
+the corpus in a few band values — the 10x scale probe measured 2.6e9
+within-band candidates on 50k docs), materializing candidates and
+re-joining payloads costs orders of magnitude more than the comparisons
+themselves. Carrying a slim payload (e.g. the 8-byte simhash) on the
+band rows and evaluating the predicate during the join probe keeps the
+quadratic part inside whole-stage codegen and lets only TRUE pairs
+reach the downstream shuffle (dropDuplicates) — the probe's d11 run
+went from 321 s to join-rate-bound after this change.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -33,10 +46,19 @@ def capped_band_self_join(
     key: str = "band_key",
     id_col: str = "doc_id",
     cap: int = 10_000,
+    payload: str | None = None,
+    pair_filter: Callable[[Column, Column], Column] | None = None,
 ) -> DataFrame:
     """Candidate pairs (doc1 < doc2) sharing a band key, with per-band
     work capped. Output matches the uncapped self-join exactly (pairs
     may repeat across bands — callers dropDuplicates, as d04 does).
+
+    With `payload` (a column of `bands`), the output carries
+    `payload1`/`payload2` aligned to doc1/doc2, and `pair_filter`
+    (payload1, payload2) -> BooleanColumn, when given, is evaluated as
+    part of the join condition — the predicate MUST be symmetric in its
+    arguments (Hamming distance, cosine bounds are; ordered comparisons
+    are not).
 
     `bands` is cached here: it is read at least three times (size
     probe + both join sides) and its lineage is typically expensive
@@ -45,6 +67,11 @@ def capped_band_self_join(
     eviction is left to Spark's LRU (same policy as the d04/d05
     fingerprint caches)."""
     bands = bands.cache()
+    cols = [id_col] + ([payload] if payload else [])
+
+    def _pair_cond(p1: Column, p2: Column) -> Column:
+        return pair_filter(p1, p2) if pair_filter is not None else F.lit(True)
+
     sizes = bands.groupBy(key).agg(F.count("*").alias("_n"))
     hot_keys = sizes.filter(F.col("_n") > cap)
     if hot_keys.isEmpty():
@@ -52,24 +79,45 @@ def capped_band_self_join(
         # plan with zero guard overhead (the size probe is a map-side
         # combined aggregate over slim (key) rows).
         b1, b2 = bands.alias("b1"), bands.alias("b2")
-        return b1.join(
+        out = b1.join(
             b2,
             (F.col(f"b1.{key}") == F.col(f"b2.{key}"))
-            & (F.col(f"b1.{id_col}") < F.col(f"b2.{id_col}")),
-        ).select(
+            & (F.col(f"b1.{id_col}") < F.col(f"b2.{id_col}"))
+            & _pair_cond(
+                F.col(f"b1.{payload or id_col}"), F.col(f"b2.{payload or id_col}")
+            ),
+        )
+        sel = [
             F.col(f"b1.{id_col}").alias("doc1"),
             F.col(f"b2.{id_col}").alias("doc2"),
-        )
+        ]
+        if payload:
+            sel += [
+                F.col(f"b1.{payload}").alias("payload1"),
+                F.col(f"b2.{payload}").alias("payload2"),
+            ]
+        return out.select(*sel)
 
     cold = bands.join(F.broadcast(hot_keys.select(key)), key, "left_anti")
     c1, c2 = cold.alias("c1"), cold.alias("c2")
-    cold_pairs = c1.join(
+    cold_join = c1.join(
         c2,
         (F.col(f"c1.{key}") == F.col(f"c2.{key}"))
-        & (F.col(f"c1.{id_col}") < F.col(f"c2.{id_col}")),
-    ).select(
-        F.col(f"c1.{id_col}").alias("doc1"), F.col(f"c2.{id_col}").alias("doc2")
+        & (F.col(f"c1.{id_col}") < F.col(f"c2.{id_col}"))
+        & _pair_cond(
+            F.col(f"c1.{payload or id_col}"), F.col(f"c2.{payload or id_col}")
+        ),
     )
+    cold_sel = [
+        F.col(f"c1.{id_col}").alias("doc1"),
+        F.col(f"c2.{id_col}").alias("doc2"),
+    ]
+    if payload:
+        cold_sel += [
+            F.col(f"c1.{payload}").alias("payload1"),
+            F.col(f"c2.{payload}").alias("payload2"),
+        ]
+    cold_pairs = cold_join.select(*cold_sel)
 
     hot = bands.join(F.broadcast(hot_keys), key).withColumn(
         "_g", F.ceil(F.col("_n") / F.lit(cap)).cast("int")
@@ -78,10 +126,10 @@ def capped_band_self_join(
     hot = hot.withColumn("_gid", gid)
     left = hot.withColumn(
         "_j", F.explode(F.sequence(F.col("_gid"), F.col("_g") - 1))
-    ).select(key, F.col(id_col), "_gid", "_j")
+    ).select(key, *cols, "_gid", "_j")
     right = hot.withColumn(
         "_i", F.explode(F.sequence(F.lit(0), F.col("_gid")))
-    ).select(key, F.col(id_col), "_i", "_gid")
+    ).select(key, *cols, "_i", "_gid")
     l, r = left.alias("l"), right.alias("r")
     lid, rid = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
     # Cross-group meetings happen once per unordered pair, in GROUP
@@ -89,15 +137,23 @@ def capped_band_self_join(
     # least/greatest instead of filtering on id order (which would drop
     # pairs whose id order opposes their group order). Same-group
     # meetings happen in both orders; keep one via id order there.
-    hot_pairs = l.join(
+    # pair_filter is symmetric by contract, so it needs no orientation.
+    hot_join = l.join(
         r,
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
         & (F.col("l._gid") == F.col("r._i"))
-        & (F.col("l._j") == F.col("r._gid")),
-    ).filter(
-        (F.col("l._gid") != F.col("r._gid")) | (lid < rid)
-    ).select(
-        F.least(lid, rid).alias("doc1"), F.greatest(lid, rid).alias("doc2")
-    )
+        & (F.col("l._j") == F.col("r._gid"))
+        & _pair_cond(
+            F.col(f"l.{payload or id_col}"), F.col(f"r.{payload or id_col}")
+        ),
+    ).filter((F.col("l._gid") != F.col("r._gid")) | (lid < rid))
+    hot_sel = [F.least(lid, rid).alias("doc1"), F.greatest(lid, rid).alias("doc2")]
+    if payload:
+        lp, rp = F.col(f"l.{payload}"), F.col(f"r.{payload}")
+        hot_sel += [
+            F.when(lid < rid, lp).otherwise(rp).alias("payload1"),
+            F.when(lid < rid, rp).otherwise(lp).alias("payload2"),
+        ]
+    hot_pairs = hot_join.select(*hot_sel)
 
     return cold_pairs.unionByName(hot_pairs)

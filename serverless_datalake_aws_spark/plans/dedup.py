@@ -202,11 +202,20 @@ def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     n_part = spark.sparkContext.defaultParallelism
+    from pyspark import StorageLevel
+
     d = (
         docs.repartition(n_part, "doc_id")
         .select("doc_id", F.array_distinct(TX.word_ngrams("text", n=3)).alias("toks"))
         .withColumn("hs", F.transform("toks", lambda t: TX.token_hash(t) % TX.MINHASH_P))
-        .cache()
+        # serialized-in-memory + disk-spillable (NOT .cache(), which is
+        # MEMORY_AND_DISK_DESER): the shingled corpus (doc_id + token +
+        # hash arrays) is read by three consumers (bands, both verify
+        # legs) but is several x the input text — at 100 TB the
+        # deserialized form evicts under memory pressure and silently
+        # recomputes the shingling per consumer; serialized rows are
+        # ~3-5x smaller and spill to local disk instead.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     d.count()  # materialize: read by bands + both verify legs (see d03)
     # Slim band rows: only (doc_id, band_key) go through the LSH shuffle;

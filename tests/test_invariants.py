@@ -28,9 +28,24 @@ def test_e07_grid_complete_and_filled(spark):
     df = all_queries()["e07_linear_interpolation"](spark, SF_DIR)
     rows = df.collect()
     assert all(r.v_filled is not None for r in rows)  # no gap survives
-    users = {r.user_id for r in rows}
-    hours = {r.hour for r in rows}
-    assert len(rows) == len(users) * len(hours)  # dense user x hour grid
+    # per-user spine (SCALE.md): each user's hours are contiguous and
+    # span exactly that user's [first, last] observed hour — grid rows
+    # are the sum of per-user spans, not |users| x global span
+    by_user: dict[int, list[str]] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.hour)
+    from datetime import datetime, timedelta
+
+    for uid, hours in by_user.items():
+        hs = sorted(datetime.fromisoformat(h) for h in hours)
+        span = int((hs[-1] - hs[0]) / timedelta(hours=1)) + 1
+        assert len(hs) == len(set(hs)) == span, (uid, len(hs), span)
+        # endpoints are real observations, never extrapolated fill
+        end_flags = {
+            r.hour: r.interpolated for r in rows if r.user_id == uid
+        }
+        assert not end_flags[hs[0].isoformat(sep="T")]
+        assert not end_flags[hs[-1].isoformat(sep="T")]
     n_real = sum(1 for r in rows if not r.interpolated)
     assert 0 < n_real < len(rows)  # both real and interpolated present
 

@@ -105,6 +105,40 @@ def test_capped_band_self_join_matches_naive_on_skew(spark):
     assert want.exceptAll(got).count() == 0
 
 
+def test_capped_band_self_join_payload_filter_matches_post_filter(spark):
+    """In-join pair filtering (round-4 d11 fix) must equal the
+    materialize-then-filter baseline on a skewed fixture, with payloads
+    aligned to doc1/doc2 even through the hot leg's least/greatest
+    orientation."""
+    from pyspark.sql import functions as F
+
+    from serverless_datalake_aws_spark.operators.banding import (
+        capped_band_self_join,
+    )
+
+    rows = [(i, "hot", i % 13) for i in range(200)]
+    rows += [(i, f"cold{i % 7}", i % 13) for i in range(200, 260)]
+    bands = spark.createDataFrame(rows, "doc_id long, band_key string, h long")
+    pred = lambda a, b: (a - b) % 13 == 0  # symmetric: same residue  # noqa: E731
+    got = capped_band_self_join(
+        bands, cap=50, payload="h", pair_filter=pred
+    ).dropDuplicates(["doc1", "doc2"])
+    base = (
+        capped_band_self_join(bands.select("doc_id", "band_key"), cap=50)
+        .distinct()
+        .join(bands.select(F.col("doc_id").alias("doc1"), F.col("h").alias("e1")).distinct(), "doc1")
+        .join(bands.select(F.col("doc_id").alias("doc2"), F.col("h").alias("e2")).distinct(), "doc2")
+        .filter(pred(F.col("e1"), F.col("e2")))
+    )
+    assert got.count() == base.count()
+    # payload alignment: payload1 belongs to doc1 (h = doc_id % 13)
+    misaligned = got.filter(
+        (F.col("payload1") != F.col("doc1") % 13)
+        | (F.col("payload2") != F.col("doc2") % 13)
+    ).count()
+    assert misaligned == 0
+
+
 def test_capped_band_self_join_stays_hash_join(spark):
     """Both legs must stay hash/sort-merge joins — no cartesian or
     broadcast-nested-loop sneaking in for the hot path."""
