@@ -114,6 +114,74 @@ def test_crash_before_old_cleanup_never_doubles(engine, monkeypatch):
     assert sum(len(v) for v in state.values()) == 4  # no doubled rows
 
 
+def _merge_fixture(spark, tmp_path):
+    from serverless_datalake_aws_spark.operators.upsert import merge_into
+
+    target = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    ).write.parquet(target)
+    updates = spark.createDataFrame([(2, "B"), (4, "d")], "id long, v string")
+    return merge_into, target, updates
+
+
+def _rows(spark, path):
+    return sorted(map(tuple, spark.read.parquet(path).collect()))
+
+
+MERGE_OLD = [(1, "a"), (2, "b"), (3, "c")]
+MERGE_NEW = [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+
+
+@pytest.mark.parametrize("fail_call", [1, 2])
+def test_merge_into_crash_mid_swap_recovers(spark, tmp_path, monkeypatch, fail_call):
+    """merge_into killed on either rename of its swap: the committed
+    stage rolls forward on the next call — never a missing or
+    half-written table."""
+    merge_into, target, updates = _merge_fixture(spark, tmp_path)
+    calls = {"n": 0}
+    real = Path.rename
+
+    def boom(self, dst):
+        calls["n"] += 1
+        if calls["n"] == fail_call:
+            raise OSError("injected crash mid-swap")
+        return real(self, dst)
+
+    monkeypatch.setattr(Path, "rename", boom)
+    with pytest.raises(OSError, match="injected crash"):
+        merge_into(spark, target, updates, key="id")
+    monkeypatch.undo()
+    # re-running converges to the merged state (recovery rolls forward
+    # the flagged stage; the merge then applies on top, idempotently)
+    out = merge_into(spark, target, updates, key="id")
+    assert sorted(map(tuple, out.collect())) == MERGE_NEW
+    assert not Path(target + ".merge.tmp").exists()
+    assert not Path(target + ".old").exists()
+
+
+def test_merge_into_crash_before_flag_keeps_old(spark, tmp_path, monkeypatch):
+    """Writer dies after staging but before the commit flag: the stage
+    is discarded and readers keep the pre-merge table."""
+    merge_into, target, updates = _merge_fixture(spark, tmp_path)
+    from serverless_datalake_aws_spark.operators import upsert as U
+
+    real_touch = Path.touch
+
+    def boom(self, *a, **kw):
+        if self.name == U._SWAP_READY:
+            raise OSError("injected crash before commit flag")
+        return real_touch(self, *a, **kw)
+
+    monkeypatch.setattr(Path, "touch", boom)
+    with pytest.raises(OSError, match="injected crash"):
+        merge_into(spark, target, updates, key="id")
+    monkeypatch.undo()
+    U.recover_swap(target)
+    assert _rows(spark, target) == MERGE_OLD
+    assert not Path(target + ".merge.tmp").exists()
+
+
 @pytest.mark.parametrize("fail_call", [1, 2, 3, 4])
 def test_no_partition_ever_mixes_generations(engine, monkeypatch, fail_call):
     """Even BEFORE recovery runs, no visible partition directory ever
