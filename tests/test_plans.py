@@ -261,3 +261,14 @@ def test_q38_distinct_leg_does_not_expand_sketches(spark):
     # plan multiplying the HLL/percentile work
     plan = _plan(spark, "q38_approx_aggs")
     assert "Expand" not in plan
+
+
+def test_p05_pipeline_prunes_columns_and_bounds_shuffles(spark):
+    # the composed pipeline must stay ONE Catalyst plan: text/doc_id/lang
+    # pruned at the scan (never the full documents schema), the quality
+    # gate evaluated scan-side, and exactly two exchanges (fingerprint
+    # dedup, per-language packing) — a third would mean a stage boundary
+    # crept between the composed operators
+    plan = _plan(spark, "p05_training_data_pipeline")
+    assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in plan
+    assert plan.count("Arguments: hashpartitioning") == 2
