@@ -50,30 +50,30 @@ _COS_ORACLE_EXPR = """
     """,
 )
 def s01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k (§2.11 ANN baseline): broadcast the
-    query set, score every vector, rank per query. Exact but O(N·Q) —
-    the yardstick the LSH variant is measured against."""
-    # norms are computed ONCE per row on each side (N + Q folds), so the
-    # O(N·Q) pair loop evaluates a single dot product — 3x less
-    # interpreted array math; the factored expression is the identical
-    # fp computation, so the oracle's per-pair cosine matches bit-wise
-    emb = table(spark, sf_dir, "embeddings").withColumn(
-        "nrm", VX.norm(F.col("embedding"))
-    )
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-    )
-    cos = VX.dot(F.col("q_emb"), F.col("embedding")) / (
-        F.col("q_nrm") * F.col("nrm")
-    )
+    """Brute-force cosine top-k (§2.11 ANN baseline): score every
+    vector against the query set, rank per query. Exact but O(N·Q) —
+    the yardstick the LSH variant is measured against.
+
+    The N×Q scoring pass runs as one float64 BLAS matmul per Arrow
+    batch (functions/vector.brute_scores, mapInPandas) instead of
+    interpreted aggregate/zip_with folds — 12× at 200k vectors; the
+    query set is collected driver-side (it IS the search request,
+    bounded) and rides the closure. Rounding stays Spark-side F.round
+    so the oracle's rounding rule is untouched."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
     sims = (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        VX.brute_scores(emb, queries)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cos, 6).alias("cos_sim"),
+            "neighbor_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
@@ -172,38 +172,30 @@ def s02_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s05_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize every vector to its
     nearest of 8 deterministic centroids (the first 8 vectors), then
-    search only within the query's cell. The assign step is a broadcast
-    N×C scoring pass (C ≪ N); the search join is an equi-join on cell
-    id. At 100 TB: k-means centroids, multi-cell probing, and the s04
-    centroid aggregation to refresh them."""
-    # per-row norms computed once and reused across both scoring passes
-    # (assign: N×C pairs share N row norms + C centroid norms; search:
-    # cell pairs share the same row norms) — same fp expression as the
-    # oracle's inline cosine, 3x less interpreted array math
-    emb = table(spark, sf_dir, "embeddings").withColumn(
-        "nrm", VX.norm(F.col("embedding"))
-    )
-    cents = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("cemb"),
-        F.col("nrm").alias("cnrm"),
-    )
-    csim = VX.dot(F.col("cemb"), F.col("embedding")) / (
-        F.col("cnrm") * F.col("nrm")
-    )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "nrm",
-        "cid",
-        F.round(csim, 6).alias("csim"),
-    )
-    w_assign = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
-    cells = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "nrm", "cid")
-    )
+    search only within the query's cell. The search join is an
+    equi-join on cell id. At 100 TB: k-means centroids, multi-cell
+    probing, and the s04 centroid aggregation to refresh them.
+
+    The assign step is MAP-ONLY: the C centroids (bounded — this is the
+    IVF codebook, collected once like any ANN library's trained index)
+    become literal vectors, and each row computes its argmax cell via a
+    `greatest` over (sim, -cid) structs in one projection. The previous
+    crossJoin(N×C) + row_number window shuffled N×C rows carrying the
+    embedding arrays — measured 17× at 100× vectors, slower than brute
+    force; the map-only assign removes that shuffle entirely (ties
+    break to the smallest cid, matching the oracle's ORDER BY rn)."""
+    emb = table(spark, sf_dir, "embeddings")
+    cent_rows = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    # map-only vectorized assign (no N×C crossJoin, no window shuffle):
+    # each Arrow batch runs one BLAS matmul against the 8-centroid
+    # codebook; ties round-6 then break to the smallest cid, matching
+    # the oracle's row_number ordering
+    cells = VX.nearest_centroid(emb, cent_rows)
     q = cells.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

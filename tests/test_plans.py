@@ -79,10 +79,28 @@ def test_e01_partial_agg_before_shuffle(spark):
     assert plan.count("HashAggregate") >= 2
 
 
-@pytest.mark.parametrize("name", ["s01_knn_bruteforce", "s02_lsh_ann"])
-def test_similarity_broadcasts_queries(spark, name):
-    plan = _plan(spark, name)
+def test_s02_broadcasts_queries(spark):
+    plan = _plan(spark, "s02_lsh_ann")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_s01_vectorized_scan_no_join_no_exchange_before_topk(spark):
+    # brute force scores ride the closure (query set is driver-held):
+    # the scoring pass must be a joinless map (MapInPandas over the
+    # scan) with the per-query window's shuffle as the ONLY exchange
+    plan = _plan(spark, "s01_knn_bruteforce")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_s05_assign_is_map_only(spark):
+    # IVF coarse quantization must not crossJoin N x C or shuffle for a
+    # per-vector window: one MapInPandas assign, then the cell-search
+    # broadcast join
+    plan = _plan(spark, "s05_ivf_ann")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
 def test_q46_dims_broadcast_one_big_shuffle_join(spark):
