@@ -55,29 +55,40 @@ def main() -> None:
     # JVM/codegen warmup: run every headline query once at the smallest
     # SF so per-query numbers measure the plan, not first-run whole-stage
     # codegen compilation (measured 5-6x inflation on first run).
+    # Per-query isolation throughout: round 3 lost the ENTIRE bench to a
+    # single query's env-drift failure at warmup — one broken query must
+    # cost its own number, never the round's.
+    failures: dict[str, str] = {}
     for name in HEADLINE:
-        qmap[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
-            "overwrite"
-        ).save()
+        try:
+            qmap[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        if name in failures:
+            continue
+        try:
+            t0 = time.time()
+            qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if failures:
+        out["failed"] = failures
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

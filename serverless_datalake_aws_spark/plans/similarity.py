@@ -218,6 +218,93 @@ def s05_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s17_ivf_multiprobe",
+    oracle=f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+    assign AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(
+                     list_dot_product(list_transform(c.cemb, x -> CAST(x AS DOUBLE)),
+                                      list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+                     / (sqrt(list_dot_product(list_transform(c.cemb, x -> CAST(x AS DOUBLE)),
+                                              list_transform(c.cemb, x -> CAST(x AS DOUBLE))))
+                      * sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                              list_transform(e.embedding, x -> CAST(x AS DOUBLE))))), 6)
+                     DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN c
+    ),
+    cells AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+    q AS (SELECT vec_id, embedding, cid, rn FROM assign WHERE vec_id < 20 AND rn <= 2),
+    sims AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               {_COS_ORACLE_EXPR} AS cos_sim
+        FROM q JOIN cells e ON q.cid = e.cid AND e.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rk
+          FROM sims)
+    WHERE rk <= 5
+    """,
+)
+def s17_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF (the recall knob SCALE.md's ANN ladder promises):
+    each query searches its TOP-2 centroid cells instead of one —
+    recall recovers from boundary effects (a query near a cell edge
+    misses true neighbors quantized across it) at exactly 2× the cell
+    scan cost, still ≪ brute force. nprobe is the standard
+    recall/latency dial of every IVF deployment (FAISS nprobe).
+
+    Data vectors assign map-only (functions/vector.nearest_centroid);
+    the 20 query probes — 40 (query, cell) rows — are computed
+    driver-side with the same round-6 sim / smallest-cid tie rule and
+    broadcast. Cells are disjoint so probing two cells never yields a
+    duplicate (query, neighbor) pair."""
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings")
+    cent_rows = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    cells = VX.nearest_centroid(emb, cent_rows)
+    cents = sorted(cent_rows)
+    cids = np.array([c[0] for c in cents], dtype=np.int64)
+    C = np.stack([np.asarray(c[1], dtype=np.float64) for c in cents])
+    Cn = np.linalg.norm(C, axis=1)
+    probes = []
+    for r in emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding").collect():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        vn = float(np.linalg.norm(v))
+        sims_q = np.round((C @ v) / (Cn * vn), 6)
+        order = np.lexsort((cids, -sims_q))  # sim desc, cid asc — oracle's rn
+        for cid in cids[order[:2]]:
+            probes.append(
+                (int(r["vec_id"]), [float(x) for x in r["embedding"]], vn, int(cid))
+            )
+    qdf = spark.createDataFrame(
+        probes, "query_id long, q_emb array<float>, q_nrm double, q_cid long"
+    )
+    cos = VX.dot(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_nrm") * F.col("nrm")
+    )
+    sims = cells.join(
+        F.broadcast(qdf),
+        (F.col("cid") == F.col("q_cid")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cos, 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+
+
+@query(
     "s03_embedding_neardup",
     oracle=f"""
     SELECT q.vec_id AS vec1, e.vec_id AS vec2, {_COS_ORACLE_EXPR} AS cos_sim
