@@ -67,14 +67,26 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record and continue
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
 
+    # Median of 3 measured runs per query: single-run numbers at sf0.1
+    # swing 2-3x on first execution (fresh file listing, codegen cache,
+    # GC pressure from the preceding query) — measured t11 at 2.1 s
+    # single-shot vs 0.65-0.97 s on repeats. The median is robust to
+    # one bad run in either direction and is reported as such.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name in failures:
             continue
         try:
-            t0 = time.time()
-            qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            samples = []
+            for _ in range(runs):
+                t0 = time.time()
+                qmap[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples.append(time.time() - t0)
+            samples.sort()
+            timings[name] = round(samples[len(samples) // 2], 3)
         except Exception as exc:  # noqa: BLE001
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
 
@@ -85,6 +97,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs_per_query": runs,
+        "agg": "median",
     }
     if failures:
         out["failed"] = failures
