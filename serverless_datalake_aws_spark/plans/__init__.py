@@ -58,6 +58,8 @@ _MODULES = (
     "binary_queries",
     "packing",
     "graph",
+    "text4",
+    "similarity4",
 )
 
 

@@ -1,0 +1,301 @@
+"""Round-4 text-curation additions (SURVEY §2.11 pipeline family).
+
+t28: PII detection/redaction — the scrubbing stage every training-data
+pipeline runs before anything leaves the raw zone (reference keeps raw
+objects verbatim in its raw zone, `ingest-data-lambda.py` stores the
+body untouched; a compliant lake must be able to redact on promotion).
+The synthetic corpus carries no organic PII, so a deterministic
+doc_id-derived contact line is appended to every third document inside
+BOTH engines — the regex/redaction machinery is what is under test, and
+the injection is part of the query text itself (no side files, no rand).
+
+t29: repetition signals (Gopher-style rule inputs) — top-unigram share,
+top-bigram share, and the longest consecutive identical-token run. These
+are the repetition heuristics (Rae et al., Gopher appendix A) that
+complement t25's length/diversity rules.
+
+t30: probability-proportional-to-size (PPS) Bernoulli sampling — the
+weighted corpus downsampler (longer documents kept with probability
+∝ size, expected k per source). Selection is an ALL-INTEGER compare on a
+content-hash uniform, so the sample is bit-reproducible across engines,
+runs, partitionings, and cluster sizes — rand()/TABLESAMPLE are not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from serverless_datalake_aws_spark.catalog import table
+from serverless_datalake_aws_spark.plans import query
+
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE = r"\+1-555-[0-9]{4}"
+_IPV4 = r"10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+@query(
+    "t28_pii_redaction",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.' || CAST(doc_id % 100 AS VARCHAR)
+             ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '{_IPV4}')) AS BIGINT) AS n_ips,
+           (regexp_matches(t, '{_EMAIL}') OR regexp_matches(t, '{_PHONE}')
+            OR regexp_matches(t, '{_IPV4}')) AS has_pii,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{_EMAIL}', '[EMAIL]', 'g'),
+               '{_PHONE}', '[PHONE]', 'g'),
+               '{_IPV4}', '[IP]', 'g')) AS clean_md5
+    FROM aug
+    """,
+)
+def t28_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub report: per-document email/phone/IPv4 match counts, a
+    has_pii flag, and the digest of the redacted text (the value the
+    curated zone would store). Patterns are deliberately RE2-safe (no
+    backrefs/lookarounds) so Java regex and the oracle's RE2 agree —
+    the same constraint a multi-engine lake has in production.
+
+    Scale: pure row-local regex on the scan — no shuffle, no UDF; the
+    redaction streams at read speed and the counts fold into the same
+    projection. At 100 TB this is the cheapest shape a scrub can have
+    (one pass, no repartition)."""
+    docs = table(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 100).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    t = aug.alias("t")
+    n_em = F.regexp_count(t, F.lit(_EMAIL))
+    n_ph = F.regexp_count(t, F.lit(_PHONE))
+    n_ip = F.regexp_count(t, F.lit(_IPV4))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _EMAIL, "[EMAIL]"), _PHONE, "[PHONE]"
+        ),
+        _IPV4,
+        "[IP]",
+    )
+    return docs.select(
+        "doc_id",
+        n_em.cast("long").alias("n_emails"),
+        n_ph.cast("long").alias("n_phones"),
+        n_ip.cast("long").alias("n_ips"),
+        ((n_em > 0) | (n_ph > 0) | (n_ip > 0)).alias("has_pii"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+@query(
+    "t29_repetition_signals",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, i AS pos, string_split(text, ' ')[i] AS tok
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+            FROM documents)
+    ),
+    seq AS (
+      SELECT doc_id, pos, tok,
+             lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM tok
+    ),
+    runs AS (
+      SELECT doc_id, pos, tok,
+             sum(CASE WHEN prev IS NULL OR prev != tok THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+      FROM seq
+    ),
+    max_run AS (
+      SELECT doc_id, max(rl) AS max_run
+      FROM (SELECT doc_id, run_id, count(*) AS rl FROM runs
+            GROUP BY doc_id, run_id)
+      GROUP BY doc_id
+    ),
+    uni AS (
+      SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_c
+      FROM (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok)
+      GROUP BY doc_id
+    ),
+    bi AS (
+      SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bc
+      FROM (SELECT doc_id, tok || ' ' || nxt AS bg, count(*) AS c
+            FROM seq WHERE nxt IS NOT NULL GROUP BY doc_id, bg)
+      GROUP BY doc_id
+    )
+    SELECT u.doc_id,
+           CAST(u.n_tokens AS BIGINT) AS n_tokens,
+           round(CAST(u.top_c AS DOUBLE) / u.n_tokens, 6) AS top_token_share,
+           round(COALESCE(CAST(b.top_bc AS DOUBLE) / b.n_bigrams, 0.0), 6)
+               AS top_bigram_share,
+           CAST(m.max_run AS BIGINT) AS max_run
+    FROM uni u
+    JOIN max_run m USING (doc_id)
+    LEFT JOIN bi b USING (doc_id)
+    """,
+)
+def t29_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition heuristics per document: the share of
+    tokens taken by the single most frequent unigram, the share of
+    bigrams taken by the most frequent bigram, and the longest run of
+    consecutive identical tokens. High values on any of the three are
+    the classic boilerplate/spam signatures curation stacks drop on.
+
+    Scale: one explode, then every window and aggregation partitions by
+    doc_id — a single exchange on the doc key serves the run-length
+    windows, the unigram counts, and the bigram counts; shuffle is
+    ∝ tokens with map-side partial aggregation. No UDF, all-integer
+    counts with one final rounded division, so the rule thresholds
+    cannot drift between engines."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    seq = tok.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.lag("tok").over(w).alias("prev"),
+        F.lead("tok").over(w).alias("nxt"),
+    )
+    runs = seq.select(
+        "doc_id",
+        "tok",
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("prev") != F.col("tok")), 1
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("run_id"),
+    )
+    max_run = (
+        runs.groupBy("doc_id", "run_id")
+        .agg(F.count("*").alias("rl"))
+        .groupBy("doc_id")
+        .agg(F.max("rl").alias("max_run"))
+    )
+    uni = (
+        tok.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tokens"), F.max("c").alias("top_c"))
+    )
+    bi = (
+        seq.filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bc"))
+    )
+    return (
+        uni.join(max_run, "doc_id")
+        .join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.col("top_c").cast("double") / F.col("n_tokens"), 6
+            ).alias("top_token_share"),
+            F.round(
+                F.coalesce(
+                    F.col("top_bc").cast("double") / F.col("n_bigrams"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("top_bigram_share"),
+            F.col("max_run").cast("long").alias("max_run"),
+        )
+    )
+
+
+_PPS_K = 20  # expected sample size per source
+_HASH_SPAN = 4294967296  # 2^32: span of the 8-hex-digit hash uniform
+
+
+@query(
+    "t30_pps_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source, n_chars,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h,
+             sum(n_chars) OVER (PARTITION BY source) AS sum_w
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars AS weight,
+           round(least(1.0, {_PPS_K} * CAST(n_chars AS DOUBLE) / sum_w), 6)
+               AS incl_prob
+    FROM w
+    WHERE h * sum_w < CAST({_PPS_K} AS BIGINT) * n_chars * {_HASH_SPAN}
+    """,
+)
+def t30_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (probability-proportional-to-size) Bernoulli sample:
+    each document is kept with probability min(1, k·w/Σw) within its
+    source, w = n_chars — the downsampler that thins an over-represented
+    crawl while preserving its byte mass distribution. The inclusion
+    test `h·Σw < k·w·2^32` is pure 64-bit integer arithmetic on a
+    content-hash uniform, so the selected set is identical on any
+    engine, any partitioning, any run — the property that makes the
+    sample auditable (t08's unweighted cousin).
+
+    Scale: one window-sum per source (shuffle ∝ input on a low-card
+    key — at production source counts, compute Σw in a tiny aggregate
+    and broadcast it back instead). Integer products stay below 2^63
+    for corpora up to ~1e9 total chars per source per 2^32 span;
+    beyond that, right-shift h and Σw together (documented here so the
+    100 TB port is a two-line change, not a redesign)."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    sum_w = F.sum("n_chars").over(W.partitionBy("source"))
+    w = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        h.alias("h"),
+        sum_w.alias("sum_w"),
+    )
+    return w.filter(
+        F.col("h") * F.col("sum_w")
+        < F.lit(_PPS_K).cast("long") * F.col("n_chars") * F.lit(_HASH_SPAN)
+    ).select(
+        "doc_id",
+        "source",
+        F.col("n_chars").alias("weight"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(_PPS_K) * F.col("n_chars").cast("double") / F.col("sum_w"),
+            ),
+            6,
+        ).alias("incl_prob"),
+    )
