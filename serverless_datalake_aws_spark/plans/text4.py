@@ -165,73 +165,59 @@ def t29_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     consecutive identical tokens. High values on any of the three are
     the classic boilerplate/spam signatures curation stacks drop on.
 
-    Scale: one explode, then every window and aggregation partitions by
-    doc_id — a single exchange on the doc key serves the run-length
-    windows, the unigram counts, and the bigram counts; shuffle is
-    ∝ tokens with map-side partial aggregation. No UDF, all-integer
-    counts with one final rounded division, so the rule thresholds
-    cannot drift between engines."""
+    Scale: every signal is computed ARRAY-LOCALLY per row with
+    higher-order functions — no explode, no window, no shuffle at all
+    (the oracle proves the same values through the conventional
+    explode+window formulation, so the two independent algorithms
+    cross-check each other). Per-doc cost is O(distinct·len) compares,
+    all JVM-side. The naive shape (explode → three groupBy branches)
+    re-scans the corpus three times and shuffles four — at 100 TB that
+    difference IS the query."""
     docs = table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    seq = tok.select(
-        "doc_id",
-        "pos",
-        "tok",
-        F.lag("tok").over(w).alias("prev"),
-        F.lead("tok").over(w).alias("nxt"),
-    )
-    runs = seq.select(
-        "doc_id",
-        "tok",
-        F.sum(
-            F.when(
-                F.col("prev").isNull() | (F.col("prev") != F.col("tok")), 1
-            ).otherwise(0)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    top_c = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda u: F.size(F.filter(toks, lambda x: x == u)),
         )
-        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .alias("run_id"),
     )
-    max_run = (
-        runs.groupBy("doc_id", "run_id")
-        .agg(F.count("*").alias("rl"))
-        .groupBy("doc_id")
-        .agg(F.max("rl").alias("max_run"))
+    bgs = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.expr("slice(split(text, ' '), 2, size(split(text, ' ')) - 1)"),
+        lambda x, y: F.concat_ws(" ", x, y),
     )
-    uni = (
-        tok.groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("n_tokens"), F.max("c").alias("top_c"))
-    )
-    bi = (
-        seq.filter(F.col("nxt").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bg"))
-        .groupBy("doc_id", "bg")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bc"))
-    )
-    return (
-        uni.join(max_run, "doc_id")
-        .join(bi, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.round(
-                F.col("top_c").cast("double") / F.col("n_tokens"), 6
-            ).alias("top_token_share"),
-            F.round(
-                F.coalesce(
-                    F.col("top_bc").cast("double") / F.col("n_bigrams"),
-                    F.lit(0.0),
-                ),
-                6,
-            ).alias("top_bigram_share"),
-            F.col("max_run").cast("long").alias("max_run"),
+    top_bc = F.array_max(
+        F.transform(
+            F.array_distinct(bgs),
+            lambda u: F.size(F.filter(bgs, lambda x: x == u)),
         )
+    )
+    run_acc = F.aggregate(
+        toks,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(1).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(1),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(top_c.cast("double") / n, 6).alias("top_token_share"),
+        F.round(
+            F.when(n > 1, top_bc.cast("double") / (n - 1)).otherwise(0.0), 6
+        ).alias("top_bigram_share"),
+        run_acc.cast("long").alias("max_run"),
     )
 
 

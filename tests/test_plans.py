@@ -290,3 +290,46 @@ def test_p05_pipeline_prunes_columns_and_bounds_shuffles(spark):
     plan = _plan(spark, "p05_training_data_pipeline")
     assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in plan
     assert plan.count("Arguments: hashpartitioning") == 2
+
+
+def test_t28_pii_scrub_is_single_pass(spark):
+    # the scrub is row-local regex over a 2-column pruned scan: no
+    # shuffle, no explode, nothing but projection — the cheapest legal
+    # shape for a 100 TB one-pass redaction
+    plan = _plan(spark, "t28_pii_redaction")
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+
+
+def test_t29_repetition_signals_row_local(spark):
+    # all three Gopher repetition signals fold array-locally per row —
+    # the explode+window formulation (the oracle's) would re-scan the
+    # corpus 3x and shuffle 4x
+    plan = _plan(spark, "t29_repetition_signals")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+
+
+def test_t30_pps_sample_single_exchange(spark):
+    # one hash exchange (the per-source weight-sum window) and a pruned
+    # 3-column scan; selection itself is a scan-side integer filter
+    plan = _plan(spark, "t30_pps_sample")
+    assert "ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>" in plan
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_s18_semdedup_blocked_not_global(spark):
+    # centroid assignment must broadcast the seed side (a BNLJ cross
+    # with the k-row build broadcast IS the map-only shape — the corpus
+    # side never moves) and the pairwise stage must be a HASH join
+    # keyed on the learned cluster — never an un-broadcast cartesian
+    plan = _plan(spark, "s18_semdedup")
+    assert "CartesianProduct" not in plan
+    # every nested-loop node is the broadcast-seed assignment cross
+    # (tree lines carry the build side; detail lines don't)
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line and "Build" in line:
+            assert "Cross BuildRight" in line
+    # the O(pairs) stage rides an equi-join (hash) on cluster + vec_id<
+    assert "BroadcastHashJoin Inner BuildRight" in plan
