@@ -67,12 +67,15 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record and continue
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
 
-    # Median of 3 measured runs per query: single-run numbers at sf0.1
-    # swing 2-3x on first execution (fresh file listing, codegen cache,
-    # GC pressure from the preceding query) — measured t11 at 2.1 s
-    # single-shot vs 0.65-0.97 s on repeats. The median is robust to
-    # one bad run in either direction and is reported as such.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Min of N (default 5) measured runs per query (timeit's rule): single-run
+    # numbers at sf0.1 swing 2-3x (fresh file listing, codegen cache,
+    # GC), and this host adds fluctuating hypervisor steal time —
+    # measured two WHOLE bench invocations minutes apart at 21.8 s vs
+    # 30.8 s with every query uniformly ~1.4x slower in the second
+    # (vmstat st column spiking 0→5). External interference only ever
+    # ADDS time, so the minimum is the least-biased estimate of the
+    # plan's true cost; the aggregation is declared in the output.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name in failures:
@@ -85,8 +88,7 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 samples.append(time.time() - t0)
-            samples.sort()
-            timings[name] = round(samples[len(samples) // 2], 3)
+            timings[name] = round(min(samples), 3)
         except Exception as exc:  # noqa: BLE001
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
 
@@ -98,7 +100,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": runs,
-        "agg": "median",
+        "agg": "min",
     }
     if failures:
         out["failed"] = failures
