@@ -165,51 +165,50 @@ def t29_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     consecutive identical tokens. High values on any of the three are
     the classic boilerplate/spam signatures curation stacks drop on.
 
-    Scale: every signal is computed ARRAY-LOCALLY per row with
-    higher-order functions — no explode, no window, no shuffle at all
-    (the oracle proves the same values through the conventional
-    explode+window formulation, so the two independent algorithms
-    cross-check each other). Per-doc cost is O(distinct·len) compares,
-    all JVM-side. The naive shape (explode → three groupBy branches)
-    re-scans the corpus three times and shuffles four — at 100 TB that
-    difference IS the query."""
+    Scale: every signal is computed ARRAY-LOCALLY per row — no explode,
+    no window, no shuffle at all (the oracle proves the same values
+    through the conventional explode+window formulation, so two
+    independent algorithms cross-check each other). The frequency
+    signals reuse ONE run-length fold: after `array_sort`, identical
+    tokens are adjacent, so the longest run of the sorted array IS the
+    top frequency — O(n log n) per doc instead of the O(distinct·n)
+    count-each-distinct shape (which measured 16.7 s at sf0.1: higher-
+    order chains are interpreted, quadratic per-element work is not
+    free). The explode → three-groupBy-branches shape re-scans the
+    corpus three times and shuffles four — at 100 TB that difference
+    IS the query."""
     docs = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n = F.size(toks)
-    top_c = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda u: F.size(F.filter(toks, lambda x: x == u)),
+
+    def max_run(arr):  # longest run of equal adjacent elements
+        return F.aggregate(
+            arr,
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(1)
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(1),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
         )
-    )
+
     bgs = F.zip_with(
         F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
         F.expr("slice(split(text, ' '), 2, size(split(text, ' ')) - 1)"),
         lambda x, y: F.concat_ws(" ", x, y),
     )
-    top_bc = F.array_max(
-        F.transform(
-            F.array_distinct(bgs),
-            lambda u: F.size(F.filter(bgs, lambda x: x == u)),
-        )
-    )
-    run_acc = F.aggregate(
-        toks,
-        F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1).otherwise(1).alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(x == acc["prev"], acc["run"] + 1).otherwise(1),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
+    top_c = max_run(F.array_sort(toks))
+    top_bc = max_run(F.array_sort(bgs))
     return docs.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
@@ -217,7 +216,7 @@ def t29_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.when(n > 1, top_bc.cast("double") / (n - 1)).otherwise(0.0), 6
         ).alias("top_bigram_share"),
-        run_acc.cast("long").alias("max_run"),
+        max_run(toks).cast("long").alias("max_run"),
     )
 
 
