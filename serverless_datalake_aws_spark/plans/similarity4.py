@@ -11,6 +11,8 @@ blocks from the geometry — the difference between tagged and raw data.
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -18,7 +20,21 @@ from serverless_datalake_aws_spark.catalog import table
 from serverless_datalake_aws_spark.functions import vector as VX
 from serverless_datalake_aws_spark.plans import query
 
-_K = 8  # seed centroids = vec_id < _K (deterministic, s09's convention)
+try:  # self-contained UDF closures (see functions/semistructured.py)
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
+
+_STRIDE = 256  # seed centroids = every _STRIDE-th vec_id. Two properties
+# at once: (1) the seed count grows as N/_STRIDE, so mean cluster size —
+# and with it the per-cluster pairwise cost — stays CONSTANT as the
+# corpus grows (fixed k=8 measured 9.4x on the 10x fixture: quadratic);
+# (2) stride sampling spreads seeds across the id space, so id-adjacent
+# near-duplicates (the replica fixture's layout, or any ingest that
+# clusters similar rows) cannot all become centroids the way `vec_id<k`
+# selection let them. Assumes dense ids (row_number gives them at scale).
 _EPS = 0.4  # drop threshold on within-cluster cosine (synthetic corpus:
 # within-cluster max-cosine tops out ~0.53, p90 ~0.40 — 0.4 makes the
 # verdict column discriminate instead of rubber-stamping keep=true)
@@ -35,7 +51,8 @@ _EPS = 0.4  # drop threshold on within-cluster cosine (synthetic corpus:
       SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
     ),
     seeds AS (
-      SELECT vec_id AS cluster, e AS c, nrm AS cnrm FROM n WHERE vec_id < {_K}
+      SELECT vec_id AS cluster, e AS c, nrm AS cnrm
+      FROM n WHERE vec_id % {_STRIDE} = 0
     ),
     best AS (
       SELECT vec_id, cluster, e, nrm FROM (
@@ -67,63 +84,52 @@ def s18_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine ≥ {_EPS}. Output: vector, learned cluster, its max cosine to
     a lower-id cluster-mate (−1 when it is the cluster's first), keep.
 
-    Scale: the k seed centroids broadcast, so assignment is a map-only
-    pass (no shuffle of the corpus). The pairwise stage is a self
-    equi-join ON THE CLUSTER KEY — shuffle ∝ input, pair cost bounded
-    per cluster; at 100 TB you raise k so clusters stay ~10⁴ vectors
-    (SemDeDup's own regime) and the plan is unchanged. Norms are
-    computed once per vector before the join (3× less array math on
-    the O(pairs) path, the s03 lesson)."""
+    Scale: the seed count is NOT fixed — every {_STRIDE}-th id is a
+    seed, so mean cluster size (and the per-cluster pairwise cost) is
+    constant and the total cost is LINEAR in the corpus (the fixed-k
+    variant measured 9.4× on the 10× fixture — quadratic). Both hot
+    loops are BLAS, not interpreted folds: assignment is the s05
+    `nearest_centroid` map-only Arrow pass, and the within-cluster
+    pairwise max is one `applyInPandas` matmul per cluster group — ONE
+    shuffle total (on the cluster key), no row-pair materialization at
+    all. Rounding stays Spark-side: max-of-rounded equals
+    round-of-max because rounding is monotone, so the UDF returns the
+    raw maximum. Seeds ride the closure (bounded up to k≈10⁵, ~25 MB
+    at 64 dims); past that, produce centroids with the s09 k-means job
+    and switch assignment to its broadcast-join form."""
+    import numpy as np
+    import pandas as pd
+
     emb = table(spark, sf_dir, "embeddings")
-    e = F.expr("transform(embedding, x -> cast(x as double))")
-    n = emb.select("vec_id", e.alias("e")).withColumn("nrm", VX.norm(F.col("e")))
-    seeds = n.filter(F.col("vec_id") < _K).select(
-        F.col("vec_id").alias("cluster"),
-        F.col("e").alias("c"),
-        F.col("nrm").alias("cnrm"),
-    )
-    cs = F.round(
-        VX.dot(F.col("e"), F.col("c")) / (F.col("nrm") * F.col("cnrm")), 6
-    )
-    best = (
-        n.crossJoin(F.broadcast(seeds))
-        .select("vec_id", "cluster", "e", "nrm", cs.alias("cs"))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.struct("cluster", "e", "nrm"),
-                F.struct(F.col("cs"), (-F.col("cluster")).alias("neg")),
-            ).alias("b")
+    seeds = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") % _STRIDE == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    assigned = VX.nearest_centroid(emb, seeds)  # vec_id, embedding, nrm, cid
+
+    def _lower_max(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        V = np.stack(pdf["embedding"].values).astype(np.float64)
+        nrm = pdf["nrm"].values
+        S = (V @ V.T) / (nrm[:, None] * nrm[None, :])
+        keep_lower = np.tril(np.ones(S.shape, dtype=bool), -1)
+        m = np.where(keep_lower, S, -np.inf).max(axis=1, initial=-np.inf)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].values,
+                "cluster": pdf["cid"].values,
+                "max_lower": np.where(np.isfinite(m), m, -1.0),
+            }
         )
-        .select(
-            "vec_id",
-            F.col("b.cluster").alias("cluster"),
-            F.col("b.e").alias("e"),
-            F.col("b.nrm").alias("nrm"),
-        )
-        .cache()
+
+    lower = assigned.groupBy("cid").applyInPandas(
+        _lower_max, schema="vec_id long, cluster long, max_lower double"
     )
-    best.count()  # materialize once: both join legs below read it
-    a, b = best.alias("a"), best.alias("b")
-    pair_cos = F.round(
-        VX.dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm")),
-        6,
-    )
-    lower_sim = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("b.vec_id").alias("vec_id"), pair_cos.alias("pc"))
-        .groupBy("vec_id")
-        .agg(F.max("pc").alias("max_lower"))
-    )
-    return best.join(lower_sim, "vec_id", "left").select(
+    return lower.select(
         "vec_id",
         "cluster",
-        F.round(F.coalesce(F.col("max_lower"), F.lit(-1.0)), 6).alias(
-            "max_lower_cos"
-        ),
-        (F.coalesce(F.col("max_lower"), F.lit(-1.0)) < _EPS).alias("keep"),
+        F.round("max_lower", 6).alias("max_lower_cos"),
+        (F.round("max_lower", 6) < _EPS).alias("keep"),
     )

@@ -320,16 +320,13 @@ def test_t30_pps_sample_single_exchange(spark):
 
 
 def test_s18_semdedup_blocked_not_global(spark):
-    # centroid assignment must broadcast the seed side (a BNLJ cross
-    # with the k-row build broadcast IS the map-only shape — the corpus
-    # side never moves) and the pairwise stage must be a HASH join
-    # keyed on the learned cluster — never an un-broadcast cartesian
+    # assignment is the closure-broadcast Arrow pass (MapInPandas) and
+    # the within-cluster pairwise max is ONE applyInPandas matmul per
+    # cluster group — exactly one exchange (the cluster key), no join
+    # of any kind, no row-pair materialization
     plan = _plan(spark, "s18_semdedup")
     assert "CartesianProduct" not in plan
-    # every nested-loop node is the broadcast-seed assignment cross
-    # (tree lines carry the build side; detail lines don't)
-    for line in plan.splitlines():
-        if "BroadcastNestedLoopJoin" in line and "Build" in line:
-            assert "Cross BuildRight" in line
-    # the O(pairs) stage rides an equi-join (hash) on cluster + vec_id<
-    assert "BroadcastHashJoin Inner BuildRight" in plan
+    assert "Join" not in plan
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Arguments: hashpartitioning") == 1
