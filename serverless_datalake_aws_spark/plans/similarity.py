@@ -13,6 +13,8 @@ identically.
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -20,6 +22,13 @@ from pyspark.sql.window import Window as W
 from serverless_datalake_aws_spark.catalog import table
 from serverless_datalake_aws_spark.functions import vector as VX
 from serverless_datalake_aws_spark.plans import query
+
+try:  # self-contained UDF closures (see functions/semistructured.py)
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
 
 _COS_ORACLE_EXPR = """
     round(
@@ -316,39 +325,40 @@ def s17_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs blocked by label (§2.11
     embedding near-dup): the label column is the blocking key, so the
-    pairwise cost is per-block, not global."""
-    # precompute norms once per vector (cached) so each pair evaluates a
-    # single dot product instead of three — 3x less array math on the
-    # O(pairs) hot path
-    emb = (
-        table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            "label",
-            "embedding",
-            VX.norm(F.col("embedding")).alias("nrm"),
+    pairwise cost is per-block, not global.
+
+    The within-block scoring is one BLAS matmul per label group
+    (`applyInPandas`) — the self-join + interpreted zip_with dot fold
+    it replaces measured 7.8 s at sf0.1 (the s18/t29 lesson: a blocked
+    plan with interpreted per-pair folds is still slow). The UDF emits
+    candidates with an epsilon slack under the threshold and Spark's
+    F.round makes the authoritative >= 0.5 cut, so the cross-engine
+    rounding rule (HALF_UP vs numpy half-even) never decides
+    membership. One exchange (the label key), no pair materialization
+    below the threshold."""
+    import numpy as np
+    import pandas as pd
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        V = np.stack(pdf["embedding"].values).astype(np.float64)
+        nrm = np.linalg.norm(V, axis=1)
+        S = (V @ V.T) / (nrm[:, None] * nrm[None, :])
+        i, j = np.nonzero(np.triu(S >= 0.5 - 1e-9, 1))
+        ids = pdf["vec_id"].values
+        return pd.DataFrame(
+            {"vec1": ids[i], "vec2": ids[j], "cos": S[i, j]}
         )
-        .cache()
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
     )
-    emb.count()  # materialize before the self-join (both sides read it)
-    a = emb.alias("a")
-    b = emb.alias("b")
-    cos = VX.dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.nrm") * F.col("b.nrm")
+    pairs = emb.groupBy("label").applyInPandas(
+        _pairs, schema="vec1 long, vec2 long, cos double"
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec1"),
-            F.col("b.vec_id").alias("vec2"),
-            F.round(cos, 6).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.5)
-    )
+    return pairs.select(
+        "vec1", "vec2", F.round("cos", 6).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= 0.5)
 
 
 @query(
