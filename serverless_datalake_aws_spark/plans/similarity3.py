@@ -152,37 +152,56 @@ def s12_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: blocking bounds the pairwise cost at Σ|block|² (the s03
     contract); at 100 TB the block key is an IVF cell (s05) instead of
-    a label, same plan. Norms are precomputed once per vector, the
-    per-source ranking is one window over block-local edges, and the
-    similarity is rounded to 6 dp before ranking so both engines break
-    ties identically."""
-    emb = (
-        table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            "label",
-            "embedding",
-            VX.norm(F.col("embedding")).alias("nrm"),
+    a label, same plan. The within-block scoring is one BLAS matmul
+    per label group (`applyInPandas` — the s03/s18 rewrite; the
+    self-join + interpreted dot folds it replaces measured 3.7 s at
+    sf0.1). The UDF pre-selects each source's top {_K + 16} UNROUNDED
+    candidates — a 16-deep cushion for the 6-dp quantization — and the
+    authoritative rounded ranking (F.round, row_number, dst tie-break)
+    stays Spark-side, so both engines break ties identically; a
+    candidate outside the cushion can only reach rounded-top-{_K} if
+    16+ block-mates sit within 1e-6 of the boundary similarity."""
+    import numpy as np
+    import pandas as pd
+
+    emit = _K + 16
+
+    def _topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        V = np.stack(pdf["embedding"].values).astype(np.float64)
+        nrm = np.linalg.norm(V, axis=1)
+        S = (V @ V.T) / (nrm[:, None] * nrm[None, :])
+        np.fill_diagonal(S, -np.inf)
+        n = len(pdf)
+        k = min(emit, n - 1)
+        if k <= 0:
+            return pd.DataFrame(
+                {"src": [], "dst": [], "label": [], "cos": []}
+            ).astype({"src": "int64", "dst": "int64", "label": "int32",
+                      "cos": "float64"})
+        top = np.argpartition(-S, k - 1, axis=1)[:, :k]
+        rows = np.repeat(np.arange(n), k)
+        cols = top.ravel()
+        ids = pdf["vec_id"].values
+        return pd.DataFrame(
+            {
+                "src": ids[rows],
+                "dst": ids[cols],
+                "label": pdf["label"].values[rows],
+                "cos": S[rows, cols],
+            }
         )
-        .cache()
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
     )
-    emb.count()  # materialize before the self-join (both sides read it)
-    a, b = emb.alias("a"), emb.alias("b")
-    cos = VX.dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.nrm") * F.col("b.nrm")
+    cand = emb.groupBy("label").applyInPandas(
+        _topk, schema="src long, dst long, label int, cos double"
     )
     rk = W.partitionBy("src").orderBy(F.col("cos_sim").desc(), "dst")
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("src"),
-            F.col("b.vec_id").alias("dst"),
-            F.col("a.label").alias("label"),
-            F.round(cos, 6).alias("cos_sim"),
+        cand.select(
+            "src", "dst", "label", F.round("cos", 6).alias("cos_sim")
         )
         .withColumn("rk", F.row_number().over(rk))
         .filter(F.col("rk") <= _K)
