@@ -147,44 +147,53 @@ def d03_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram-shingle Jaccard near-dup, blocked by `source` (§2.11).
 
     Order-sensitive shingles distinguish reshuffled text from true
-    near-copies. The self-join is keyed on the block column so the
-    shuffle co-locates blocks; pairwise cost is bounded per block.
-    """
-    docs = table(spark, sf_dir, "documents")
-    n_part = spark.sparkContext.defaultParallelism
-    # cache the shingle arrays: without the InMemoryRelation boundary,
-    # CollapseProject re-inlines the ngram construction into both join
-    # sides and the intersect math (measured 24s -> ~8s at sf0.1)
-    d = (
-        docs.repartition(n_part, "source")
-        .select(
-            "doc_id",
-            "source",
-            F.array_distinct(TX.word_ngrams("text", n=3)).alias("sh"),
+    near-copies. Blocking is keyed on `source`, so pairwise cost is
+    bounded per block. The within-block all-pairs intersection runs as
+    ONE 0/1 incidence-matrix matmul per source group (`applyInPandas`;
+    the self-join + per-pair array_intersect it replaces measured 17 s
+    at sf0.1 — JVM set ops per pair, the s03/s18 lesson in set
+    clothing). Membership is decided INSIDE the UDF with no epsilon:
+    intersection and union are integers, so jac is the same float64
+    rational in both engines. Intersection counts stay exact in
+    float32 up to 2^24 shingles per doc."""
+    import numpy as np
+    import pandas as pd
+
+    def _jaccard_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        sets = []
+        vocab: dict[str, int] = {}
+        for t in pdf["text"]:
+            toks = t.split(" ")
+            s = {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+            sets.append(np.array(
+                [vocab.setdefault(g, len(vocab)) for g in s], dtype=np.int64
+            ))
+        n, v = len(sets), len(vocab)
+        A = np.zeros((n, v), dtype=np.float32)
+        for r, idx in enumerate(sets):
+            A[r, idx] = 1.0
+        inter = (A @ A.T).astype(np.float64)
+        sizes = np.array([len(s) for s in sets], dtype=np.int64)
+        union = sizes[:, None] + sizes[None, :] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = np.where(union > 0, inter / union, 0.0)
+        i, j = np.nonzero(np.triu(jac >= 0.2, 1))
+        ids = pdf["doc_id"].values
+        return pd.DataFrame(
+            {"doc1": ids[i], "doc2": ids[j], "jac_raw": jac[i, j]}
         )
-        .cache()
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
     )
-    # materialize before the self-join: otherwise both sides race to
-    # fill the same unmaterialized cache and the shingling runs twice
-    d.count()
-    d1 = d.alias("d1")
-    d2 = d.alias("d2")
-    inter = F.size(F.array_intersect(F.col("d1.sh"), F.col("d2.sh"))).cast("double")
-    jac = inter / (F.size("d1.sh") + F.size("d2.sh") - inter)
-    return (
-        d1.join(
-            d2,
-            (F.col("d1.source") == F.col("d2.source"))
-            & (F.col("d1.doc_id") < F.col("d2.doc_id")),
-        )
-        .select(
-            F.col("d1.doc_id").alias("doc1"),
-            F.col("d2.doc_id").alias("doc2"),
-            F.round(jac, 4).alias("jac"),
-            jac.alias("_jac_raw"),
-        )
-        .filter(F.col("_jac_raw") >= 0.2)
-        .drop("_jac_raw")
+    pairs = docs.groupBy("source").applyInPandas(
+        _jaccard_pairs, schema="doc1 long, doc2 long, jac_raw double"
+    )
+    return pairs.select(
+        "doc1", "doc2", F.round("jac_raw", 4).alias("jac")
     )
 
 
