@@ -143,37 +143,48 @@ def d09_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment near-dup (asymmetric Jaccard |A∩B| / min(|A|,|B|)):
     catches sub-document duplication — a short doc wholly contained in
     a longer one — which symmetric Jaccard (d03) under-scores. Same
-    blocked self-join shape as d03; the sketch path at scale is the
-    same MinHash bands (containment ≈ jaccard·(|A|+|B|)/2min)."""
-    docs = table(spark, sf_dir, "documents")
-    n_part = spark.sparkContext.defaultParallelism
-    d = (
-        docs.repartition(n_part, "source")
-        .select(
-            "doc_id",
-            "source",
-            F.array_distinct(TX.word_ngrams("text", n=3)).alias("sh"),
+    blocked incidence-matrix matmul as d03's rewrite (one applyInPandas
+    per source block; the per-pair array_intersect self-join it
+    replaces measured 3.9 s at sf0.1). Integer intersection / integer
+    min keeps the ratio the same float64 in both engines — membership
+    decided in the UDF with no epsilon. The sketch path at scale is
+    the same MinHash bands (containment ≈ jaccard·(|A|+|B|)/2min)."""
+    import numpy as np
+    import pandas as pd
+
+    def _containment_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        sets = []
+        vocab: dict[str, int] = {}
+        for t in pdf["text"]:
+            toks = t.split(" ")
+            s = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            sets.append(np.array(
+                [vocab.setdefault(g, len(vocab)) for g in s], dtype=np.int64
+            ))
+        n, v = len(sets), len(vocab)
+        A = np.zeros((n, v), dtype=np.float32)
+        for r, idx in enumerate(sets):
+            A[r, idx] = 1.0
+        inter = (A @ A.T).astype(np.float64)
+        sizes = np.array([len(s) for s in sets], dtype=np.int64)
+        mn = np.minimum(sizes[:, None], sizes[None, :])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cont = np.where(mn > 0, inter / mn, 0.0)
+        i, j = np.nonzero(np.triu(cont >= 0.2, 1))
+        ids = pdf["doc_id"].values
+        return pd.DataFrame(
+            {"doc1": ids[i], "doc2": ids[j], "cont_raw": cont[i, j]}
         )
-        .cache()
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
     )
-    d.count()  # materialize before the self-join (see d03)
-    d1, d2 = d.alias("d1"), d.alias("d2")
-    inter = F.size(F.array_intersect(F.col("d1.sh"), F.col("d2.sh"))).cast("double")
-    cont = inter / F.least(F.size("d1.sh"), F.size("d2.sh"))
-    return (
-        d1.join(
-            d2,
-            (F.col("d1.source") == F.col("d2.source"))
-            & (F.col("d1.doc_id") < F.col("d2.doc_id")),
-        )
-        .select(
-            F.col("d1.doc_id").alias("doc1"),
-            F.col("d2.doc_id").alias("doc2"),
-            F.round(cont, 4).alias("containment"),
-            cont.alias("_raw"),
-        )
-        .filter(F.col("_raw") >= 0.2)
-        .drop("_raw")
+    pairs = docs.groupBy("source").applyInPandas(
+        _containment_pairs, schema="doc1 long, doc2 long, cont_raw double"
+    )
+    return pairs.select(
+        "doc1", "doc2", F.round("cont_raw", 4).alias("containment")
     )
 
 
