@@ -172,10 +172,17 @@ def d03_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [vocab.setdefault(g, len(vocab)) for g in s], dtype=np.int64
             ))
         n, v = len(sets), len(vocab)
-        A = np.zeros((n, v), dtype=np.float32)
-        for r, idx in enumerate(sets):
-            A[r, idx] = 1.0
-        inter = (A @ A.T).astype(np.float64)
+        # vocab-chunked accumulation: the full n x v incidence is
+        # ~n*v*4 bytes (1.5 GB at the 10x block size) — chunking bounds
+        # the transient to n*32k*4 while the matmul result is identical
+        inter = np.zeros((n, n), dtype=np.float64)
+        chunk = 32768
+        for lo in range(0, v, chunk):
+            A = np.zeros((n, min(chunk, v - lo)), dtype=np.float32)
+            for r, idx in enumerate(sets):
+                sel = idx[(idx >= lo) & (idx < lo + chunk)] - lo
+                A[r, sel] = 1.0
+            inter += A @ A.T
         sizes = np.array([len(s) for s in sets], dtype=np.int64)
         union = sizes[:, None] + sizes[None, :] - inter
         with np.errstate(divide="ignore", invalid="ignore"):

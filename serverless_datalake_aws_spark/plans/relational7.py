@@ -163,10 +163,16 @@ def d09_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [vocab.setdefault(g, len(vocab)) for g in s], dtype=np.int64
             ))
         n, v = len(sets), len(vocab)
-        A = np.zeros((n, v), dtype=np.float32)
-        for r, idx in enumerate(sets):
-            A[r, idx] = 1.0
-        inter = (A @ A.T).astype(np.float64)
+        # vocab-chunked accumulation (see d03): bounds the transient
+        # incidence slab to n x 32k regardless of block vocabulary
+        inter = np.zeros((n, n), dtype=np.float64)
+        chunk = 32768
+        for lo in range(0, v, chunk):
+            A = np.zeros((n, min(chunk, v - lo)), dtype=np.float32)
+            for r, idx in enumerate(sets):
+                sel = idx[(idx >= lo) & (idx < lo + chunk)] - lo
+                A[r, sel] = 1.0
+            inter += A @ A.T
         sizes = np.array([len(s) for s in sets], dtype=np.int64)
         mn = np.minimum(sizes[:, None], sizes[None, :])
         with np.errstate(divide="ignore", invalid="ignore"):
