@@ -1,0 +1,127 @@
+"""Versioned table writes + time-travel reads + lifecycle vacuum.
+
+The reference turns on S3 bucket VERSIONING for the lake bucket
+(`terraform-Infrastructure-provisioning/aws-data-lake-terraform-main.tf:8-13`):
+every overwrite keeps the previous object as a noncurrent version, and
+(implicitly, via S3 lifecycle policy) old versions are expired. Plain
+Parquet directories have no such protection — an `overwrite` is
+destructive, and the crash-safe swap (engine._publish_meta_swap) keeps
+only the newest state. This module supplies the missing semantics,
+Spark-first:
+
+- `write_versioned(df, root)` — publishes `root/_v=<n>/` and moves the
+  `_CURRENT` pointer only after the data + commit flag are fully
+  written, so a reader resolving the pointer NEVER sees a half-written
+  version (same commit-flag discipline as the K7 swap). Prior versions
+  stay on disk — the bucket-versioning behavior.
+- `read_versioned(spark, root, version=None)` — current or explicit
+  version (time travel; S3's version-id GET).
+- `vacuum(root, keep=2)` — lifecycle `noncurrent_version_expiration`:
+  prune all but the newest `keep` noncurrent versions; the current
+  version is never eligible.
+
+At 100 TB the layout is object-store-friendly: each version is an
+immutable directory (no renames of data files — only the tiny pointer
+file is replaced), versions prune independently, and readers cost one
+extra pointer GET.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+_PREFIX = "_v="
+_POINTER = "_CURRENT"
+_FLAG = "_COMMITTED"
+
+
+def _versions(root: Path) -> list[int]:
+    if not root.exists():
+        return []
+    out = []
+    for p in root.iterdir():
+        if p.is_dir() and p.name.startswith(_PREFIX):
+            try:
+                out.append(int(p.name[len(_PREFIX):]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _committed(root: Path, v: int) -> bool:
+    return (root / f"{_PREFIX}{v}" / _FLAG).exists()
+
+
+def current_version(root: str | Path) -> int | None:
+    """The version the `_CURRENT` pointer names, or None if unborn."""
+    ptr = Path(root) / _POINTER
+    if not ptr.exists():
+        return None
+    return int(ptr.read_text().strip())
+
+
+def write_versioned(
+    df: DataFrame, root: str | Path, fmt: str = "parquet"
+) -> int:
+    """Publish `df` as the next version of the table at `root` and
+    return the version number. Prior versions are preserved (bucket-
+    versioning semantics). Publication order: data → commit flag →
+    pointer; a crash between any two steps leaves the previous current
+    version intact and the partial write inert (uncommitted dirs are
+    ignored by readers and reclaimed by `vacuum`)."""
+    root = Path(root)
+    root.mkdir(parents=True, exist_ok=True)
+    seen = _versions(root)
+    v = (seen[-1] + 1) if seen else 1
+    vdir = root / f"{_PREFIX}{v}"
+    if fmt == "parquet":
+        df.write.mode("overwrite").parquet(str(vdir))
+    elif fmt in ("json", "ndjson"):
+        df.write.mode("overwrite").json(str(vdir))
+    else:
+        raise ValueError(f"unsupported versioned format: {fmt}")
+    (vdir / _FLAG).write_text("ok\n")
+    tmp = root / f"{_POINTER}.tmp"
+    tmp.write_text(f"{v}\n")
+    tmp.replace(root / _POINTER)  # atomic pointer move
+    return v
+
+
+def read_versioned(
+    spark: SparkSession,
+    root: str | Path,
+    version: int | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Read the current (default) or an explicit committed version."""
+    root = Path(root)
+    v = current_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no current version at {root}")
+    if not _committed(root, v):
+        raise FileNotFoundError(f"version {v} at {root} is not committed")
+    vdir = str(root / f"{_PREFIX}{v}")
+    if fmt == "parquet":
+        return spark.read.parquet(vdir)
+    return spark.read.json(vdir)
+
+
+def vacuum(root: str | Path, keep: int = 2) -> list[int]:
+    """Expire noncurrent versions, keeping the newest `keep` of them —
+    the lifecycle `noncurrent_version_expiration` rule. Uncommitted
+    (crashed) version dirs are always reclaimed. The current version is
+    never deleted. Returns the pruned version numbers."""
+    root = Path(root)
+    cur = current_version(root)
+    pruned: list[int] = []
+    noncurrent = [v for v in _versions(root) if v != cur]
+    uncommitted = [v for v in noncurrent if not _committed(root, v)]
+    committed = [v for v in noncurrent if _committed(root, v)]
+    expired = committed[:-keep] if keep > 0 else committed
+    for v in uncommitted + expired:
+        shutil.rmtree(root / f"{_PREFIX}{v}")
+        pruned.append(v)
+    return sorted(pruned)

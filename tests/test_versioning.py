@@ -1,0 +1,67 @@
+"""Versioned-table surface: bucket-versioning semantics over plain
+parquet (reference: aws-data-lake-terraform-main.tf:8-13 enables S3
+versioning; lifecycle vacuum mirrors noncurrent_version_expiration)."""
+
+from __future__ import annotations
+
+import pytest
+
+from serverless_datalake_aws_spark.sources.versioning import (
+    current_version,
+    read_versioned,
+    vacuum,
+    write_versioned,
+)
+
+
+def _df(spark, values):
+    return spark.createDataFrame([(i,) for i in values], "x int")
+
+
+def test_write_read_roundtrip_and_monotonic_versions(spark, tmp_path):
+    root = tmp_path / "tbl"
+    assert write_versioned(_df(spark, [1, 2]), root) == 1
+    assert write_versioned(_df(spark, [3]), root) == 2
+    assert current_version(root) == 2
+    assert sorted(
+        r["x"] for r in read_versioned(spark, root).collect()
+    ) == [3]
+
+
+def test_time_travel_reads_noncurrent_version(spark, tmp_path):
+    root = tmp_path / "tbl"
+    write_versioned(_df(spark, [1, 2]), root)
+    write_versioned(_df(spark, [3]), root)
+    old = read_versioned(spark, root, version=1)
+    assert sorted(r["x"] for r in old.collect()) == [1, 2]
+
+
+def test_vacuum_keeps_window_never_current(spark, tmp_path):
+    root = tmp_path / "tbl"
+    for vals in ([1], [2], [3], [4], [5]):
+        write_versioned(_df(spark, vals), root)
+    pruned = vacuum(root, keep=2)
+    assert pruned == [1, 2]  # noncurrent 1..4, newest 2 kept
+    # current + its two predecessors still readable
+    assert [r["x"] for r in read_versioned(spark, root).collect()] == [5]
+    assert [r["x"] for r in read_versioned(spark, root, 4).collect()] == [4]
+    assert [r["x"] for r in read_versioned(spark, root, 3).collect()] == [3]
+    with pytest.raises(Exception):
+        read_versioned(spark, root, 1)
+
+
+def test_crashed_publish_is_invisible_and_reclaimed(spark, tmp_path):
+    root = tmp_path / "tbl"
+    write_versioned(_df(spark, [1]), root)
+    # simulate a crash AFTER data write but BEFORE the commit flag:
+    # the directory exists, the flag does not, the pointer still names v1
+    vdir = root / "_v=2"
+    _df(spark, [9]).write.mode("overwrite").parquet(str(vdir))
+    assert current_version(root) == 1
+    assert [r["x"] for r in read_versioned(spark, root).collect()] == [1]
+    with pytest.raises(FileNotFoundError):
+        read_versioned(spark, root, 2)  # uncommitted → refused
+    assert vacuum(root, keep=2) == [2]  # reclaimed
+    # and the next publish reuses the slot without confusion
+    assert write_versioned(_df(spark, [7]), root) == 2
+    assert [r["x"] for r in read_versioned(spark, root).collect()] == [7]
