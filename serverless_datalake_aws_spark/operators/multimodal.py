@@ -129,7 +129,75 @@ def _decode_audio(payload: bytes, modality: str) -> list[float]:
     return _fake_decode(payload, modality)
 
 
-DECODERS = {"image": _fake_decode, "audio": _decode_audio, "video": _fake_decode}
+def _decode_bmp(payload: bytes) -> list[float]:
+    """Real image decode for uncompressed BMP payloads — pure header +
+    pixel-array parse, no imaging library (the WAV counterpart for the
+    image seam). Returns the 8-float feature contract: [width, height,
+    bit_depth, aspect_ratio, mean_r, mean_g, mean_b, mean_luma] with
+    channel means in [0, 1]. Supports BI_RGB 24/32-bit with a
+    BITMAPINFOHEADER (positive or top-down negative height); anything
+    else raises NotImplementedError — the declared absent-codec
+    branch."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise NotImplementedError("not a BMP payload")
+    px_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("pre-BITMAPINFOHEADER BMP unsupported")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bits = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bits not in (24, 32):
+        raise NotImplementedError(
+            f"BMP compression={compression}/{bits}-bit unsupported"
+        )
+    rows = abs(height)
+    bypp = bits // 8
+    stride = (width * bypp + 3) & ~3  # rows pad to 4-byte boundaries
+    raw = np.frombuffer(
+        payload, dtype=np.uint8, count=rows * stride, offset=px_off
+    ).reshape(rows, stride)
+    px = raw[:, : width * bypp].reshape(rows, width, bypp).astype(np.float64)
+    if height > 0:  # bottom-up storage → flip to top-down
+        px = px[::-1]
+    b, g, r = px[..., 0] / 255.0, px[..., 1] / 255.0, px[..., 2] / 255.0
+    luma = 0.299 * r + 0.587 * g + 0.114 * b
+    return [
+        float(width),
+        float(rows),
+        float(bits),
+        float(width) / rows if rows else 0.0,
+        float(r.mean()),
+        float(g.mean()),
+        float(b.mean()),
+        float(luma.mean()),
+    ]
+
+
+def _decode_image(payload: bytes, modality: str) -> list[float]:
+    """Image seam: real BMP parse when the payload IS a BMP (magic
+    sniff), deterministic fake otherwise (JPEG/PNG codecs absent in
+    this container). Same dispatch shape as the audio seam — a
+    PIL/libvips decoder registers more magics, same contract. The
+    sniff checks the header's file-size field against the payload
+    length (BMP's 2-byte magic alone false-positives on 1/65536 of
+    arbitrary binaries, which would turn the fake path into a raise)."""
+    import struct
+
+    if (
+        len(payload) >= 54
+        and payload[:2] == b"BM"
+        and struct.unpack_from("<I", payload, 2)[0] == len(payload)
+    ):
+        return _decode_bmp(payload)
+    return _fake_decode(payload, modality)
+
+
+DECODERS = {"image": _decode_image, "audio": _decode_audio, "video": _fake_decode}
 
 
 def decode_stub(payload: bytes, modality: str) -> list[float]:
