@@ -316,6 +316,44 @@ class DataLakeEngine:
         """Catalog registration (replaces the Glue crawler, S9)."""
         df.createOrReplaceTempView(name)
 
+    def _versioned_root(self, name: str) -> Path:
+        # pointer/flag maintenance uses local-FS atomic renames; on an
+        # object-store root the same layout needs the committer/rename
+        # semantics of the store (documented in SCALE.md) — refuse
+        # rather than corrupt
+        if self.is_remote:
+            raise NotImplementedError(
+                "versioned tables require a local lake root in this build"
+            )
+        return Path(self.root) / "versioned" / name
+
+    def publish_versioned(self, name: str, df: DataFrame) -> int:
+        """Publish `df` as the next version of curated table `name` —
+        the engine face of the reference's S3 bucket versioning
+        (aws-data-lake-terraform-main.tf:8-13): an overwrite preserves
+        prior versions; readers resolve an atomically-replaced pointer
+        and never observe a partial write."""
+        from serverless_datalake_aws_spark.sources.versioning import (
+            write_versioned,
+        )
+
+        return write_versioned(df, self._versioned_root(name))
+
+    def read_versioned(self, name: str, version: int | None = None) -> DataFrame:
+        """Current (default) or time-travel read of a versioned table."""
+        from serverless_datalake_aws_spark.sources.versioning import (
+            read_versioned,
+        )
+
+        return read_versioned(self.spark, self._versioned_root(name), version)
+
+    def vacuum_versioned(self, name: str, keep: int = 2) -> list[int]:
+        """Expire old noncurrent versions (the lifecycle
+        noncurrent_version_expiration rule); returns pruned versions."""
+        from serverless_datalake_aws_spark.sources.versioning import vacuum
+
+        return vacuum(self._versioned_root(name), keep=keep)
+
     def process(self, transform=None) -> DataFrame:
         """Zone promotion raw→processed (K5, lambda-function.py:210-234):
         read raw, stamp processed_timestamp (T1), apply the optional

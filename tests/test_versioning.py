@@ -65,3 +65,24 @@ def test_crashed_publish_is_invisible_and_reclaimed(spark, tmp_path):
     # and the next publish reuses the slot without confusion
     assert write_versioned(_df(spark, [7]), root) == 2
     assert [r["x"] for r in read_versioned(spark, root).collect()] == [7]
+
+
+def test_engine_versioned_roundtrip(spark, tmp_path):
+    from serverless_datalake_aws_spark.engine import DataLakeEngine
+
+    eng = DataLakeEngine(spark, tmp_path / "lake")
+    assert eng.publish_versioned("gold", _df(spark, [1, 2])) == 1
+    assert eng.publish_versioned("gold", _df(spark, [3])) == 2
+    assert [r["x"] for r in eng.read_versioned("gold").collect()] == [3]
+    assert sorted(
+        r["x"] for r in eng.read_versioned("gold", version=1).collect()
+    ) == [1, 2]
+    assert eng.vacuum_versioned("gold", keep=0) == [1]
+
+
+def test_engine_versioned_refuses_remote_root(spark):
+    from serverless_datalake_aws_spark.engine import DataLakeEngine
+
+    eng = DataLakeEngine(spark, "s3a://bucket/lake")
+    with pytest.raises(NotImplementedError):
+        eng.publish_versioned("gold", _df(spark, [1]))
