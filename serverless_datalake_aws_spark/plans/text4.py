@@ -284,3 +284,176 @@ def t30_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("incl_prob"),
     )
+
+
+_P06_K = 10  # expected post-gate sample size per source
+
+
+@query(
+    "p06_curation_pipeline",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, source, lang,
+             CASE WHEN doc_id % 3 = 0 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.' || CAST(doc_id % 100 AS VARCHAR)
+             ELSE text END AS t
+      FROM documents
+    ),
+    clean AS (
+      SELECT doc_id, source, lang,
+             CAST(len(regexp_extract_all(t, '{_EMAIL}'))
+                  + len(regexp_extract_all(t, '{_PHONE}'))
+                  + len(regexp_extract_all(t, '{_IPV4}')) AS BIGINT) AS n_pii,
+             regexp_replace(regexp_replace(regexp_replace(t,
+                 '{_EMAIL}', '[EMAIL]', 'g'),
+                 '{_PHONE}', '[PHONE]', 'g'),
+                 '{_IPV4}', '[IP]', 'g') AS ct
+      FROM aug
+    ),
+    stat AS (
+      SELECT doc_id, source, lang, n_pii, ct,
+             CAST(len(string_split(ct, ' ')) AS BIGINT) AS n_tokens,
+             list_max(list_transform(
+                 list_distinct(string_split(ct, ' ')),
+                 u -> len(list_filter(string_split(ct, ' '), x -> x = u))))
+                 AS top_c
+      FROM clean
+    ),
+    gated AS (
+      SELECT *,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h,
+             CAST(len(ct) AS BIGINT) AS w,
+             sum(CAST(len(ct) AS BIGINT)) OVER (PARTITION BY source) AS sum_w
+      FROM stat
+      WHERE n_tokens >= 10
+        AND CAST(top_c AS DOUBLE) / n_tokens <= 0.3
+    )
+    SELECT doc_id, source, lang, n_tokens,
+           round(CAST(top_c AS DOUBLE) / n_tokens, 6) AS top_share,
+           n_pii, md5(ct) AS clean_md5,
+           round(least(1.0, {_P06_K} * CAST(w AS DOUBLE) / sum_w), 6)
+               AS incl_prob
+    FROM gated
+    WHERE h * sum_w < CAST({_P06_K} AS BIGINT) * w * {_HASH_SPAN}
+    """,
+)
+def p06_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline v2, composing the round-4 operators
+    into ONE Catalyst plan: PII scrub (t28's regex chain) → repetition
+    quality gate on the SCRUBBED text (t29's sorted-run-length fold;
+    drop if the top unigram takes >30% of tokens or <10 tokens) → PPS
+    sample ∝ clean length, expected {_P06_K} docs per source (t30's
+    all-integer hash threshold). Output: surviving docs with their
+    quality signals, PII count, clean digest, and inclusion
+    probability. p05 is the dedup+packing pipeline; p06 is the
+    scrub+gate+sample pipeline that precedes it in a real pretraining
+    data flow.
+
+    Scale: every stage before the sampler is row-local (regex + array
+    folds, no UDF, no explode); the ONLY exchange is the per-source
+    weight-sum window — the oracle proves identical values through
+    fully different algorithms (quadratic count-distinct SQL vs sorted
+    run-length fold). At production source counts, replace the window
+    with a tiny aggregate + broadcast join (t30's note)."""
+    docs = table(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 100).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    n_pii = (
+        F.regexp_count(aug, F.lit(_EMAIL))
+        + F.regexp_count(aug, F.lit(_PHONE))
+        + F.regexp_count(aug, F.lit(_IPV4))
+    )
+    ct = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _EMAIL, "[EMAIL]"), _PHONE, "[PHONE]"
+        ),
+        _IPV4,
+        "[IP]",
+    )
+    toks = F.split(ct, " ")
+    n_tokens = F.size(toks)
+
+    def max_run(arr):  # longest equal-adjacent run (t29's fold)
+        return F.aggregate(
+            arr,
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(1)
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(1),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+
+    top_c = max_run(F.array_sort(toks))
+    stat = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        n_pii.cast("long").alias("n_pii"),
+        ct.alias("ct"),
+        n_tokens.cast("long").alias("n_tokens"),
+        top_c.alias("top_c"),
+    )
+    gated = stat.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("top_c").cast("double") / F.col("n_tokens") <= 0.3)
+    ).select(
+        "*",
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        )
+        .cast("long")
+        .alias("h"),
+        F.length("ct").cast("long").alias("w"),
+        F.sum(F.length("ct").cast("long"))
+        .over(W.partitionBy("source"))
+        .alias("sum_w"),
+    )
+    return gated.filter(
+        F.col("h") * F.col("sum_w")
+        < F.lit(_P06_K).cast("long") * F.col("w") * F.lit(_HASH_SPAN)
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_tokens",
+        F.round(
+            F.col("top_c").cast("double") / F.col("n_tokens"), 6
+        ).alias("top_share"),
+        "n_pii",
+        F.md5("ct").alias("clean_md5"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(_P06_K) * F.col("w").cast("double") / F.col("sum_w"),
+            ),
+            6,
+        ).alias("incl_prob"),
+    )

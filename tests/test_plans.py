@@ -330,3 +330,16 @@ def test_s18_semdedup_blocked_not_global(spark):
     assert "MapInPandas" in plan
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_p06_curation_pipeline_single_exchange(spark):
+    # scrub + quality gate are scan-side row-local work; the ONLY
+    # exchange is the per-source weight-sum window, and the scan reads
+    # exactly the four referenced columns
+    plan = _plan(spark, "p06_curation_pipeline")
+    assert (
+        "ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string>"
+        in plan
+    )
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "Generate" not in plan
