@@ -34,16 +34,37 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
 DEFAULT_PROBE = (
+    "d03_ngram_jaccard_pairs",
     "d04_minhash_lsh_pairs",
+    "d09_containment_pairs",
     "d11_simhash_banded_pairs",
     "s02_lsh_ann",
+    "s03_embedding_neardup",
     "s05_ivf_ann",
+    "s12_knn_graph",
     "s18_semdedup",
     "t28_pii_redaction",
     "t29_repetition_signals",
     "t30_pps_sample",
     "p05_training_data_pipeline",
+    "p06_curation_pipeline",
 )
+
+
+_SHARDS = 16  # single-file tables scan as ONE Spark task regardless of
+# cores (files split at maxPartitionBytes=128MB) — a 4 MB fixture file
+# serializes every row-local stage; shard so the probe measures the
+# multi-file reality of any real table
+
+
+def _write_sharded(t: pa.Table, path: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    n = t.num_rows
+    step = (n + _SHARDS - 1) // _SHARDS
+    for s in range(_SHARDS):
+        chunk = t.slice(s * step, step)
+        if chunk.num_rows:
+            pq.write_table(chunk, os.path.join(path, f"part-{s:03d}.parquet"))
 
 
 def _build_documents(out_dir: str) -> None:
@@ -81,7 +102,7 @@ def _build_documents(out_dir: str) -> None:
             "n_chars": pa.array(n_chars, pa.int64()),
         }
     )
-    pq.write_table(out, os.path.join(out_dir, "documents.parquet"))
+    _write_sharded(out, os.path.join(out_dir, "documents.parquet"))
 
 
 def _build_embeddings(out_dir: str) -> None:
@@ -111,7 +132,7 @@ def _build_embeddings(out_dir: str) -> None:
             "label": pa.array(labels, pa.int32()),
         }
     )
-    pq.write_table(out, os.path.join(out_dir, "embeddings.parquet"))
+    _write_sharded(out, os.path.join(out_dir, "embeddings.parquet"))
 
 
 def build_fixture(out_dir: str) -> None:
