@@ -85,25 +85,46 @@ def q30_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q31_argmax",
     oracle="""
+    WITH w AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice, o_orderdate,
+             max(o_totalprice) OVER (PARTITION BY o_orderpriority) AS mx,
+             min(o_orderdate) OVER (PARTITION BY o_orderpriority) AS md
+      FROM orders
+    )
     SELECT o_orderpriority,
-           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           min(o_orderkey) FILTER (WHERE o_totalprice = mx) AS biggest_order,
            round(max(o_totalprice), 4) AS biggest_price,
-           arg_min(o_orderkey, o_orderdate) AS earliest_order
-    FROM orders
+           min(o_orderkey) FILTER (WHERE o_orderdate = md) AS earliest_order
+    FROM w
     GROUP BY o_orderpriority
     """,
 )
 def q31_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Argmax/argmin aggregates (max_by/min_by — Presto surface fns).
-
-    Determinism note: ties on the ordering value would make arg_max
-    engine-dependent; o_totalprice/o_orderdate ties across orderkeys are
-    absent in this data (verified by the hash gate)."""
+    """Argmax/argmin aggregates (max_by/min_by — Presto surface fns)
+    with an EXPLICIT smallest-key tie-break: plain arg_max is
+    engine-dependent on ordering-value ties, and sf0.1 has two orders
+    sharing a group's max o_totalprice (found by the full-registry
+    sf0.1 parity sweep — absent at the sf0.001/sf0.01 gates). Spark
+    breaks the tie via struct-ordered max_by/min_by; the oracle via
+    window-max + filtered min — two different algorithms, same
+    deterministic answer."""
     orders = table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
-        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.max_by(
+            "o_orderkey",
+            F.struct(
+                F.col("o_totalprice").alias("v"),
+                (-F.col("o_orderkey")).alias("nk"),
+            ),
+        ).alias("biggest_order"),
         F.round(F.max("o_totalprice"), 4).alias("biggest_price"),
-        F.min_by("o_orderkey", "o_orderdate").alias("earliest_order"),
+        F.min_by(
+            "o_orderkey",
+            F.struct(
+                F.col("o_orderdate").alias("v"),
+                F.col("o_orderkey").alias("k"),
+            ),
+        ).alias("earliest_order"),
     )
 
 
