@@ -43,6 +43,10 @@ HEADLINE = (
     "s01_knn_bruteforce",
     "s02_lsh_ann",
     "s05_ivf_ann",
+    # round-4 additions (new rows; the 19 rows above keep their
+    # round-over-round continuity)
+    "s18_semdedup",
+    "p06_curation_pipeline",
 )
 
 
