@@ -112,3 +112,80 @@ def m04_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("global_max")
     )
+
+
+@query(
+    "m05_quality_constraints",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'complete_custkey' AS check_name, 'completeness' AS metric,
+             'o_custkey' AS col_name,
+             round(avg(CAST(o_custkey IS NOT NULL AS DOUBLE)), 6) AS value,
+             avg(CAST(o_custkey IS NOT NULL AS DOUBLE)) >= 0.999 AS passed
+      FROM orders
+      UNION ALL
+      SELECT 'complete_orderdate', 'completeness', 'o_orderdate',
+             round(avg(CAST(o_orderdate IS NOT NULL AS DOUBLE)), 6),
+             avg(CAST(o_orderdate IS NOT NULL AS DOUBLE)) >= 0.999
+      FROM orders
+      UNION ALL
+      SELECT 'unique_orderkey', 'uniqueness', 'o_orderkey',
+             round(CAST(count(DISTINCT o_orderkey) AS DOUBLE)
+                   / count(*), 6),
+             CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*) >= 1.0
+      FROM orders
+      UNION ALL
+      SELECT 'valid_status', 'compliance', '',
+             round(avg(CAST(coalesce(o_orderstatus IN ('F','O','P'), FALSE)
+                            AS DOUBLE)), 6),
+             avg(CAST(coalesce(o_orderstatus IN ('F','O','P'), FALSE)
+                      AS DOUBLE)) >= 1.0
+      FROM orders
+      UNION ALL
+      SELECT 'positive_price', 'min', 'o_totalprice',
+             round(CAST(min(o_totalprice) AS DOUBLE), 6),
+             min(o_totalprice) >= 0.0
+      FROM orders
+      UNION ALL
+      SELECT 'nonempty', 'row_count', '',
+             round(CAST(count(*) AS DOUBLE), 6),
+             count(*) >= 1.0
+      FROM orders
+    ) ORDER BY check_name
+    """,
+)
+def m05_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality gate over the orders feed —
+    the contract layer the reference's accept-any-JSON ingest
+    (ingest-data-lambda.py:119-133 stamps defaults instead of
+    validating) leaves to downstream consumers.
+
+    All six checks ride ONE shared aggregation scan (algebraic
+    aggregates, map-side combined: one row per partition shuffles);
+    only the exact-uniqueness check runs as its own single-row leg,
+    cross-joined back, so COUNT(DISTINCT) can't drag the shared
+    metrics through an Expand plan (SCALE.md q38 lesson). At 100 TB:
+    N checks == one scan, and uniqueness downgrades to the HLL
+    `approx_uniqueness` metric that rides the shared pass too."""
+    from serverless_datalake_aws_spark.operators.quality import (
+        Check,
+        quality_report,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    return quality_report(
+        orders,
+        [
+            Check("complete_custkey", "completeness", "o_custkey", at_least=0.999),
+            Check("complete_orderdate", "completeness", "o_orderdate", at_least=0.999),
+            Check("unique_orderkey", "uniqueness", "o_orderkey", at_least=1.0),
+            Check(
+                "valid_status",
+                "compliance",
+                predicate="o_orderstatus IN ('F','O','P')",
+                at_least=1.0,
+            ),
+            Check("positive_price", "min", "o_totalprice", at_least=0.0),
+            Check("nonempty", "row_count", at_least=1.0),
+        ],
+    )

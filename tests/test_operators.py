@@ -174,3 +174,63 @@ def test_skew_stats_orders_hot_keys_first(spark):
     rows = skew_stats(df, "k").collect()
     assert rows[0]["k"] == "hot" and rows[0]["n"] == 50
     assert rows[1]["k"] == "warm"
+
+
+def test_quality_report_verdicts_and_gate(spark):
+    from serverless_datalake_aws_spark.operators.quality import (
+        Check,
+        assert_quality,
+        quality_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ok", 5.0), (2, "ok", -1.0), (3, None, 2.0), (3, "bad", 4.0)],
+        "id int, status string, amount double",
+    )
+    rows = {
+        r["check_name"]: r
+        for r in quality_report(
+            df,
+            [
+                Check("c_status", "completeness", "status", at_least=0.9),
+                Check("u_id", "uniqueness", "id", at_least=1.0),
+                Check("ok_only", "compliance", predicate="status = 'ok'", at_least=1.0),
+                Check("amt_min", "min", "amount", at_least=0.0),
+                Check("n", "row_count", at_least=1.0),
+            ],
+        ).collect()
+    }
+    assert rows["c_status"]["value"] == 0.75 and not rows["c_status"]["passed"]
+    assert rows["u_id"]["value"] == 0.75 and not rows["u_id"]["passed"]
+    assert rows["ok_only"]["value"] == 0.5 and not rows["ok_only"]["passed"]
+    assert rows["amt_min"]["value"] == -1.0 and not rows["amt_min"]["passed"]
+    assert rows["n"]["value"] == 4.0 and rows["n"]["passed"]
+
+    try:
+        assert_quality(df, [Check("u_id", "uniqueness", "id", at_least=1.0)])
+        raise AssertionError("gate should have raised")
+    except ValueError as exc:
+        assert "u_id" in str(exc)
+    # passing gate is silent
+    assert_quality(df, [Check("n", "row_count", at_least=1.0)])
+
+
+def test_quality_distinct_leg_never_expands_shared_pass(spark):
+    """COUNT(DISTINCT) must run as its own single-row leg: the shared
+    aggregation's plan must not contain an Expand node (the 14x q38
+    pathology), and the distinct leg joins back as a 1-row cross."""
+    from serverless_datalake_aws_spark.operators.quality import Check, quality_report
+
+    df = spark.range(1000).withColumn("v", F.col("id") % 7)
+    report = quality_report(
+        df,
+        [
+            Check("c", "completeness", "v", at_least=0.5),
+            Check("u", "uniqueness", "v"),
+            Check("mx", "max", "v"),
+        ],
+    )
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    got = {r["check_name"]: r["value"] for r in report.collect()}
+    assert got == {"c": 1.0, "u": 0.007, "mx": 6.0}
