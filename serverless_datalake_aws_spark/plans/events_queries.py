@@ -446,3 +446,65 @@ def e16_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("wau"))
         .select(F.date_format("day_d", "yyyy-MM-dd").alias("day"), "wau")
     )
+
+
+@query(
+    "e17_incremental_rollup",
+    oracle="""
+    SELECT event_type, date_trunc('day', ts) AS day,
+           count(*) AS n_rows,
+           round(sum(value), 4) AS sum_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value,
+           round(sum(value) / count(*), 6) AS avg_value
+    FROM events
+    GROUP BY event_type, date_trunc('day', ts)
+    ORDER BY event_type, day
+    """,
+)
+def e17_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the daily rollup is computed
+    as merge(partial(first-half), partial(second-half)) — the
+    algebraic form that lets a 100 TB rollup absorb a delta batch by
+    touching only delta rows + |groups| rollup rows, never re-scanning
+    history (operators/incremental.py). The oracle recomputes from
+    scratch; equality IS the maintenance-correctness proof: sums add,
+    mins/maxes fold, and avg is finalized from merged sum/count
+    (averaging per-batch averages would be wrong the moment batch
+    sizes differ).
+
+    Scale: each partial is one map-side-combined pass over its batch;
+    the merge shuffles |groups| rows only."""
+    from serverless_datalake_aws_spark.operators.incremental import (
+        finalize_rollup,
+        merge_rollups,
+        partial_rollup,
+    )
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    base = ev.filter(F.dayofmonth("ts") <= 15)
+    delta = ev.filter(F.dayofmonth("ts") > 15)
+    keys = ["event_type", "day"]
+    merged = merge_rollups(
+        [
+            partial_rollup(base, keys, ["value"]),
+            partial_rollup(delta, keys, ["value"]),
+        ],
+        keys,
+        ["value"],
+    )
+    return (
+        finalize_rollup(merged, ["value"])
+        .select(
+            "event_type",
+            "day",
+            "n_rows",
+            F.round("sum_value", 4).alias("sum_value"),
+            F.round("min_value", 6).alias("min_value"),
+            F.round("max_value", 6).alias("max_value"),
+            F.round(F.col("avg_value"), 6).alias("avg_value"),
+        )
+        .orderBy("event_type", "day")
+    )

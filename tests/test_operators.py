@@ -234,3 +234,43 @@ def test_quality_distinct_leg_never_expands_shared_pass(spark):
     assert "Expand" not in plan
     got = {r["check_name"]: r["value"] for r in report.collect()}
     assert got == {"c": 1.0, "u": 0.007, "mx": 6.0}
+
+
+def test_maintained_rollup_matches_recompute_over_batches(spark, tmp_path):
+    """Three delta batches absorbed incrementally must equal a full
+    recompute — including avg finalized from merged partials."""
+    from serverless_datalake_aws_spark.operators.incremental import (
+        MaintainedRollup,
+        finalize_rollup,
+        partial_rollup,
+    )
+
+    rollup = MaintainedRollup(
+        spark, str(tmp_path / "rollup"), keys=["k"], measures=["v"]
+    )
+    batches = [
+        [("a", 1.0), ("a", 3.0), ("b", 10.0)],
+        [("a", 5.0), ("c", -2.0)],
+        [("b", 4.0), ("c", 0.0), ("c", 8.0)],
+    ]
+    all_rows = []
+    for rows in batches:
+        rollup.apply(spark.createDataFrame(rows, "k string, v double"))
+        all_rows += rows
+    expect = {
+        (r["k"]): (r["n_rows"], r["sum_v"], r["min_v"], r["max_v"], r["avg_v"])
+        for r in finalize_rollup(
+            partial_rollup(
+                spark.createDataFrame(all_rows, "k string, v double"),
+                ["k"],
+                ["v"],
+            ),
+            ["v"],
+        ).collect()
+    }
+    got = {
+        (r["k"]): (r["n_rows"], r["sum_v"], r["min_v"], r["max_v"], r["avg_v"])
+        for r in rollup.read().collect()
+    }
+    assert got == expect
+    assert got["a"] == (3, 9.0, 1.0, 5.0, 3.0)
