@@ -85,18 +85,35 @@ class MaintainedRollup:
         self.keys = keys
         self.measures = measures
 
+    def _read_current(self) -> DataFrame | None:
+        """Stored partials, or None ONLY when the rollup has never been
+        published. Any other read failure (corrupt footer, permission,
+        transient IO) propagates — treating it as "first batch" would
+        overwrite all accumulated history with one delta's partials."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self.spark.read.parquet(self.path)
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return None
+            raise
+
     def apply(self, delta: DataFrame) -> None:
         batch = partial_rollup(delta, self.keys, self.measures)
-        try:
-            current = self.spark.read.parquet(self.path)
-            merged = merge_rollups(
-                [current, batch], self.keys, self.measures
-            )
-        except Exception:  # first batch: no table yet
+        current = self._read_current()
+        if current is None:
             merged = batch
+        else:
+            merged = merge_rollups([current, batch], self.keys, self.measures)
         tmp = self.path + "._tmp"
         merged.write.mode("overwrite").parquet(tmp)
         self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
+        # Verify the publish before dropping the _tmp copy: a crash (or
+        # partial write) above leaves the tmp partials as the recovery
+        # point instead of a corrupt, unrecoverable rollup.
+        self.spark.read.parquet(self.path).count()
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)  # local-FS cleanup; object

@@ -27,27 +27,47 @@ from pyspark.sql import functions as F
 def interleave_bits(a: Column, b: Column, bits: int) -> Column:
     """Morton-interleave two non-negative int columns of `bits` bits:
     a's bit i lands at 2i, b's at 2i+1. Pure codegen-able bit math."""
+    one = F.lit(1).cast("long")
     z = F.lit(0).cast("long")
     for i in range(bits):
-        z = (
-            z
-            | F.shiftleft(F.shiftright(a.cast("long"), i) & F.lit(1), 2 * i)
-            | F.shiftleft(F.shiftright(b.cast("long"), i) & F.lit(1), 2 * i + 1)
-        )
+        bit_a = F.shiftleft(F.shiftright(a.cast("long"), i).bitwiseAND(one), 2 * i)
+        bit_b = F.shiftleft(F.shiftright(b.cast("long"), i).bitwiseAND(one), 2 * i + 1)
+        z = z.bitwiseOR(bit_a).bitwiseOR(bit_b)
     return z
 
 
 def quantize(col: Column, lo: Column, hi: Column, bits: int) -> Column:
-    """Map values in [lo, hi] to integer cells [0, 2^bits) by uniform
-    binning — exact integer arithmetic (mul then floor-div), so every
-    engine agrees on the cell id."""
-    cells = F.lit(1 << bits).cast("long")
-    span = (hi.cast("long") - lo.cast("long") + F.lit(1)).cast("long")
-    return ((col.cast("long") - lo.cast("long")) * cells).cast("long").__div__(
-        span
-    ).cast("long") if False else F.expr(
-        f"CAST(((({col._jc.toString()}) - ({lo._jc.toString()})) * {1 << bits}) "
-        f"DIV (({hi._jc.toString()}) - ({lo._jc.toString()}) + 1) AS BIGINT)"
+    """Map long values in [lo, hi] to integer cells [0, 2^bits) by
+    uniform binning. Exact arithmetic: the scaled numerator is decimal
+    (no double rounding past 2^53), and floor-of-nonnegative-quotient
+    equals integer division, so every engine agrees on the cell id.
+    Inputs must already be long-valued (see `_as_long` for the
+    date/timestamp conversions); lo/hi are the inclusive global bounds."""
+    cells = F.lit(1 << bits).cast("decimal(38,0)")
+    lo_d = lo.cast("decimal(38,0)")
+    span = hi.cast("decimal(38,0)") - lo_d + F.lit(1).cast("decimal(38,0)")
+    scaled = (col.cast("decimal(38,0)") - lo_d) * cells
+    return F.floor(scaled / span).cast("long")
+
+
+# Integral-valued types quantize() accepts directly; date/timestamp are
+# converted to days/seconds since epoch. Fractional types are rejected —
+# uniform binning on floats needs a declared precision, which the caller
+# should make explicit by pre-bucketing (e.g. F.round(c * 100)).
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _as_long(name: str, dtype: str) -> Column:
+    if dtype in _INTEGRAL_TYPES:
+        return F.col(name).cast("long")
+    if dtype == "date":
+        return F.datediff(F.col(name), F.to_date(F.lit("1970-01-01")))
+    if dtype.startswith("timestamp"):
+        return F.unix_timestamp(F.col(name))
+    raise TypeError(
+        f"zorder cluster column {name!r} has non-integral type {dtype}; "
+        "supported: tinyint/smallint/int/bigint/date/timestamp. "
+        "Pre-bucket fractional columns explicitly (e.g. round(c*100))."
     )
 
 
@@ -66,22 +86,26 @@ def zorder_write(
     contiguous z-range — i.e. a small rectangle in (cols[0], cols[1])
     space that parquet footer stats expose to any scan."""
     ca, cb = cols
+    dtypes = dict(df.dtypes)
+    la, lb = _as_long(ca, dtypes[ca]), _as_long(cb, dtypes[cb])
+    df = df.withColumn("_la", la).withColumn("_lb", lb)
     b = df.agg(
-        F.min(ca).alias("lo_a"),
-        F.max(ca).alias("hi_a"),
-        F.min(cb).alias("lo_b"),
-        F.max(cb).alias("hi_b"),
+        F.min("_la").alias("lo_a"),
+        F.max("_la").alias("hi_a"),
+        F.min("_lb").alias("lo_b"),
+        F.max("_lb").alias("hi_b"),
     ).collect()[0]
-    qa = F.expr(
-        f"CAST((({ca} - {b['lo_a']}) * {1 << bits}) "
-        f"DIV ({b['hi_a']} - {b['lo_a']} + 1) AS BIGINT)"
-    )
-    qb = F.expr(
-        f"CAST((({cb} - {b['lo_b']}) * {1 << bits}) "
-        f"DIV ({b['hi_b']} - {b['lo_b']} + 1) AS BIGINT)"
-    )
+    for k in ("lo_a", "hi_a", "lo_b", "hi_b"):
+        if b[k] is None:
+            raise ValueError(
+                f"zorder_write: cluster columns {cols} have NULL min/max "
+                "(empty input or all-NULL column) — nothing to cluster on"
+            )
+    qa = quantize(F.col("_la"), F.lit(b["lo_a"]), F.lit(b["hi_a"]), bits)
+    qb = quantize(F.col("_lb"), F.lit(b["lo_b"]), F.lit(b["hi_b"]), bits)
     (
         df.withColumn("_zv", interleave_bits(qa, qb, bits))
+        .drop("_la", "_lb")
         .repartitionByRange(num_files, "_zv")
         .sortWithinPartitions("_zv")
         .drop("_zv")

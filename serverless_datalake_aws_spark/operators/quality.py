@@ -87,6 +87,18 @@ def quality_report(df: DataFrame, checks: list[Check]) -> DataFrame:
     the quoted-identifier-free names keep verdicts portable.)"""
     if not checks:
         raise ValueError("no checks declared")
+    names = [c.name for c in checks]
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    if dupes:
+        # Every metric aliases as m_<name>; a shared name would make one
+        # verdict silently read the other's metric (or fail ambiguous).
+        raise ValueError(f"duplicate check names: {dupes}")
+    needs_column = {"completeness", "uniqueness", "approx_uniqueness", "min", "max", "mean"}
+    for c in checks:
+        if c.metric in needs_column and c.column is None:
+            raise ValueError(f"check {c.name!r}: metric {c.metric!r} requires `column`")
+        if c.metric == "compliance" and c.predicate is None:
+            raise ValueError(f"check {c.name!r}: metric 'compliance' requires `predicate`")
     shared = [c for c in checks if c.metric in _SHARED]
     exact = [c for c in checks if c.metric == "uniqueness"]
     unknown = [c for c in checks if c.metric not in _SHARED and c.metric != "uniqueness"]

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from serverless_datalake_aws_spark.operators.components import connected_components
@@ -274,3 +275,37 @@ def test_maintained_rollup_matches_recompute_over_batches(spark, tmp_path):
     }
     assert got == expect
     assert got["a"] == (3, 9.0, 1.0, 5.0, 3.0)
+
+
+def test_maintained_rollup_corrupt_read_propagates(spark, tmp_path):
+    """A failing read of the stored rollup must NOT be mistaken for
+    'first batch' — that would silently reset all history (ADVICE r4)."""
+    from serverless_datalake_aws_spark.operators.incremental import MaintainedRollup
+
+    path = tmp_path / "rollup"
+    path.mkdir()
+    (path / "part-00000.parquet").write_text("not a parquet file")
+    rollup = MaintainedRollup(spark, str(path), keys=["k"], measures=["v"])
+    delta = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    with pytest.raises(Exception):
+        rollup.apply(delta)
+    # the corrupt file is untouched — nothing was overwritten
+    assert (path / "part-00000.parquet").read_text() == "not a parquet file"
+
+
+def test_quality_rejects_duplicate_names_and_missing_args(spark):
+    from serverless_datalake_aws_spark.operators.quality import Check, quality_report
+
+    df = spark.range(5).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="duplicate check names"):
+        quality_report(
+            df,
+            [
+                Check("c", "completeness", "v"),
+                Check("c", "max", "v"),
+            ],
+        )
+    with pytest.raises(ValueError, match="requires `column`"):
+        quality_report(df, [Check("c", "completeness")])
+    with pytest.raises(ValueError, match="requires `predicate`"):
+        quality_report(df, [Check("c", "compliance")])

@@ -9,7 +9,9 @@ from serverless_datalake_aws_spark.plans import all_oracles, all_queries
 from serverless_datalake_aws_spark.testing import check_query
 from tests.conftest import SF_DIR
 
-QUERY_NAMES = sorted(all_queries())
+# The mirror runs distinct queries only — the driver-sample aliases
+# (plans.DRIVER_SAMPLE_ALIASES) point at names already in this list.
+QUERY_NAMES = sorted(all_queries(include_aliases=False))
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
