@@ -47,6 +47,9 @@ HEADLINE = (
     # round-over-round continuity)
     "s18_semdedup",
     "p06_curation_pipeline",
+    # round-5 additions: AQE-skew-split join demo + sketch reach curve
+    "q81_skew_join_aqe",
+    "q80_running_distinct_approx",
 )
 
 
@@ -81,6 +84,7 @@ def main() -> None:
     # plan's true cost; the aggregation is declared in the output.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
+    timings_p50: dict[str, float] = {}
     for name in HEADLINE:
         if name in failures:
             continue
@@ -93,6 +97,10 @@ def main() -> None:
                 ).save()
                 samples.append(time.time() - t0)
             timings[name] = round(min(samples), 3)
+            # p50 alongside min (VERDICT r4 item 6): min is the
+            # least-biased plan-cost estimate under one-sided hypervisor
+            # noise, but the median shows the variance min hides.
+            timings_p50[name] = round(sorted(samples)[len(samples) // 2], 3)
         except Exception as exc:  # noqa: BLE001
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
 
@@ -102,6 +110,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_p50": timings_p50,
+        "total_p50": round(sum(timings_p50.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": runs,
         "agg": "min",

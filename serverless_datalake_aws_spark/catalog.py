@@ -9,8 +9,15 @@ metastore; temp views are enough for the test harness.
 
 from __future__ import annotations
 
+import logging
+import re
+from dataclasses import dataclass
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 TABLES = (
     "region",
@@ -92,3 +99,137 @@ def save_table(
     if analyze:
         cols = ", ".join(f"`{c}`" for c in df.columns)
         spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}")
+
+
+@dataclass(frozen=True)
+class CrawledDataset:
+    """One dataset discovered by `crawl`."""
+
+    name: str
+    path: str
+    fmt: str
+    n_files: int
+    size_bytes: int
+
+
+def _data_files(p: Path) -> list[Path]:
+    return [
+        f
+        for f in sorted(p.rglob("*"))
+        if f.is_file() and not f.name.startswith(("_", "."))
+    ]
+
+
+def _safe_name(parts: tuple[str, ...]) -> str:
+    return re.sub(r"[^A-Za-z0-9_]", "_", "_".join(parts)).strip("_").lower()
+
+
+def _dataset_dirs(root: Path, prefix: tuple[str, ...] = ()):
+    """Yield (name_parts, path) for every leaf dataset under `root`.
+
+    A directory is a DATASET when it directly contains data files or
+    when its subdirectories are hive partition dirs (`key=value`) — the
+    same leaf-table heuristic the Glue crawler applies. Any other
+    directory is a NAMESPACE (zone / dataset grouping) and is recursed
+    into, with its name joined into the registered table name. Loose
+    files directly under a namespace each become a one-file dataset.
+    """
+    for child in sorted(root.iterdir()):
+        if child.name.startswith(("_", ".")):
+            continue
+        if child.is_file():
+            yield prefix + (child.stem,), child
+            continue
+        direct_files = any(
+            f.is_file() and not f.name.startswith(("_", "."))
+            for f in child.iterdir()
+        )
+        subdirs = [
+            d
+            for d in child.iterdir()
+            if d.is_dir() and not d.name.startswith(("_", "."))
+        ]
+        partitioned = bool(subdirs) and all("=" in d.name for d in subdirs)
+        if direct_files or partitioned:
+            yield prefix + (child.name,), child
+        else:
+            yield from _dataset_dirs(child, prefix + (child.name,))
+
+
+def crawl(
+    spark: SparkSession,
+    lake_root: str | Path,
+    register: bool = True,
+    table_prefix: str = "",
+) -> list[CrawledDataset]:
+    """Discover and register datasets dropped into the lake by EXTERNAL
+    writers — the repo's parity for the reference's Glue crawler
+    (terraform-Infrastructure-provisioning/aws-data-lake-terraform-main.tf:203-214,
+    a 12-hour cron doing S3 walk + schema inference; SURVEY S9).
+
+    `save_table` covers the engine's own writes (registered at write
+    time, zero staleness); `crawl` covers the foreign-writer gap: walk
+    the zone tree, dispatch format per file extension
+    (sources.readers.detect_format's table), infer schema, and register
+    each leaf dataset as a queryable view named after its relative path
+    (`raw/clicks` → `raw_clicks`). Hive `key=value` layouts register as
+    one partitioned dataset; mixed-format dirs register one view per
+    format (`<name>_<fmt>`); unknown extensions skip with a warning
+    (reference lambda-function.py:100-101 semantics). Registration is a
+    metadata operation — no data is copied or rewritten, and re-crawls
+    are idempotent (`createOrReplaceTempView`).
+
+    Scale notes: the directory walk is driver-side metadata only (at
+    S3 scale, a LIST per prefix — the same cost Glue pays); schema
+    inference reads file footers for parquet/orc and samples one pass
+    for csv/json. The returned report carries file counts and bytes so
+    a scheduler can prioritize ANALYZE/compaction on the big ones.
+    """
+    from .sources.readers import read_any
+
+    root = Path(str(lake_root))
+    if not root.is_dir():
+        raise ValueError(f"lake root does not exist: {root}")
+    out: list[CrawledDataset] = []
+    from .sources.readers import _FORMATS
+
+    for parts, path in _dataset_dirs(root):
+        files = [path] if path.is_file() else _data_files(path)
+        by_fmt: dict[str, list[Path]] = {}
+        for f in files:
+            kind = _FORMATS.get(f.suffix.lower())
+            if kind is not None:
+                by_fmt.setdefault(kind, []).append(f)
+        if not by_fmt:
+            log.warning("crawl: no supported data files, skipping: %s", path)
+            continue
+        for fmt, fmt_files in sorted(by_fmt.items()):
+            name = _safe_name(parts)
+            if len(by_fmt) > 1:
+                name = f"{name}_{fmt}"
+                log.warning(
+                    "crawl: mixed formats under %s — registering %s", path, name
+                )
+            if table_prefix:
+                name = f"{table_prefix}{name}"
+            ds = CrawledDataset(
+                name=name,
+                path=str(path),
+                fmt=fmt,
+                n_files=len(fmt_files),
+                size_bytes=sum(f.stat().st_size for f in fmt_files),
+            )
+            out.append(ds)
+            if register:
+                # single-format dataset dir: read the dir (partition
+                # discovery); mixed dir or loose file: read the files
+                src = str(path) if len(by_fmt) == 1 else [str(f) for f in fmt_files]
+                if isinstance(src, list):
+                    dfs = [read_any(spark, s, fmt=fmt) for s in src]
+                    df = dfs[0]
+                    for other in dfs[1:]:
+                        df = df.unionByName(other, allowMissingColumns=True)
+                else:
+                    df = read_any(spark, src, fmt=fmt)
+                df.createOrReplaceTempView(ds.name)
+    return out

@@ -260,3 +260,160 @@ def q79_heterogeneous_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return orders.unionByName(events, allowMissingColumns=True)
+
+
+_Q80 = """
+    WITH base AS (SELECT event_id, event_type, ts, user_id
+                  FROM events WHERE user_id < 200)
+    SELECT event_id, event_type,
+           count(DISTINCT user_id) OVER w AS users_exact,
+           (abs(approx_count_distinct(user_id) OVER w
+                - count(DISTINCT user_id) OVER w)
+            <= greatest(2, CAST(0.10 * (count(DISTINCT user_id) OVER w) AS BIGINT)))
+             AS sketch_within_10pct
+    FROM base
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("q80_running_distinct_approx", oracle=_Q80)
+def q80_running_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch twin of q65's running distinct-user reach curve — the
+    100 TB path the q65 docstring promises (VERDICT r4 watch item).
+
+    q65's size(collect_set()) holds the exact distinct-key set per
+    window partition in state: fine while the filter bounds cardinality,
+    linear-memory death at true audience scale. The HLL sketch is the
+    production substitute — constant ~1.5 KB of state per partition
+    regardless of cardinality. Sketch estimates differ across engines
+    by construction, so the q38 contract applies: hash-match the exact
+    value plus each engine's own 'sketch within max(2, 10%) of exact'
+    boolean, here at the default rsd where the 10% bound is ~2.5 sigma
+    (the wider user_id<200 slice keeps counts high enough that the
+    bound is stable at every tested SF)."""
+    from pyspark.sql import Window as W
+
+    from serverless_datalake_aws_spark.catalog import table as _t
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    exact = F.size(F.collect_set("user_id").over(w)).cast("long")
+    # rsd=0.01 (q38 convention): at the default 5% rsd the 10% bound is
+    # ~2 sigma and flakes at sf0.1; at 1% it is 10 sigma — deterministic
+    sketch = F.approx_count_distinct("user_id", rsd=0.01).over(w)
+    bound = F.greatest(F.lit(2).cast("long"), (0.10 * exact).cast("long"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        exact.alias("users_exact"),
+        (F.abs(sketch - exact) <= bound).alias("sketch_within_10pct"),
+    )
+
+
+_Q81 = """
+    WITH skewed AS (
+        SELECT CASE WHEN l_orderkey % 10 < 7 THEN 1
+                    ELSE l_suppkey END AS hot_key,
+               l_extendedprice, l_discount
+        FROM lineitem
+    )
+    SELECT s.s_nationkey, count(*) AS n_lines,
+           round(sum(sk.l_extendedprice * (1 - sk.l_discount)), 2) AS revenue
+    FROM skewed sk JOIN supplier s ON sk.hot_key = s.s_suppkey
+    GROUP BY s.s_nationkey
+    ORDER BY s.s_nationkey
+"""
+
+
+@query("q81_skew_join_aqe", oracle=_Q81)
+def q81_skew_join_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately skewed join handled by AQE's runtime skew split —
+    the automatic complement to q68's manual salting (SURVEY §2.7 /
+    SCALE.md skew note).
+
+    70% of lineitem rows collapse onto hot_key=1, the textbook straggler:
+    one shuffle partition carries 70% of the fact table while the rest
+    idle. AQE detects the oversized partition at runtime from map-output
+    sizes and splits it across reducers, each re-reading the (replicated)
+    matching build rows — no salting code, identical results. The
+    skew thresholds are lowered to fire at test scale (defaults are
+    tuned for 256 MB partitions); the broadcast threshold is zeroed
+    because a broadcast-hash join would dissolve the skew trivially and
+    demonstrate nothing. Result-invariance is the oracle's contract:
+    the plain SQL join must hash-match whatever plan AQE picks. The
+    skew=true plan shape is asserted in tests/test_plans.py.
+
+    Conf hygiene: the lowered thresholds must hold when the join
+    EXECUTES, but must not leak into whatever the session runs next
+    (a 64KB advisory partition size would wreck later AQE coalescing).
+    So the result is forced into a cache under the scoped confs, the
+    originals are restored, and the (tiny: |nations| rows) cached
+    frame is returned."""
+    from serverless_datalake_aws_spark.catalog import table as _t
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.when(F.col("l_orderkey") % 10 < 7, F.lit(1))
+            .otherwise(F.col("l_suppkey"))
+            .alias("hot_key"),
+            "l_extendedprice",
+            "l_discount",
+        )
+        # AQE splits a skewed reduce partition along MAPPER-chunk
+        # boundaries; the local single-file scan is one mapper, making
+        # the hot partition indivisible. The round-robin repartition
+        # emulates the thousands-of-mappers map stage any real-scale
+        # scan has (where this line would be deleted).
+        .repartition(16)
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    out = (
+        li.join(supp.hint("merge"), li.hot_key == supp.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("s_nationkey")
+    )
+    return run_with_skew_confs(spark, out)
+
+
+def run_with_skew_confs(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Execute `df` with AQE skew-split thresholds scoped to this one
+    job: save confs, lower thresholds so skew detection fires at test
+    scale, materialize into a cache, restore confs, return the cache."""
+    scoped = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved: dict[str, str | None] = {}
+    for k in scoped:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        for k, v in scoped.items():
+            spark.conf.set(k, v)
+        df = df.persist()
+        df.count()
+        return df
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -65,3 +65,77 @@ def test_bucketed_join_avoids_shuffle(spark):
         assert j.count() == li.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_crawl_discovers_foreign_datasets(spark, tmp_path):
+    """Glue-crawler parity (VERDICT r4 item 2): a csv+ndjson+parquet
+    tree dropped into raw/ by an EXTERNAL writer — no engine-side write
+    ever happened — must become spark.table-queryable after crawl()."""
+    import json
+
+    from serverless_datalake_aws_spark.catalog import crawl
+
+    raw = tmp_path / "lake" / "raw"
+    # csv dataset dir
+    (raw / "clicks").mkdir(parents=True)
+    (raw / "clicks" / "a.csv").write_text("user,n\nu1,3\nu2,5\n")
+    (raw / "clicks" / "b.csv").write_text("user,n\nu3,7\n")
+    # ndjson dataset dir
+    (raw / "logs").mkdir()
+    with open(raw / "logs" / "x.ndjson", "w") as f:
+        for i in range(4):
+            f.write(json.dumps({"id": i, "msg": f"m{i}"}) + "\n")
+    # parquet dataset, hive-partitioned by an external writer
+    pq_dir = raw / "sales"
+    spark.range(10).selectExpr(
+        "id", "id % 2 as region"
+    ).write.partitionBy("region").parquet(str(pq_dir))
+    # unknown-extension junk must be skipped, not fail the crawl
+    (raw / "junk").mkdir()
+    (raw / "junk" / "blob.xyz").write_bytes(b"\x00\x01")
+
+    report = crawl(spark, tmp_path / "lake")
+    names = {d.name: d for d in report}
+    assert set(names) == {"raw_clicks", "raw_logs", "raw_sales"}
+    assert names["raw_clicks"].fmt == "csv" and names["raw_clicks"].n_files == 2
+    assert names["raw_logs"].fmt == "ndjson"
+    assert names["raw_sales"].fmt == "parquet"
+    assert all(d.size_bytes > 0 for d in report)
+
+    assert spark.table("raw_clicks").count() == 3
+    assert {r["user"] for r in spark.table("raw_clicks").collect()} == {"u1", "u2", "u3"}
+    assert spark.table("raw_logs").count() == 4
+    # partition column survives discovery
+    sales = spark.table("raw_sales")
+    assert "region" in sales.columns
+    assert sales.count() == 10
+    # re-crawl is idempotent
+    report2 = crawl(spark, tmp_path / "lake")
+    assert {d.name for d in report2} == set(names)
+
+
+def test_crawl_loose_file_and_mixed_formats(spark, tmp_path):
+    from serverless_datalake_aws_spark.catalog import crawl
+
+    lake = tmp_path / "lake2"
+    lake.mkdir()
+    (lake / "lookup.csv").write_text("k,v\n1,a\n2,b\n")
+    mixed = lake / "mixed"
+    mixed.mkdir()
+    (mixed / "one.csv").write_text("k\n1\n")
+    with open(mixed / "two.ndjson", "w") as f:
+        f.write('{"k": 2}\n')
+
+    report = crawl(spark, lake)
+    names = {d.name for d in report}
+    assert names == {"lookup", "mixed_csv", "mixed_ndjson"}
+    assert spark.table("lookup").count() == 2
+    assert spark.table("mixed_csv").count() == 1
+    assert spark.table("mixed_ndjson").count() == 1
+
+
+def test_crawl_missing_root_raises(spark, tmp_path):
+    from serverless_datalake_aws_spark.catalog import crawl
+
+    with pytest.raises(ValueError, match="lake root"):
+        crawl(spark, tmp_path / "nope")

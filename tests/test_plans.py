@@ -343,3 +343,24 @@ def test_p06_curation_pipeline_single_exchange(spark):
     )
     assert plan.count("Arguments: hashpartitioning") == 1
     assert "Generate" not in plan
+
+
+def test_q81_aqe_skew_split_fires(spark):
+    """The deliberately-skewed join (70% of rows on one key) must show
+    AQE's runtime skew split in the EXECUTED plan — `skew=true` on the
+    SortMergeJoin — under the scoped thresholds q81 sets. This is the
+    automatic complement to q68's manual salting gate. Runs at sf0.1:
+    below that, the hot partition undercuts even the lowered 16KB
+    detection threshold (sf0.001's whole shuffle is ~60KB)."""
+    df = all_queries()["q81_skew_join_aqe"](spark, "/root/testdata/sf0.1")
+    # q81 materializes under its scoped confs; the adaptive executed
+    # plan records whether the skew split happened
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in executed, executed[:2000]
+
+
+def test_q80_sketch_rides_same_window_as_exact(spark):
+    # one window spec -> one sort/exchange pair for both the exact set
+    # and the HLL sketch: adding the sketch must not add a shuffle
+    plan = _plan(spark, "q80_running_distinct_approx")
+    assert plan.count("Arguments: hashpartitioning") == 1
