@@ -48,6 +48,9 @@ DEFAULT_PROBE = (
     "t30_pps_sample",
     "p05_training_data_pipeline",
     "p06_curation_pipeline",
+    # round-5 probe targets (events/orders now also build 10x)
+    "e17_incremental_rollup",
+    "m05_quality_constraints",
 )
 
 
@@ -135,21 +138,164 @@ def _build_embeddings(out_dir: str) -> None:
     _write_sharded(out, os.path.join(out_dir, "embeddings.parquet"))
 
 
+def _build_events(out_dir: str) -> None:
+    """10x events: each row replicated with event_id*10+r, ts shifted by
+    r ms, same user/type/value — groups (event_type, day) stay constant
+    while rows-per-group grow 10x, the realistic rollup scale-up."""
+    t = pq.read_table(os.path.join(SRC, "events.parquet"))
+    n = t.num_rows
+    idx = np.repeat(np.arange(n), 10)
+    r = np.tile(np.arange(10), n)
+    ev = t.take(pa.array(idx))
+    event_id = pa.array(
+        np.asarray(ev.column("event_id")) * 10 + r, pa.int64()
+    )
+    ts = np.asarray(ev.column("ts").cast(pa.int64())) + r * 1000
+    out = pa.table(
+        {
+            "event_id": event_id,
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "user_id": ev.column("user_id"),
+            "event_type": ev.column("event_type"),
+            "value": ev.column("value"),
+            "props": ev.column("props"),
+        }
+    )
+    _write_sharded(out, os.path.join(out_dir, "events.parquet"))
+
+
+def _build_orders(out_dir: str) -> None:
+    """10x orders: o_orderkey*10+r keeps exact uniqueness (m05's
+    uniqueness check must still pass at 10x); other columns repeat."""
+    t = pq.read_table(os.path.join(SRC, "orders.parquet"))
+    n = t.num_rows
+    idx = np.repeat(np.arange(n), 10)
+    r = np.tile(np.arange(10), n)
+    od = t.take(pa.array(idx))
+    out = pa.table(
+        {
+            "o_orderkey": pa.array(
+                np.asarray(od.column("o_orderkey")) * 10 + r, pa.int64()
+            ),
+            "o_custkey": od.column("o_custkey"),
+            "o_orderstatus": od.column("o_orderstatus"),
+            "o_totalprice": od.column("o_totalprice"),
+            "o_orderdate": od.column("o_orderdate"),
+            "o_orderpriority": od.column("o_orderpriority"),
+        }
+    )
+    _write_sharded(out, os.path.join(out_dir, "orders.parquet"))
+
+
 def build_fixture(out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, ".complete")
-    if os.path.exists(marker):
-        return
-    _build_documents(out_dir)
-    _build_embeddings(out_dir)
-    for f in os.listdir(SRC):
-        if f.endswith(".parquet") and f not in (
-            "documents.parquet",
-            "embeddings.parquet",
-        ):
-            shutil.copy(os.path.join(SRC, f), os.path.join(out_dir, f))
-    with open(marker, "w") as fh:
-        fh.write("ok\n")
+    if not os.path.exists(marker):
+        _build_documents(out_dir)
+        _build_embeddings(out_dir)
+        for f in os.listdir(SRC):
+            if f.endswith(".parquet") and f not in (
+                "documents.parquet",
+                "embeddings.parquet",
+            ):
+                shutil.copy(os.path.join(SRC, f), os.path.join(out_dir, f))
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    # round-5 additions (separate marker so pre-existing fixtures gain
+    # the new tables without invalidating the doc/emb numbers)
+    marker2 = os.path.join(out_dir, ".complete_r5")
+    if not os.path.exists(marker2):
+        for f in ("events.parquet", "orders.parquet"):
+            p = os.path.join(out_dir, f)
+            if os.path.isfile(p):
+                os.remove(p)  # replace the verbatim 1x copy
+            elif os.path.isdir(p):
+                shutil.rmtree(p)
+        _build_events(out_dir)
+        _build_orders(out_dir)
+        with open(marker2, "w") as fh:
+            fh.write("ok\n")
+
+
+def zorder_probe(spark, out_dir: str) -> dict:
+    """Measure z-order file skipping on the 10x events table: write the
+    same 1M rows (a) z-clustered on (user_id, value_cents) and (b)
+    sorted on user_id only, then count the files whose parquet footer
+    min/max box CONTAINS a 2-D point predicate — the files any
+    stats-pruning scan must read. Z-order must prune on BOTH columns;
+    single-column sort prunes only its own column."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from serverless_datalake_aws_spark.operators.layout import zorder_write
+
+    ev = spark.read.parquet(os.path.join(out_dir, "events.parquet")).select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    zpath = os.path.join(out_dir, "_zorder_events")
+    spath = os.path.join(out_dir, "_sorted_events")
+    zorder_write(ev, zpath, ("user_id", "value_cents"), bits=10, num_files=16)
+    (
+        ev.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    def file_boxes(path: str) -> list[dict]:
+        boxes = []
+        for f in sorted(_glob.glob(path + "/part-*.parquet")):
+            md = pq.read_metadata(f)
+            mins: dict[str, int] = {}
+            maxs: dict[str, int] = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    nm = col.path_in_schema
+                    if nm in ("user_id", "value_cents") and col.statistics:
+                        s = col.statistics
+                        mins[nm] = min(mins.get(nm, s.min), s.min)
+                        maxs[nm] = max(maxs.get(nm, s.max), s.max)
+            boxes.append({"mins": mins, "maxs": maxs})
+        return boxes
+
+    def hits(boxes: list[dict], preds: dict[str, int]) -> int:
+        return sum(
+            all(
+                b["mins"][c] <= v <= b["maxs"][c]
+                for c, v in preds.items()
+            )
+            for b in boxes
+        )
+
+    # mid-range point per dimension; probe each dimension alone and both
+    mid = ev.agg(
+        F.expr("percentile(user_id, 0.5)").cast("long"),
+        F.expr("percentile(value_cents, 0.5)").cast("long"),
+    ).collect()[0]
+    u, v = mid[0], mid[1]
+    zb, sb = file_boxes(zpath), file_boxes(spath)
+    return {
+        "probe": "zorder_file_skipping",
+        "predicate": {"user_id": u, "value_cents": v},
+        "files_total": len(zb),
+        "files_read": {
+            "zorder": {
+                "user_only": hits(zb, {"user_id": u}),
+                "value_only": hits(zb, {"value_cents": v}),
+                "both": hits(zb, {"user_id": u, "value_cents": v}),
+            },
+            "sorted_by_user": {
+                "user_only": hits(sb, {"user_id": u}),
+                "value_only": hits(sb, {"value_cents": v}),
+                "both": hits(sb, {"user_id": u, "value_cents": v}),
+            },
+        },
+    }
 
 
 def main() -> None:
@@ -161,14 +307,19 @@ def main() -> None:
     from serverless_datalake_aws_spark.plans import all_queries  # noqa: E402
     from serverless_datalake_aws_spark.session import get_session  # noqa: E402
 
-    prefixes = tuple(sys.argv[1:])
+    prefixes = tuple(a for a in sys.argv[1:] if a != "zorder")
+    run_zorder = "zorder" in sys.argv[1:]
     qmap = all_queries()
     names = [
         n
         for n in (sorted(qmap) if prefixes else DEFAULT_PROBE)
         if not prefixes or any(n.startswith(p) for p in prefixes)
     ]
+    if run_zorder and not prefixes:
+        names = []
     spark = get_session(app_name="scale_probe")
+    if run_zorder:
+        print(json.dumps(zorder_probe(spark, out_dir)))
     results: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in names:
