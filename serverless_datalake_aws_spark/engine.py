@@ -483,7 +483,24 @@ class DataLakeEngine:
         the rewrite goes to a tmp dir first, then swaps — the source is
         never deleted while a task could still be reading it. With no
         `ids`, all currently-unindexed rows are stamped (the full-rebuild
-        path after _rebuild_search_index)."""
+        path after _rebuild_search_index).
+
+        Multi-writer safety (round 5): the whole read-compute-swap runs
+        under an exclusive commit lock (sources/commitlog.FileLock), so
+        a concurrent marker re-reads _meta AFTER this publish instead of
+        from a stale snapshot — two writers stamping disjoint ids both
+        land (the lost-update test in tests/test_concurrency.py). The
+        object-store/remote branch keeps dynamic-partition-overwrite and
+        documents S3 conditional-PUT / Delta OCC as its lock analogue."""
+        if self.is_remote:
+            self._mark_indexed_inner(ids)
+            return
+        from serverless_datalake_aws_spark.sources.commitlog import FileLock
+
+        with FileLock(self.meta_path + ".lock"):
+            self._mark_indexed_inner(ids)
+
+    def _mark_indexed_inner(self, ids: DataFrame | None = None) -> None:
         meta = self.meta()
         if ids is None:
             ids = meta.filter(~F.coalesce("indexed", F.lit(False))).select("id")
@@ -568,6 +585,15 @@ class DataLakeEngine:
         roll it back (restore any .old partition, drop the stage)
         otherwise. Idempotent and cheap (two globs) — runs before every
         metadata scan."""
+        from serverless_datalake_aws_spark.sources.commitlog import FileLock
+
+        if FileLock(self.meta_path + ".lock").held_elsewhere():
+            # A LIVE writer owns the stage: rolling its uncommitted tmp
+            # back now would destroy work in flight. Visible _meta is
+            # still consistent (the swap hasn't started until the flag
+            # lands), so a reader simply proceeds; true crash leftovers
+            # are reclaimed once the dead owner's lock goes stale.
+            return
         tmp = Path(self.meta_path + ".mark.tmp")
         if tmp.exists() and (tmp / _SWAP_READY).exists():
             self._publish_meta_swap(tmp)
