@@ -29,10 +29,21 @@ from pyspark.sql import functions as F
 
 
 def partial_rollup(
-    df: DataFrame, keys: list[str], measures: list[str]
+    df: DataFrame,
+    keys: list[str],
+    measures: list[str],
+    distinct_cols: list[str] | None = None,
+    with_moments: bool = False,
 ) -> DataFrame:
     """Aggregate `df` to its mergeable partial state: one row per key
-    combination carrying n_rows plus sum/min/max per measure."""
+    combination carrying n_rows plus sum/min/max per measure.
+
+    `distinct_cols` adds a mergeable HLL sketch per column (Spark's
+    Apache DataSketches binary, closed under union) — the ONLY way
+    distinct counts survive incremental maintenance: exact distinct is
+    not algebraic (|A ∪ B| ≠ |A| + |B|), so a maintained rollup either
+    re-scans history or keeps a sketch. `with_moments` adds sum of
+    squares, making variance/stddev derivable at finalize."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for m in measures:
         aggs += [
@@ -40,15 +51,23 @@ def partial_rollup(
             F.min(m).alias(f"min_{m}"),
             F.max(m).alias(f"max_{m}"),
         ]
+        if with_moments:
+            aggs.append(F.sum(F.col(m) * F.col(m)).alias(f"sumsq_{m}"))
+    for c in distinct_cols or []:
+        aggs.append(F.hll_sketch_agg(c).alias(f"hll_{c}"))
     return df.groupBy(*keys).agg(*aggs)
 
 
 def merge_rollups(
-    partials: list[DataFrame], keys: list[str], measures: list[str]
+    partials: list[DataFrame],
+    keys: list[str],
+    measures: list[str],
+    distinct_cols: list[str] | None = None,
+    with_moments: bool = False,
 ) -> DataFrame:
-    """Merge partial states (same schema) into one: counts and sums
-    add, mins/maxes fold. Input sizes are |groups| each — this never
-    touches fact rows."""
+    """Merge partial states (same schema) into one: counts, sums and
+    sums-of-squares add, mins/maxes fold, HLL sketches union. Input
+    sizes are |groups| each — this never touches fact rows."""
     if not partials:
         raise ValueError("nothing to merge")
     union = reduce(lambda a, b: a.unionByName(b), partials)
@@ -59,14 +78,38 @@ def merge_rollups(
             F.min(f"min_{m}").alias(f"min_{m}"),
             F.max(f"max_{m}").alias(f"max_{m}"),
         ]
+        if with_moments:
+            aggs.append(F.sum(f"sumsq_{m}").alias(f"sumsq_{m}"))
+    for c in distinct_cols or []:
+        aggs.append(F.hll_union_agg(f"hll_{c}").alias(f"hll_{c}"))
     return union.groupBy(*keys).agg(*aggs)
 
 
-def finalize_rollup(partial: DataFrame, measures: list[str]) -> DataFrame:
-    """Derive the non-algebraic metrics (avg) from merged partials."""
+def finalize_rollup(
+    partial: DataFrame,
+    measures: list[str],
+    distinct_cols: list[str] | None = None,
+    with_moments: bool = False,
+) -> DataFrame:
+    """Derive the non-algebraic metrics from merged partials: avg from
+    sum/count, sample variance from (sumsq - sum²/n)/(n-1) (NULL for
+    n=1), approx distinct from the HLL estimate. Averaging per-batch
+    averages — or per-batch variances — is the classic wrong answer;
+    only the partials merge."""
     out = partial
     for m in measures:
         out = out.withColumn(f"avg_{m}", F.col(f"sum_{m}") / F.col("n_rows"))
+        if with_moments:
+            n = F.col("n_rows")
+            s, s2 = F.col(f"sum_{m}"), F.col(f"sumsq_{m}")
+            out = out.withColumn(
+                f"var_{m}",
+                F.when(n > 1, (s2 - s * s / n) / (n - F.lit(1))),
+            )
+    for c in distinct_cols or []:
+        out = out.withColumn(
+            f"approx_distinct_{c}", F.hll_sketch_estimate(f"hll_{c}")
+        )
     return out
 
 
@@ -79,11 +122,21 @@ class MaintainedRollup:
     maintenance ops; on object stores the swap becomes a versioned
     publish (sources/versioning.py)."""
 
-    def __init__(self, spark, path: str, keys: list[str], measures: list[str]):
+    def __init__(
+        self,
+        spark,
+        path: str,
+        keys: list[str],
+        measures: list[str],
+        distinct_cols: list[str] | None = None,
+        with_moments: bool = False,
+    ):
         self.spark = spark
         self.path = path
         self.keys = keys
         self.measures = measures
+        self.distinct_cols = distinct_cols or []
+        self.with_moments = with_moments
 
     def _read_current(self) -> DataFrame | None:
         """Stored partials, or None ONLY when the rollup has never been
@@ -101,12 +154,24 @@ class MaintainedRollup:
             raise
 
     def apply(self, delta: DataFrame) -> None:
-        batch = partial_rollup(delta, self.keys, self.measures)
+        batch = partial_rollup(
+            delta,
+            self.keys,
+            self.measures,
+            self.distinct_cols,
+            self.with_moments,
+        )
         current = self._read_current()
         if current is None:
             merged = batch
         else:
-            merged = merge_rollups([current, batch], self.keys, self.measures)
+            merged = merge_rollups(
+                [current, batch],
+                self.keys,
+                self.measures,
+                self.distinct_cols,
+                self.with_moments,
+            )
         tmp = self.path + "._tmp"
         merged.write.mode("overwrite").parquet(tmp)
         self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
@@ -121,5 +186,8 @@ class MaintainedRollup:
 
     def read(self) -> DataFrame:
         return finalize_rollup(
-            self.spark.read.parquet(self.path), self.measures
+            self.spark.read.parquet(self.path),
+            self.measures,
+            self.distinct_cols,
+            self.with_moments,
         )

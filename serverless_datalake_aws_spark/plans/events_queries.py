@@ -508,3 +508,74 @@ def e17_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "e18_incremental_distinct",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_rows,
+           count(DISTINCT user_id) AS users_exact,
+           (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+            <= greatest(2, CAST(0.05 * count(DISTINCT user_id) AS BIGINT)))
+             AS sketch_within_5pct,
+           round(var_samp(value), 4) AS var_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def e18_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DISTINCT maintenance via mergeable HLL sketches —
+    the non-algebraic half e17 cannot cover: |A ∪ B| ≠ |A| + |B|, so a
+    maintained distinct either re-scans history or keeps a sketch whose
+    union is exact over sketch state (Apache DataSketches HLL,
+    hll_sketch_agg / hll_union_agg). Here the per-type audience count
+    is computed as estimate(union(sketch(first-half), sketch(second-
+    half))) — the delta-absorb path — and audited against the exact
+    recompute in the same result (q38's own-error-bound contract: each
+    engine's sketch, each engine's bound). Variance rides the same
+    merge as second-moment partials (sumsq): var = (Σx² - (Σx)²/n)/
+    (n-1) from MERGED sums — averaging per-batch variances is wrong
+    the moment batch sizes differ.
+
+    Scale: each partial is one map-side-combined pass over its batch;
+    the merge shuffles |groups| rows each carrying a ~KB sketch."""
+    from serverless_datalake_aws_spark.operators.incremental import (
+        finalize_rollup,
+        merge_rollups,
+        partial_rollup,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    kw = dict(distinct_cols=["user_id"], with_moments=True)
+    merged = merge_rollups(
+        [
+            partial_rollup(ev.filter(F.dayofmonth("ts") <= 15), ["event_type"], ["value"], **kw),
+            partial_rollup(ev.filter(F.dayofmonth("ts") > 15), ["event_type"], ["value"], **kw),
+        ],
+        ["event_type"],
+        ["value"],
+        **kw,
+    )
+    fin = finalize_rollup(merged, ["value"], **kw)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("users_exact")
+    )
+    bound = F.greatest(
+        F.lit(2).cast("long"), (0.05 * F.col("users_exact")).cast("long")
+    )
+    return (
+        fin.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            "users_exact",
+            (
+                F.abs(F.col("approx_distinct_user_id") - F.col("users_exact"))
+                <= bound
+            ).alias("sketch_within_5pct"),
+            F.round("var_value", 4).alias("var_value"),
+        )
+        .orderBy("event_type")
+    )

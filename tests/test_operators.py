@@ -309,3 +309,45 @@ def test_quality_rejects_duplicate_names_and_missing_args(spark):
         quality_report(df, [Check("c", "completeness")])
     with pytest.raises(ValueError, match="requires `predicate`"):
         quality_report(df, [Check("c", "compliance")])
+
+
+def test_maintained_rollup_sketch_distinct_and_variance(spark, tmp_path):
+    """HLL-distinct and second-moment variance must survive batch-by-
+    batch maintenance: union-of-sketches == sketch-of-union (exact over
+    sketch state), and variance from MERGED sumsq/sum/n equals the
+    from-scratch var_samp."""
+    from serverless_datalake_aws_spark.operators.incremental import MaintainedRollup
+
+    rollup = MaintainedRollup(
+        spark,
+        str(tmp_path / "r"),
+        keys=["k"],
+        measures=["v"],
+        distinct_cols=["u"],
+        with_moments=True,
+    )
+    batches = [
+        [("a", float(i), i % 7) for i in range(30)],
+        [("a", float(i), i % 11) for i in range(30, 60)],
+        [("b", float(i * 2), i % 5) for i in range(40)],
+    ]
+    all_rows = []
+    for rows in batches:
+        rollup.apply(spark.createDataFrame(rows, "k string, v double, u long"))
+        all_rows += rows
+    full = spark.createDataFrame(all_rows, "k string, v double, u long")
+    expect = {
+        r["k"]: (r["d"], round(r["var"], 6))
+        for r in full.groupBy("k")
+        .agg(
+            F.countDistinct("u").alias("d"),
+            F.var_samp("v").alias("var"),
+        )
+        .collect()
+    }
+    got = {
+        r["k"]: (r["approx_distinct_u"], round(r["var_v"], 6))
+        for r in rollup.read().collect()
+    }
+    # HLL is exact at these cardinalities (<= 11 distinct values)
+    assert got == expect
