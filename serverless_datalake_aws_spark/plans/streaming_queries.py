@@ -472,3 +472,88 @@ def st09_stream_complete_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@query(
+    "st10_stream_incremental_rollup",
+    oracle="""
+    SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS n_rows,
+           sum(CAST(value AS DECIMAL(18,6))) AS sum_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def st10_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of a persisted rollup: foreachBatch absorbs
+    each micro-batch into a MaintainedRollup (operators/incremental.py),
+    so the gold table is maintained as the stream lands instead of by a
+    nightly recompute — the streaming twin of e17 and the repo's answer
+    to the reference's full-rescan indexing cron. The input is sharded
+    into 4 files drained one per trigger (maxFilesPerTrigger=1), so the
+    merge path runs 4 times with arbitrary batch order; sums ride an
+    exact DECIMAL image, making the result bit-identical regardless of
+    which batch merged first (double partial sums would wobble in the
+    last ulp). The oracle is the from-scratch recompute — equality IS
+    the maintenance-correctness proof, per batch count.
+
+    Scale: each micro-batch pays one map-side-combined pass over ITS
+    rows plus a |groups|-row merge; history is never re-read."""
+    import shutil
+    import tempfile
+
+    from serverless_datalake_aws_spark.catalog import table
+    from serverless_datalake_aws_spark.operators.incremental import (
+        MaintainedRollup,
+    )
+
+    work = tempfile.mkdtemp(prefix="st10_")
+    try:
+        src = f"{work}/events_shards"
+        (
+            table(spark, sf_dir, "events")
+            .select(
+                "event_type",
+                F.date_trunc("day", "ts").alias("day"),
+                F.col("value").cast("decimal(18,6)").alias("value"),
+                "ts",
+            )
+            .repartition(4)
+            .write.parquet(src)
+        )
+        rollup = MaintainedRollup(
+            spark, f"{work}/rollup", keys=["event_type", "day"], measures=["value"]
+        )
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch, _eid: rollup.apply(batch)
+            )
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = (
+            rollup.read()
+            .select(
+                "event_type",
+                F.date_format("day", "yyyy-MM-dd").alias("day"),
+                "n_rows",
+                F.col("sum_value").cast("decimal(18,6)").alias("sum_value"),
+                F.round(F.col("min_value").cast("double"), 6).alias("min_value"),
+                F.round(F.col("max_value").cast("double"), 6).alias("max_value"),
+            )
+            .orderBy("event_type", "day")
+        )
+        rows = out.collect()  # materialize before the workdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
