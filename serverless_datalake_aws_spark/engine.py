@@ -316,6 +316,19 @@ class DataLakeEngine:
         """Catalog registration (replaces the Glue crawler, S9)."""
         df.createOrReplaceTempView(name)
 
+    def crawl(self, subdir: str | None = None):
+        """Discover and register datasets dropped into the lake by
+        EXTERNAL writers — the other half of Glue-crawler parity (S9):
+        `register_table`/`save_table` cover the engine's own writes at
+        write time; `crawl` walks the zone tree (or one `subdir`) for
+        foreign files. See catalog.crawl for the leaf-table heuristic,
+        format dispatch, and the scale notes. Returns the discovery
+        report (list of CrawledDataset)."""
+        from serverless_datalake_aws_spark.catalog import crawl as _crawl
+
+        root = f"{self.root}/{subdir}" if subdir else self.root
+        return _crawl(self.spark, root)
+
     def _versioned_root(self, name: str) -> Path:
         # pointer/flag maintenance uses local-FS atomic renames; on an
         # object-store root the same layout needs the committer/rename

@@ -139,3 +139,15 @@ def test_crawl_missing_root_raises(spark, tmp_path):
 
     with pytest.raises(ValueError, match="lake root"):
         crawl(spark, tmp_path / "nope")
+
+
+def test_engine_crawl_foreign_drop(spark, tmp_path):
+    from serverless_datalake_aws_spark.engine import DataLakeEngine
+
+    engine = DataLakeEngine(spark, tmp_path / "lake")
+    foreign = tmp_path / "lake" / "raw" / "foreign"
+    foreign.mkdir(parents=True)
+    (foreign / "x.csv").write_text("a,b\n1,2\n3,4\n")
+    report = engine.crawl("raw")
+    assert any(d.name == "foreign" and d.fmt == "csv" for d in report)
+    assert spark.table("foreign").count() == 2

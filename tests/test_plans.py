@@ -364,3 +364,12 @@ def test_q80_sketch_rides_same_window_as_exact(spark):
     # and the HLL sketch: adding the sketch must not add a shuffle
     plan = _plan(spark, "q80_running_distinct_approx")
     assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_e18_no_expand_distinct_sketch_mixing(spark):
+    # exact-distinct audit leg runs as its OWN aggregation broadcast-
+    # joined back; mixing countDistinct with the HLL/moment partials in
+    # one agg would force Catalyst's Expand plan (the q38 lesson)
+    plan = _plan(spark, "e18_incremental_distinct")
+    assert "Expand" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
