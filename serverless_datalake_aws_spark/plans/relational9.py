@@ -417,3 +417,70 @@ def run_with_skew_confs(spark: SparkSession, df: DataFrame) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+_Q82 = """
+    WITH dim(prio, lane) AS (VALUES
+        ('1-URGENT','fast'), ('2-HIGH','fast'), ('3-MEDIUM','slow'),
+        ('4-NOT SPECIFIED','slow'), ('5-LOW','slow'))
+    SELECT prio, round(sum(o_totalprice), 2) AS rev, count(*) AS n
+    FROM orders JOIN dim ON o_orderpriority = prio
+    WHERE lane = 'fast'
+    GROUP BY prio ORDER BY prio
+"""
+
+
+@query("q82_dynamic_partition_pruning", oracle=_Q82)
+def q82_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the dim-side filter prunes the
+    partitioned fact scan AT RUNTIME — the star-schema scale feature
+    where a `WHERE dim.attr = x` touching 2 of 5 partitions reads 40%
+    of a 100 TB fact table instead of 100%. The fact here is a
+    partitioned copy of orders written per call (the driver testdata is
+    unpartitioned single-file parquet); at deployment the lake's hive
+    layout (data_type/ingest_date, engine.ingest_batch) is the
+    partitioned fact and this query shape prunes it for free.
+
+    Heuristic trap (probed): Spark's PartitionPruning rule requires a
+    LIKELY-SELECTIVE predicate on the filtering side — `lane = 'fast'`
+    qualifies, a bare boolean column (`WHERE is_urgent`) does NOT, and
+    DPP silently stays off. The `dynamicpruningexpression` plan shape
+    is asserted in tests/test_plans.py."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from serverless_datalake_aws_spark.catalog import table as _t
+
+    work = _tempfile.mkdtemp(prefix="q82_")
+    try:
+        _t(spark, sf_dir, "orders").write.partitionBy("o_orderpriority").parquet(
+            f"{work}/orders_part"
+        )
+        fact = spark.read.parquet(f"{work}/orders_part")
+        dim = spark.createDataFrame(
+            [
+                ("1-URGENT", "fast"),
+                ("2-HIGH", "fast"),
+                ("3-MEDIUM", "slow"),
+                ("4-NOT SPECIFIED", "slow"),
+                ("5-LOW", "slow"),
+            ],
+            "prio string, lane string",
+        )
+        out = (
+            fact.join(dim, fact.o_orderpriority == dim.prio)
+            .filter(F.col("lane") == "fast")
+            .groupBy("prio")
+            .agg(
+                F.round(F.sum("o_totalprice"), 2).alias("rev"),
+                F.count("*").alias("n"),
+            )
+            .orderBy("prio")
+        )
+        rows = out.collect()  # materialize before the workdir vanishes
+        q82_dynamic_partition_pruning.last_executed_plan = (
+            out._jdf.queryExecution().executedPlan().toString()
+        )
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)

@@ -373,3 +373,14 @@ def test_e18_no_expand_distinct_sketch_mixing(spark):
     plan = _plan(spark, "e18_incremental_distinct")
     assert "Expand" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q82_dynamic_partition_pruning_fires(spark):
+    """The executed fact scan must carry a dynamicpruningexpression
+    PartitionFilter — dim-filter-driven runtime pruning, not a full
+    scan. (DPP needs a likely-selective dim predicate: equality works,
+    a bare boolean column silently disables it — probed.)"""
+    fn = all_queries()["q82_dynamic_partition_pruning"]
+    fn(spark, SF_DIR)
+    executed = fn.last_executed_plan
+    assert "dynamicpruning" in executed.lower(), executed[:2000]
