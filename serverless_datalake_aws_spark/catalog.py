@@ -222,8 +222,18 @@ def crawl(
             out.append(ds)
             if register:
                 # single-format dataset dir: read the dir (partition
-                # discovery); mixed dir or loose file: read the files
-                src = str(path) if len(by_fmt) == 1 else [str(f) for f in fmt_files]
+                # discovery); mixed dir, loose file, or a dir with
+                # non-partition subdirs (Spark won't recurse into those
+                # by default): read the explicit file list
+                plain_dir = len(by_fmt) == 1 and (
+                    path.is_file()
+                    or all(
+                        "=" in d.name
+                        for d in path.iterdir()
+                        if d.is_dir() and not d.name.startswith(("_", "."))
+                    )
+                )
+                src = str(path) if plain_dir else [str(f) for f in fmt_files]
                 if isinstance(src, list):
                     dfs = [read_any(spark, s, fmt=fmt) for s in src]
                     df = dfs[0]

@@ -151,3 +151,19 @@ def test_engine_crawl_foreign_drop(spark, tmp_path):
     report = engine.crawl("raw")
     assert any(d.name == "foreign" and d.fmt == "csv" for d in report)
     assert spark.table("foreign").count() == 2
+
+
+def test_crawl_nested_subdir_files_not_missed(spark, tmp_path):
+    """A dataset dir holding files both directly and in a non-partition
+    subdir must register ALL files (Spark's dir reader won't recurse —
+    crawl must pass the explicit list)."""
+    from serverless_datalake_aws_spark.catalog import crawl
+
+    lake = tmp_path / "lake3"
+    ds = lake / "deep"
+    (ds / "sub").mkdir(parents=True)
+    (ds / "a.csv").write_text("k\n1\n2\n")
+    (ds / "sub" / "b.csv").write_text("k\n3\n")
+    report = crawl(spark, lake)
+    assert {d.name for d in report} == {"deep"}
+    assert spark.table("deep").count() == 3
