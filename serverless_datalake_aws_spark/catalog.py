@@ -235,11 +235,16 @@ def crawl(
                 )
                 src = str(path) if plain_dir else [str(f) for f in fmt_files]
                 if isinstance(src, list):
-                    dfs = [read_any(spark, s, fmt=fmt) for s in src]
+                    # merge_schema: foreign writers drift schemas;
+                    # a one-footer read silently drops newer columns
+                    dfs = [
+                        read_any(spark, s, fmt=fmt, merge_schema=True)
+                        for s in src
+                    ]
                     df = dfs[0]
                     for other in dfs[1:]:
                         df = df.unionByName(other, allowMissingColumns=True)
                 else:
-                    df = read_any(spark, src, fmt=fmt)
+                    df = read_any(spark, src, fmt=fmt, merge_schema=True)
                 df.createOrReplaceTempView(ds.name)
     return out

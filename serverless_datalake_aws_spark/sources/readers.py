@@ -67,6 +67,7 @@ def read_any(
     path: str | Path,
     schema: T.StructType | None = None,
     fmt: str | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame | None:
     """Read a file/directory with extension dispatch (S1-S5).
 
@@ -74,6 +75,12 @@ def read_any(
     Schema inference is the default for parity with the reference's
     pandas readers; pass `schema` in production paths — inference costs
     an extra pass at scale.
+
+    `merge_schema=True` (parquet/orc) unions the schema across ALL file
+    footers instead of trusting one — the schema-evolution read a lake
+    with drifting writers needs (a plain read silently drops columns
+    added by newer files). Costs one footer read per file; leave it off
+    for hot-path scans of schema-stable tables.
     """
     path = str(path)
     kind = fmt or detect_format(path)
@@ -96,9 +103,9 @@ def read_any(
             reader = reader.schema(schema)
         return reader.json(path)
     if kind == "parquet":
-        return spark.read.parquet(path)
+        return spark.read.option("mergeSchema", merge_schema).parquet(path)
     if kind == "orc":
-        return spark.read.orc(path)
+        return spark.read.option("mergeSchema", merge_schema).orc(path)
     if kind == "text":
         return spark.read.text(path)
     raise AssertionError(f"unreachable format {kind}")

@@ -85,3 +85,67 @@ def compact(
     shutil.rmtree(path)
     shutil.move(tmp, path)
     return n_files
+
+
+def write_training_shards(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str | Path,
+    target_shard_mb: int = 256,
+    shuffle_seed: int | None = None,
+) -> dict:
+    """Export a curated dataset as evenly-sized training shards with a
+    manifest — the webdataset/LLM-dataloader contract (N similar-sized
+    shards, each independently readable, with row/byte counts a loader
+    can schedule against). The reference has no export surface at all
+    (consumers read raw S3 objects); this is the gold-zone exit.
+
+    Shard count = ceil(sampled-bytes / target); rows route to shards by
+    `pmod(hash(rand(seed)), n)` via repartition — one shuffle, shards
+    within a few percent of each other by size. With `shuffle_seed`
+    set, the assignment is deterministic AND the rows are globally
+    shuffled across shards — the offline shuffle a training run wants
+    (sequential shard reads ≈ random sample). The manifest
+    (`_manifest.json`) records per-shard files, rows, and bytes.
+
+    Scale: sizing uses Spark's own logical-plan stats (no extra scan at
+    this SF; `ANALYZE` keeps them honest on cataloged tables); the
+    write is one round-robin/hash exchange, the same cost as any
+    repartitioned write.
+    """
+    import json
+    import math
+
+    path = Path(str(path))
+    est_bytes = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    est_bytes = min(int(est_bytes), 1 << 50)  # guard the unknown-stats sentinel
+    n_shards = max(1, math.ceil(est_bytes / (target_shard_mb * 1024 * 1024)))
+    if shuffle_seed is not None:
+        shard = F.pmod(F.hash(F.rand(shuffle_seed)), F.lit(n_shards))
+        out = df.repartition(n_shards, shard.alias("_shard"))
+    else:
+        out = df.repartition(n_shards)
+    out.write.mode("overwrite").parquet(str(path))
+    shards = []
+    for f in sorted(path.glob("part-*.parquet")):
+        md_rows = _parquet_rows(f)
+        shards.append(
+            {"file": f.name, "rows": md_rows, "bytes": f.stat().st_size}
+        )
+    manifest = {
+        "format": "parquet",
+        "n_shards": len(shards),
+        "target_shard_mb": target_shard_mb,
+        "total_rows": sum(s["rows"] for s in shards),
+        "total_bytes": sum(s["bytes"] for s in shards),
+        "shuffled": shuffle_seed is not None,
+        "shards": shards,
+    }
+    (path / "_manifest.json").write_text(json.dumps(manifest, indent=1))
+    return manifest
+
+
+def _parquet_rows(f: Path) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f).num_rows

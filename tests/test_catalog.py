@@ -167,3 +167,36 @@ def test_crawl_nested_subdir_files_not_missed(spark, tmp_path):
     report = crawl(spark, lake)
     assert {d.name for d in report} == {"deep"}
     assert spark.table("deep").count() == 3
+
+
+def test_crawl_merges_evolved_schemas(spark, tmp_path):
+    """Foreign writers drift schemas; crawl must surface the UNION of
+    columns across files (Glue crawler behavior), not one random
+    footer's view."""
+    from serverless_datalake_aws_spark.catalog import crawl
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    lake = tmp_path / "lake4"
+    ds = lake / "evolving"
+    ds.mkdir(parents=True)
+    pq.write_table(
+        pa.table({"id": pa.array([1], pa.int64()), "name": pa.array(["a"])}),
+        ds / "old.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([2], pa.int64()),
+                "name": pa.array(["b"]),
+                "score": pa.array([9.5], pa.float64()),
+            }
+        ),
+        ds / "new.parquet",
+    )
+    crawl(spark, lake)
+    t = spark.table("evolving")
+    assert set(t.columns) == {"id", "name", "score"}
+    rows = {r["id"]: (r["name"], r["score"]) for r in t.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}

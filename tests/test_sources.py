@@ -159,3 +159,26 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
     assert set(df.columns) == {"id", "v", "score"}
     rows = {r.id: r.score for r in df.collect()}
     assert rows[1] is None and rows[2] == 9.5
+
+
+def test_write_training_shards_manifest_and_balance(spark, tmp_path):
+    from serverless_datalake_aws_spark.sources.writers import write_training_shards
+
+    df = spark.range(50_000).selectExpr(
+        "id", "repeat('x', 100) as text", "id % 7 as label"
+    )
+    out = tmp_path / "shards"
+    m = write_training_shards(spark, df, out, target_shard_mb=1, shuffle_seed=7)
+    assert m["n_shards"] >= 2
+    assert m["total_rows"] == 50_000
+    assert (out / "_manifest.json").exists()
+    # shards are size-balanced: max within 2x of min (hash routing)
+    sizes = [s["rows"] for s in m["shards"] if s["rows"] > 0]
+    assert max(sizes) < 2 * min(sizes)
+    # round-trip: the shards ARE the dataset
+    back = spark.read.parquet(str(out))
+    assert back.count() == 50_000
+    assert set(back.columns) == {"id", "text", "label"}
+    # deterministic assignment under a seed
+    m2 = write_training_shards(spark, df, tmp_path / "shards2", target_shard_mb=1, shuffle_seed=7)
+    assert [s["rows"] for s in m2["shards"]] == [s["rows"] for s in m["shards"]]
