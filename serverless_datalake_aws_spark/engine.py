@@ -486,6 +486,42 @@ class DataLakeEngine:
         )
         q.awaitTermination(600)
 
+    def export_training_shards(
+        self,
+        zone: str = "processed",
+        subpath: str = "export/shards",
+        target_shard_mb: int = 256,
+        shuffle_seed: int | None = 0,
+        transform=None,
+    ) -> dict:
+        """Export a zone's records as evenly-sized, globally-shuffled
+        training shards + manifest (sources/writers.write_training_
+        shards) — the gold-zone exit toward an LLM dataloader. The
+        reference has no export surface (consumers re-read raw S3
+        objects); this closes the loop: ingest → promote → curate →
+        export. `transform` filters/projects before sharding (the
+        final curation gate)."""
+        from serverless_datalake_aws_spark.sources.writers import (
+            write_training_shards,
+        )
+
+        if self.is_remote:
+            # manifest assembly walks local files; the object-store port
+            # lists the prefix instead (documented in SCALE.md)
+            raise NotImplementedError(
+                "shard export requires a local lake root in this build"
+            )
+        df = self.records(zone)
+        if transform is not None:
+            df = transform(df)
+        return write_training_shards(
+            self.spark,
+            df,
+            f"{self.root}/{subpath}",
+            target_shard_mb=target_shard_mb,
+            shuffle_seed=shuffle_seed,
+        )
+
     def _mark_indexed(self, ids: DataFrame | None = None) -> None:
         """Metadata upsert (K7): stamp indexed=true for exactly the ids
         just indexed — same last-writer-wins semantics as the reference's

@@ -323,3 +323,13 @@ def test_ingested_lake_scan_prunes_partitions(engine):
     part_line = [l for l in scan.splitlines() if "PartitionFilters" in l]
     assert part_line and "data_type" in part_line[0], plan[:1500]
     assert df.count() == 3  # pruned scan still returns the right rows
+
+
+def test_export_training_shards_roundtrip(engine, spark):
+    engine.ingest_batch([{"n": i} for i in range(200)], data_type="sales")
+    engine.process()
+    m = engine.export_training_shards(target_shard_mb=1)
+    assert m["total_rows"] == 200
+    back = spark.read.parquet(engine.root + "/export/shards")
+    assert back.count() == 200
+    assert "payload" in back.columns
