@@ -191,3 +191,77 @@ class MaintainedRollup:
             self.distinct_cols,
             self.with_moments,
         )
+
+
+def cm_partial(
+    df: DataFrame, item_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Count-min sketch in LONG FORM — rows (d, bucket, cnt) — which
+    makes the sketch algebraic for free: merging sketches is exactly a
+    groupBy(d, bucket).sum, so maintained heavy-hitter counts ride the
+    same partial/merge machinery as sums (no binary blobs, no custom
+    merge UDF). Hashes are md5-affine (the t23 convention) so any
+    engine reproduces the buckets bit-for-bit. Size: depth×width rows
+    regardless of input — the whole sketch is broadcastable."""
+    buckets = F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{d}:"), F.col(item_col).cast("string"))),
+                        1,
+                        14,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.posexplode(buckets).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_merge(partials: list[DataFrame]) -> DataFrame:
+    """Merge long-form count-min sketches: bucket counts add."""
+    if not partials:
+        raise ValueError("nothing to merge")
+    union = reduce(lambda a, b: a.unionByName(b), partials)
+    return union.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    sketch: DataFrame, items: DataFrame, item_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Point estimates from a long-form sketch: hash each item into its
+    depth buckets, take the MINIMUM bucket count (count-min errs only
+    upward). The sketch side is depth×width rows — broadcast, so the
+    estimate join never shuffles the item side."""
+    buckets = F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{d}:"), F.col(item_col).cast("string"))),
+                        1,
+                        14,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            )
+            for d in range(depth)
+        ]
+    )
+    hashed = items.select("*", F.posexplode(buckets).alias("d", "bucket"))
+    return (
+        hashed.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy(*items.columns)
+        .agg(F.min("cnt").cast("long").alias("est_n"))
+    )

@@ -579,3 +579,74 @@ def e18_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "e19_incremental_heavy_hitters",
+    oracle="""
+    WITH exact AS (
+        SELECT CAST(user_id AS VARCHAR) AS item, count(*) AS exact_n
+        FROM events GROUP BY 1
+    ),
+    bucketed AS (
+        SELECT item, exact_n, d,
+               CAST(concat('0x', substr(md5(concat(CAST(d AS VARCHAR), ':', item)), 1, 14))
+                    AS BIGINT) % 64 AS bucket
+        FROM exact, generate_series(0, 3) AS gs(d)
+    ),
+    sketch AS (
+        SELECT d, bucket, CAST(sum(exact_n) AS BIGINT) AS cnt
+        FROM bucketed GROUP BY d, bucket
+    ),
+    top AS (
+        SELECT item, exact_n FROM exact ORDER BY exact_n DESC, item LIMIT 10
+    )
+    SELECT t.item, t.exact_n,
+           CAST(min(s.cnt) AS BIGINT) AS est_n,
+           CAST(min(s.cnt) - t.exact_n AS BIGINT) AS overestimate
+    FROM top t
+    JOIN bucketed b ON b.item = t.item
+    JOIN sketch s ON s.d = b.d AND s.bucket = b.bucket
+    GROUP BY t.item, t.exact_n
+    ORDER BY t.exact_n DESC, t.item
+    """,
+)
+def e19_incremental_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained heavy hitters: the count-min sketch built as
+    merge(sketch(first-half), sketch(second-half)) — t23's frequency
+    sketch lifted to incremental maintenance (operators/incremental
+    cm_partial/cm_merge/cm_estimate). Count-min merge is exact bucket
+    addition, so the merged sketch IS the from-scratch sketch — the
+    DuckDB oracle computes the latter and equality proves the merge.
+    The long-form representation (rows (d, bucket, cnt)) is what makes
+    the merge a plain groupBy-sum instead of a binary-blob UDF; hashes
+    are md5-affine so both engines agree bit-for-bit.
+
+    Scale: each half folds map-side into depth×width=256 rows; the
+    merge and estimate join touch only sketch rows (broadcast)."""
+    from serverless_datalake_aws_spark.operators.incremental import (
+        cm_estimate,
+        cm_merge,
+        cm_partial,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("item"), "ts"
+    )
+    sketch = cm_merge(
+        [
+            cm_partial(ev.filter(F.dayofmonth("ts") <= 15), "item"),
+            cm_partial(ev.filter(F.dayofmonth("ts") > 15), "item"),
+        ]
+    )
+    top = (
+        ev.groupBy("item")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "item")
+        .limit(10)
+    )
+    return (
+        cm_estimate(sketch, top, "item")
+        .withColumn("overestimate", F.col("est_n") - F.col("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "item")
+    )

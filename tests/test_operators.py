@@ -351,3 +351,30 @@ def test_maintained_rollup_sketch_distinct_and_variance(spark, tmp_path):
     }
     # HLL is exact at these cardinalities (<= 11 distinct values)
     assert got == expect
+
+
+def test_count_min_merge_equals_from_scratch(spark):
+    """Long-form count-min: merge of per-half sketches must equal the
+    sketch of the union exactly (bucket counts add), and estimates
+    bound exact counts from above."""
+    from serverless_datalake_aws_spark.operators.incremental import (
+        cm_estimate,
+        cm_merge,
+        cm_partial,
+    )
+
+    df = spark.range(5000).selectExpr("cast(id % 97 as string) as item", "id")
+    merged = cm_merge(
+        [
+            cm_partial(df.filter("id < 2500"), "item"),
+            cm_partial(df.filter("id >= 2500"), "item"),
+        ]
+    )
+    scratch = cm_partial(df, "item")
+    m = {(r["d"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    s = {(r["d"], r["bucket"]): r["cnt"] for r in scratch.collect()}
+    assert m == s
+    exact = df.groupBy("item").agg(F.count("*").alias("exact_n"))
+    est = cm_estimate(merged, exact, "item")
+    bad = est.filter(F.col("est_n") < F.col("exact_n")).count()
+    assert bad == 0  # count-min errs only upward
