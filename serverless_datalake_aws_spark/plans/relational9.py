@@ -484,3 +484,82 @@ def q82_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
         return spark.createDataFrame(rows, out.schema)
     finally:
         _shutil.rmtree(work, ignore_errors=True)
+
+
+_Q83 = """
+    WITH triples AS (
+        SELECT DISTINCT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+               user_id
+        FROM events
+    ),
+    cum AS (
+        SELECT event_type, h,
+               count(DISTINCT user_id) OVER w AS cum_exact,
+               approx_count_distinct(user_id) OVER w AS cum_est
+        FROM triples
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:00') AS hour,
+           max(cum_exact) AS users_exact,
+           (abs(max(cum_est) - max(cum_exact))
+            <= greatest(2, CAST(0.05 * max(cum_exact) AS BIGINT)))
+             AS sketch_within_5pct
+    FROM cum
+    GROUP BY event_type, h
+    ORDER BY event_type, h
+"""
+
+
+@query("q83_reach_curve_sketch_rollup", oracle=_Q83)
+def q83_reach_curve_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALABLE form of q80's audience-reach curve. q80 (like q65)
+    windows over raw events, so parallelism is capped at
+    |event_types| partitions and every partition holds its full event
+    stream — the 1000-executor smell. Here the heavy work is a plain
+    per-(type, hour) HLL sketch aggregation (map-side combined, fully
+    parallel, shuffle ∝ types×hours), and the running union —
+    `hll_union_agg` as a WINDOW function, sketches are unionable in
+    any grouping — runs over the tiny hourly grain (|types×hours|
+    rows). The exact audit column rides the deduped (type, hour, user)
+    triples, also far smaller than the raw stream. Same q38 own-bound
+    contract: each engine's sketch within max(2, 5%) of its exact."""
+    from pyspark.sql import Window as W
+
+    from serverless_datalake_aws_spark.catalog import table as _t
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    )
+    hourly_sk = ev.groupBy("event_type", "h").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    wh = W.partitionBy("event_type").orderBy("h")
+    est = hourly_sk.select(
+        "event_type",
+        "h",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(wh)).alias("est"),
+    )
+    triples = ev.distinct()
+    exact = (
+        triples.withColumn(
+            "cum", F.size(F.collect_set("user_id").over(wh)).cast("long")
+        )
+        .groupBy("event_type", "h")
+        .agg(F.max("cum").alias("users_exact"))
+    )
+    bound = F.greatest(
+        F.lit(2).cast("long"), (0.05 * F.col("users_exact")).cast("long")
+    )
+    return (
+        exact.join(est, ["event_type", "h"])
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+            "users_exact",
+            (F.abs(F.col("est") - F.col("users_exact")) <= bound).alias(
+                "sketch_within_5pct"
+            ),
+        )
+        .orderBy("event_type", "hour")
+    )
