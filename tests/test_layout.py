@@ -116,3 +116,31 @@ def test_zorder_all_null_bounds_fail_fast(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="NULL min/max"):
         zorder_write(df, str(tmp_path / "zn"), ("a", "k"))
+
+
+def test_spark_quantize_interleave_match_python_reference(spark):
+    """The Column implementations must agree with the exact-integer
+    python mirrors in tests/test_properties.py on a deterministic
+    grid (including negative and skewed ranges)."""
+    from tests.test_properties import _interleave_py, _quantize_py
+
+    lo, hi, bits = -500, 12345, 6
+    vals = list(range(lo, hi + 1, 617))
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = (
+        df.select(
+            "v",
+            quantize(F.col("v"), F.lit(lo), F.lit(hi), bits).alias("c"),
+        )
+        .orderBy("v")
+        .collect()
+    )
+    for r in got:
+        assert r["c"] == _quantize_py(r["v"], lo, hi, bits), r
+    pairs = [(a, b) for a in range(0, 64, 7) for b in range(0, 64, 11)]
+    dfp = spark.createDataFrame(pairs, "a long, b long")
+    got = dfp.select(
+        "a", "b", interleave_bits(F.col("a"), F.col("b"), 6).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == _interleave_py(r["a"], r["b"], 6), r

@@ -108,3 +108,60 @@ def test_minhash_identity_and_bounds(a, b):
     jac = len(a & b) / len(a | b)
     # agreement estimates jaccard: allow generous tolerance for K=32
     assert abs(agreement - jac) <= 0.45
+
+
+def _quantize_py(v: int, lo: int, hi: int, bits: int) -> int:
+    # mirror of operators/layout.quantize (exact integer arithmetic)
+    return ((v - lo) * (1 << bits)) // (hi - lo + 1)
+
+
+def _spread(v: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((v >> i) & 1) << (2 * i)
+    return z
+
+
+def _interleave_py(a: int, b: int, bits: int) -> int:
+    # mirror of operators/layout.interleave_bits
+    return _spread(a, bits) | (_spread(b, bits) << 1)
+
+
+@given(
+    st.integers(min_value=-(10**12), max_value=10**12),
+    st.integers(min_value=-(10**12), max_value=10**12),
+    st.integers(min_value=1, max_value=10**9),
+    st.integers(min_value=2, max_value=16),
+)
+@settings(max_examples=200, deadline=None)
+def test_quantize_properties(lo, v_off, span_off, bits):
+    """quantize maps [lo, hi] into [0, 2^bits) monotonically, hitting
+    cell 0 at lo."""
+    hi = lo + span_off
+    v = lo + (v_off % (span_off + 1))
+    c = _quantize_py(v, lo, hi, bits)
+    assert 0 <= c < (1 << bits)
+    assert _quantize_py(lo, lo, hi, bits) == 0
+    if v < hi:
+        assert _quantize_py(v + 1, lo, hi, bits) >= c  # monotone
+
+
+@given(
+    st.integers(min_value=0, max_value=(1 << 12) - 1),
+    st.integers(min_value=0, max_value=(1 << 12) - 1),
+    st.integers(min_value=0, max_value=(1 << 12) - 1),
+    st.integers(min_value=0, max_value=(1 << 12) - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_interleave_injective_and_axis_monotone(a1, b1, a2, b2):
+    """Morton interleave is injective on the cell grid and monotone
+    along each axis (fixed other coordinate) — the properties file
+    bounding boxes depend on."""
+    bits = 12
+    z1, z2 = _interleave_py(a1, b1, bits), _interleave_py(a2, b2, bits)
+    if (a1, b1) != (a2, b2):
+        assert z1 != z2
+    if b1 == b2 and a1 < a2:
+        assert z1 < z2
+    if a1 == a2 and b1 < b2:
+        assert z1 < z2
