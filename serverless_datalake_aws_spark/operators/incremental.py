@@ -265,3 +265,65 @@ def cm_estimate(
         .groupBy(*items.columns)
         .agg(F.min("cnt").cast("long").alias("est_n"))
     )
+
+
+class MaintainedJoin:
+    """Incrementally-maintained JOIN view over insert-only feeds — the
+    classical delta-join identity
+
+        Δ(L ⋈ R) = ΔL ⋈ R_old  ∪  L_old ⋈ ΔR  ∪  ΔL ⋈ ΔR
+
+    so absorbing a batch joins only delta rows against the stored
+    snapshots, never recomputing the full view. Insert-only by design
+    (ingest feeds append; updates/deletes need Delta/Iceberg MERGE —
+    the documented upgrade); every batch appends the delta-join to the
+    view and the deltas to the snapshots.
+
+    Scale: the two delta-vs-snapshot joins are |Δ|-driven — with the
+    snapshots hive-partitioned/bucketed on the join key the old-side
+    scan prunes to matching partitions; ΔL ⋈ ΔR is delta-sized. The
+    view append is blind (no read-modify-write)."""
+
+    def __init__(self, spark, path: str, on: str, how: str = "inner"):
+        if how != "inner":
+            raise ValueError("insert-only delta maintenance supports inner joins")
+        self.spark = spark
+        self.path = path
+        self.on = on
+
+    def _read(self, sub: str) -> DataFrame | None:
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self.spark.read.parquet(f"{self.path}/{sub}")
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return None
+            raise
+
+    def apply(
+        self,
+        delta_left: DataFrame | None = None,
+        delta_right: DataFrame | None = None,
+    ) -> None:
+        left_old, right_old = self._read("left"), self._read("right")
+        parts = []
+        if delta_left is not None and right_old is not None:
+            parts.append(delta_left.join(right_old, self.on))
+        if delta_right is not None and left_old is not None:
+            parts.append(left_old.join(delta_right, self.on))
+        if delta_left is not None and delta_right is not None:
+            parts.append(delta_left.join(delta_right, self.on))
+        if parts:
+            dv = reduce(lambda a, b: a.unionByName(b), parts)
+            dv.write.mode("append").parquet(f"{self.path}/view")
+        if delta_left is not None:
+            delta_left.write.mode("append").parquet(f"{self.path}/left")
+        if delta_right is not None:
+            delta_right.write.mode("append").parquet(f"{self.path}/right")
+
+    def read(self) -> DataFrame:
+        view = self._read("view")
+        if view is None:
+            raise FileNotFoundError(f"no view materialized at {self.path}")
+        return view

@@ -650,3 +650,60 @@ def e19_incremental_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("overestimate", F.col("est_n") - F.col("exact_n"))
         .orderBy(F.col("exact_n").desc(), "item")
     )
+
+
+@query(
+    "e20_incremental_join_view",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def e20_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained join view (operators/incremental.
+    MaintainedJoin): orders ⋈ customer materialized by absorbing two
+    batches on EACH side via the delta-join identity
+    Δ(L⋈R) = ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR — four apply() calls, interleaved so
+    every identity term is exercised, never a full recompute. The
+    oracle recomputes the join from scratch; aggregate equality IS the
+    maintenance proof (insert-only feeds; updates need MERGE, the
+    documented upgrade).
+
+    Scale: each apply joins only delta rows against the stored
+    snapshot (partition-prunable on the join key); the view append is
+    blind."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from serverless_datalake_aws_spark.operators.incremental import MaintainedJoin
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    work = _tf.mkdtemp(prefix="e20_")
+    try:
+        mj = MaintainedJoin(spark, work, on="o_custkey")
+        mj.apply(delta_right=cust.filter("o_custkey % 2 = 0"))
+        mj.apply(delta_left=orders.filter("o_orderkey % 2 = 0"))
+        mj.apply(
+            delta_left=orders.filter("o_orderkey % 2 = 1"),
+            delta_right=cust.filter("o_custkey % 2 = 1"),
+        )
+        out = (
+            mj.read()
+            .groupBy("c_nationkey")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+            .orderBy("c_nationkey")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        _sh.rmtree(work, ignore_errors=True)

@@ -378,3 +378,26 @@ def test_count_min_merge_equals_from_scratch(spark):
     est = cm_estimate(merged, exact, "item")
     bad = est.filter(F.col("est_n") < F.col("exact_n")).count()
     assert bad == 0  # count-min errs only upward
+
+
+def test_maintained_join_matches_recompute(spark, tmp_path):
+    """Delta-join maintenance over interleaved left/right batches must
+    equal the from-scratch join exactly (insert-only identity)."""
+    from serverless_datalake_aws_spark.operators.incremental import MaintainedJoin
+
+    left = spark.createDataFrame(
+        [(k, f"l{i}") for i, k in enumerate([1, 2, 2, 3, 5, 5])], "k long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(k, f"r{i}") for i, k in enumerate([2, 3, 3, 4, 5])], "k long, rv string"
+    )
+    mj = MaintainedJoin(spark, str(tmp_path / "mj"), on="k")
+    mj.apply(delta_left=left.filter("lv < 'l3'"))
+    mj.apply(delta_right=right.filter("rv < 'r2'"))
+    mj.apply(
+        delta_left=left.filter("lv >= 'l3'"),
+        delta_right=right.filter("rv >= 'r2'"),
+    )
+    got = sorted(map(tuple, mj.read().select("k", "lv", "rv").collect()))
+    want = sorted(map(tuple, left.join(right, "k").select("k", "lv", "rv").collect()))
+    assert got == want
