@@ -431,8 +431,22 @@ class DataLakeEngine:
                 F.count("*").alias("n_records"),
                 F.sum("size_bytes").alias("total_bytes"),
             )
+            from pyspark.errors import AnalysisException
+
             try:
                 cur = self.spark.read.parquet(out)
+            except AnalysisException as e:
+                # first batch ONLY when the summary has never been
+                # published; any other failure (corrupt footer,
+                # permission, transient IO) must propagate — swallowing
+                # it would reset the accumulated summary to one delta
+                # (the ADVICE r4 MaintainedRollup bug, same pattern)
+                if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                    raise
+                cur = None
+            if cur is None:
+                merged = delta
+            else:
                 merged = (
                     cur.unionByName(delta)
                     .groupBy("data_type", "ingest_date")
@@ -441,8 +455,6 @@ class DataLakeEngine:
                         F.sum("total_bytes").alias("total_bytes"),
                     )
                 )
-            except Exception:
-                merged = delta
             merged = merged.select(
                 "data_type", "ingest_date", "n_records", "total_bytes"
             )

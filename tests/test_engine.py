@@ -333,3 +333,20 @@ def test_export_training_shards_roundtrip(engine, spark):
     back = spark.read.parquet(engine.root + "/export/shards")
     assert back.count() == 200
     assert "payload" in back.columns
+
+
+def test_curate_incremental_corrupt_summary_propagates(engine, spark, tmp_path):
+    """A failing read of the curated summary must NOT silently reset
+    history to one delta (same class as the MaintainedRollup ADVICE
+    bug)."""
+    import os
+
+    engine.ingest_batch([{"n": 1}], data_type="sales")
+    out = engine.zone("curated") + "/daily_summary"
+    os.makedirs(out, exist_ok=True)
+    with open(out + "/part-00000.parquet", "w") as f:
+        f.write("not parquet")
+    with pytest.raises(Exception):
+        engine.curate_incremental(timeout_s=120)
+    # the corrupt file is untouched — history was not overwritten
+    assert open(out + "/part-00000.parquet").read() == "not parquet"
