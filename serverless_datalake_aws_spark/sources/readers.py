@@ -22,6 +22,7 @@ log = logging.getLogger(__name__)
 # extension → reader kind (reference detect_file_type, lambda-function.py:64-73)
 _FORMATS = {
     ".csv": "csv",
+    ".tsv": "tsv",
     ".json": "json",
     ".jsonl": "ndjson",
     ".ndjson": "ndjson",
@@ -32,18 +33,33 @@ _FORMATS = {
     # detect_format returns None → skip-with-warn, same as any unknown
 }
 
+# Transparent-compression suffixes: Spark's text-based sources (csv/
+# json/text) decompress these via Hadoop codecs on read, so dispatch on
+# the INNER extension (x.ndjson.gz → ndjson). Columnar formats carry
+# compression inside the file, never in the name.
+_COMPRESSED = {".gz", ".bz2"}
+
+
+def _effective_suffix(p: Path) -> str:
+    suffix = p.suffix.lower()
+    if suffix in _COMPRESSED:
+        inner = Path(p.stem).suffix.lower()
+        return inner or suffix
+    return suffix
+
 
 def detect_format(path: str | Path) -> str | None:
     """Extension dispatch (S5). Unknown extensions return None — the
     caller skips with a warning, mirroring lambda-function.py:100-101.
-    For directories (written datasets), dispatch on the first data
-    file's extension."""
+    Compressed text files dispatch on the inner extension
+    (`events.ndjson.gz` → ndjson). For directories (written datasets),
+    dispatch on the first data file's extension."""
     p = Path(str(path))
-    kind = _FORMATS.get(p.suffix.lower())
+    kind = _FORMATS.get(_effective_suffix(p))
     if kind is None and p.is_dir():
         for f in sorted(p.rglob("*")):
             if f.is_file() and not f.name.startswith(("_", ".")):
-                kind = _FORMATS.get(f.suffix.lower())
+                kind = _FORMATS.get(_effective_suffix(f))
                 if kind:
                     break
     return kind
@@ -87,8 +103,10 @@ def read_any(
     if kind is None:
         log.warning("unsupported file type, skipping: %s", path)
         return None
-    if kind == "csv":
+    if kind in ("csv", "tsv"):
         reader = spark.read.option("header", True)
+        if kind == "tsv":
+            reader = reader.option("sep", "\t")
         reader = reader.schema(schema) if schema else reader.option("inferSchema", True)
         return reader.csv(path)
     if kind == "json":

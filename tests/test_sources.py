@@ -182,3 +182,35 @@ def test_write_training_shards_manifest_and_balance(spark, tmp_path):
     # deterministic assignment under a seed
     m2 = write_training_shards(spark, df, tmp_path / "shards2", target_shard_mb=1, shuffle_seed=7)
     assert [s["rows"] for s in m2["shards"]] == [s["rows"] for s in m["shards"]]
+
+
+def test_tsv_and_compressed_dispatch(spark, tmp_path):
+    """.tsv dispatches as tab-separated csv; .gz text files dispatch on
+    the inner extension and decompress transparently (Hadoop codec)."""
+    import gzip
+
+    from serverless_datalake_aws_spark.sources.readers import detect_format, read_any
+
+    tsv = tmp_path / "t.tsv"
+    tsv.write_text("a\tb\n1\tx\n2\ty\n")
+    assert detect_format(tsv) == "tsv"
+    df = read_any(spark, tsv)
+    assert df.count() == 2 and set(df.columns) == {"a", "b"}
+
+    nd = tmp_path / "logs.ndjson.gz"
+    with gzip.open(nd, "wt") as f:
+        f.write('{"k": 1}\n{"k": 2}\n{"k": 3}\n')
+    assert detect_format(nd) == "ndjson"
+    assert read_any(spark, nd).count() == 3
+
+    csvgz = tmp_path / "d.csv.gz"
+    with gzip.open(csvgz, "wt") as f:
+        f.write("x,y\n1,2\n")
+    assert detect_format(csvgz) == "csv"
+    assert read_any(spark, csvgz).count() == 1
+
+    # bare .gz with no inner extension stays unknown → skip-with-warn
+    blob = tmp_path / "blob.gz"
+    with gzip.open(blob, "wb") as f:
+        f.write(b"\x00")
+    assert detect_format(blob) is None
