@@ -24,16 +24,31 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def interleave_bits(a: Column, b: Column, bits: int) -> Column:
-    """Morton-interleave two non-negative int columns of `bits` bits:
-    a's bit i lands at 2i, b's at 2i+1. Pure codegen-able bit math."""
+def interleave_bits_n(cols: list[Column], bits: int) -> Column:
+    """Morton-interleave N non-negative int columns of `bits` bits
+    each: column c's bit i lands at position i*N + c. Pure
+    codegen-able bit math; N*bits must fit a long (≤ 63)."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("interleave needs at least 2 columns")
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a long's 63 bits")
     one = F.lit(1).cast("long")
     z = F.lit(0).cast("long")
     for i in range(bits):
-        bit_a = F.shiftleft(F.shiftright(a.cast("long"), i).bitwiseAND(one), 2 * i)
-        bit_b = F.shiftleft(F.shiftright(b.cast("long"), i).bitwiseAND(one), 2 * i + 1)
-        z = z.bitwiseOR(bit_a).bitwiseOR(bit_b)
+        for c, col in enumerate(cols):
+            bit = F.shiftleft(
+                F.shiftright(col.cast("long"), i).bitwiseAND(one), i * n + c
+            )
+            z = z.bitwiseOR(bit)
     return z
+
+
+def interleave_bits(a: Column, b: Column, bits: int) -> Column:
+    """Morton-interleave two non-negative int columns of `bits` bits:
+    a's bit i lands at 2i, b's at 2i+1 (the 2-column case of
+    `interleave_bits_n`)."""
+    return interleave_bits_n([a, b], bits)
 
 
 def quantize(col: Column, lo: Column, hi: Column, bits: int) -> Column:
@@ -106,12 +121,13 @@ def rank_cells(df: DataFrame, col: str, bits: int):
 def zorder_write(
     df: DataFrame,
     path: str,
-    cols: tuple[str, str],
+    cols: tuple[str, ...],
     bits: int = 12,
     num_files: int = 16,
     quantizer: str = "rank",
 ) -> None:
-    """Rewrite `df` to `path` clustered by the z-value of `cols`.
+    """Rewrite `df` to `path` clustered by the z-value of `cols`
+    (2 or more columns; N*bits must fit a long).
 
     quantizer='rank' (default) bins each column by its quantiles
     (approx-quantile cutpoints + JVM binary-search bucketize) so
@@ -119,44 +135,44 @@ def zorder_write(
     'uniform' uses exact min/max arithmetic binning (`quantize`) —
     cheaper by one sketch pass, correct for evenly-distributed keys.
     The write is a single range-exchange on the z-value so each output
-    file owns a contiguous z-range — a small rectangle in
-    (cols[0], cols[1]) space that parquet footer stats expose to any
-    scan."""
-    ca, cb = cols
+    file owns a contiguous z-range — a small hyper-rectangle in `cols`
+    space that parquet footer stats expose to any scan."""
+    if len(cols) < 2:
+        raise ValueError("zorder needs at least 2 cluster columns")
     dtypes = dict(df.dtypes)
-    la, lb = _as_long(ca, dtypes[ca]), _as_long(cb, dtypes[cb])
-    df = df.withColumn("_la", la).withColumn("_lb", lb)
-    b = df.agg(
-        F.min("_la").alias("lo_a"),
-        F.max("_la").alias("hi_a"),
-        F.min("_lb").alias("lo_b"),
-        F.max("_lb").alias("hi_b"),
+    tmp_cols = [f"_zl{i}" for i in range(len(cols))]
+    for c, t in zip(cols, tmp_cols):
+        df = df.withColumn(t, _as_long(c, dtypes[c]))
+    bounds = df.agg(
+        *[f(t).alias(f"{n}_{t}") for t in tmp_cols for f, n in ((F.min, "lo"), (F.max, "hi"))]
     ).collect()[0]
-    for k in ("lo_a", "hi_a", "lo_b", "hi_b"):
-        if b[k] is None:
+    for t in tmp_cols:
+        if bounds[f"lo_{t}"] is None or bounds[f"hi_{t}"] is None:
             raise ValueError(
                 f"zorder_write: cluster columns {cols} have NULL min/max "
                 "(empty input or all-NULL column) — nothing to cluster on"
             )
+    cells: list[Column] = []
+    extra: list[str] = []
     if quantizer == "rank":
-        bka, in_a, out_a = rank_cells(df, "_la", bits)
-        bkb, in_b, out_b = rank_cells(df, "_lb", bits)
-        df = df.withColumn(in_a, F.col("_la").cast("double")).withColumn(
-            in_b, F.col("_lb").cast("double")
-        )
-        df = bkb.transform(bka.transform(df))
-        qa = F.col(out_a).cast("long")
-        qb = F.col(out_b).cast("long")
-        extra = [in_a, out_a, in_b, out_b]
+        for t in tmp_cols:
+            bk, c_in, c_out = rank_cells(df, t, bits)
+            df = df.withColumn(c_in, F.col(t).cast("double"))
+            df = bk.transform(df)
+            cells.append(F.col(c_out).cast("long"))
+            extra += [c_in, c_out]
     elif quantizer == "uniform":
-        qa = quantize(F.col("_la"), F.lit(b["lo_a"]), F.lit(b["hi_a"]), bits)
-        qb = quantize(F.col("_lb"), F.lit(b["lo_b"]), F.lit(b["hi_b"]), bits)
-        extra = []
+        for t in tmp_cols:
+            cells.append(
+                quantize(
+                    F.col(t), F.lit(bounds[f"lo_{t}"]), F.lit(bounds[f"hi_{t}"]), bits
+                )
+            )
     else:
         raise ValueError(f"unknown quantizer: {quantizer!r}")
     (
-        df.withColumn("_zv", interleave_bits(qa, qb, bits))
-        .drop("_la", "_lb", *extra)
+        df.withColumn("_zv", interleave_bits_n(cells, bits))
+        .drop(*tmp_cols, *extra)
         .repartitionByRange(num_files, "_zv")
         .sortWithinPartitions("_zv")
         .drop("_zv")

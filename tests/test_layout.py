@@ -144,3 +144,46 @@ def test_spark_quantize_interleave_match_python_reference(spark):
     ).collect()
     for r in got:
         assert r["z"] == _interleave_py(r["a"], r["b"], 6), r
+
+
+def test_zorder_three_columns(spark, tmp_path):
+    """N-column Morton clustering: every output file's bounding box
+    must be narrow in ALL THREE dimensions (each axis's point
+    predicate prunes some files)."""
+    n = 20_000
+    df = spark.range(n).select(
+        (F.hash(F.col("id")) % 512).alias("x"),
+        (F.hash(F.col("id") + 7) % 512).alias("y"),
+        (F.hash(F.col("id") + 13) % 512).alias("w"),
+    )
+    path = str(tmp_path / "z3")
+    zorder_write(df, path, ("x", "y", "w"), bits=9, num_files=16)
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) > 4
+    hits = {"x": 0, "y": 0, "w": 0}
+    for f in files:
+        md = pq.read_metadata(f)
+        mins, maxs = {}, {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                nm = col.path_in_schema
+                if nm in hits and col.statistics:
+                    s = col.statistics
+                    mins[nm] = min(mins.get(nm, s.min), s.min)
+                    maxs[nm] = max(maxs.get(nm, s.max), s.max)
+        for k in hits:
+            if mins[k] <= 0 <= maxs[k]:
+                hits[k] += 1
+    for k, h in hits.items():
+        assert h < len(files), (k, hits)
+
+
+def test_interleave_n_bits_overflow_guard(spark):
+    with pytest.raises(ValueError, match="63 bits"):
+        from serverless_datalake_aws_spark.operators.layout import interleave_bits_n
+
+        interleave_bits_n([F.lit(1)] * 4, 16)
