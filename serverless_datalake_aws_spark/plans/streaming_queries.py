@@ -557,3 +557,109 @@ def st10_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "st11_stream_quality_monitor",
+    oracle="""
+    WITH sharded AS (
+        SELECT event_id % 4 AS shard, user_id, value FROM events
+    ),
+    per_shard AS (
+        SELECT shard,
+               round(avg(CAST(user_id IS NOT NULL AS DOUBLE)), 6) AS c_user,
+               round(CAST(count(*) AS DOUBLE), 6) AS n_rows,
+               round(avg(CAST(coalesce(value >= 0, FALSE) AS DOUBLE)), 6)
+                   AS nonneg_value
+        FROM sharded GROUP BY shard
+    )
+    SELECT shard, check_name, value, passed FROM (
+        SELECT shard, 'complete_user' AS check_name, c_user AS value,
+               c_user >= 0.9 AS passed FROM per_shard
+        UNION ALL
+        SELECT shard, 'batch_rows', n_rows, n_rows >= 1.0 FROM per_shard
+        UNION ALL
+        SELECT shard, 'nonneg_value', nonneg_value, nonneg_value >= 0.0
+        FROM per_shard
+    ) ORDER BY shard, check_name
+    """,
+)
+def st11_stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming data-quality monitoring: every micro-batch runs the
+    m05 constraint engine (operators/quality.quality_report — one
+    shared aggregation pass per batch) and appends its verdicts to a
+    metrics table, the Deequ metrics-repository pattern as a stream.
+    A quality regression in the feed surfaces one batch after it
+    happens instead of at the next nightly audit.
+
+    Batches are made SQL-replayable by sharding the input on
+    `event_id % 4` (one file per shard, one file per trigger), so the
+    oracle recomputes each batch's metrics exactly — full value
+    parity for a streaming monitor, not just row counts.
+
+    Scale: per batch the metrics pass is map-side combined (one row
+    per partition shuffles); the metrics table grows by |checks| rows
+    per batch regardless of batch size."""
+    import shutil
+    import tempfile
+
+    from serverless_datalake_aws_spark.catalog import table
+    from serverless_datalake_aws_spark.operators.quality import (
+        Check,
+        quality_report,
+    )
+
+    work = tempfile.mkdtemp(prefix="st11_")
+    try:
+        src = f"{work}/shards"
+        ev = table(spark, sf_dir, "events").select(
+            F.pmod(F.col("event_id"), F.lit(4)).cast("long").alias("shard"),
+            "user_id",
+            "value",
+        )
+        ev.repartition(4, "shard").write.partitionBy("shard").parquet(src)
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        metrics_path = f"{work}/metrics"
+        checks = [
+            Check("complete_user", "completeness", "user_id", at_least=0.9),
+            Check("batch_rows", "row_count", at_least=1.0),
+            Check(
+                "nonneg_value",
+                "compliance",
+                predicate="value >= 0",
+                at_least=0.0,
+            ),
+        ]
+
+        def _monitor(batch: DataFrame, _eid: int) -> None:
+            if batch.isEmpty():
+                return
+            shard = batch.agg(F.min("shard")).collect()[0][0]
+            (
+                quality_report(batch, checks)
+                .withColumn("shard", F.lit(shard).cast("long"))
+                .select("shard", "check_name", "value", "passed")
+                .write.mode("append")
+                .parquet(metrics_path)
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(_monitor)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = (
+            spark.read.parquet(metrics_path)
+            .orderBy("shard", "check_name")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
