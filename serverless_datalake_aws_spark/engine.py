@@ -217,6 +217,7 @@ class DataLakeEngine:
         # reference's DynamoDB stream (index-data-lambda.py:51-65).
         # index_cdc() consumes it as a checkpointed file stream.
         meta_rows.write.mode("append").parquet(self.changelog_path)
+        self._log_lineage("ingest", source, f"{raw_root}/records", len(rows))
         return [r[0] for r in rows]
 
     # -- metadata table ------------------------------------------------------
@@ -367,6 +368,25 @@ class DataLakeEngine:
 
         return vacuum(self._versioned_root(name), keep=keep)
 
+    # -- lineage (beyond-reference: provenance for every lake op) ----------
+    @property
+    def lineage_path(self) -> str:
+        return f"{self.root}/_lineage"
+
+    def _log_lineage(self, op: str, src: str, dst: str, n_rows: int) -> None:
+        """Append one provenance event — (op, src, dst, rows, ts) —
+        to the `_lineage` table. Append-only, |ops| rows, never read on
+        a hot path; the audit surface Glue Data Catalog + CloudTrail
+        give an S3 lake, as a queryable table."""
+        self.spark.createDataFrame(
+            [(op, src, dst, int(n_rows), datetime.now(timezone.utc))],
+            "op string, src string, dst string, n_rows long, at timestamp",
+        ).write.mode("append").parquet(self.lineage_path)
+
+    def lineage(self) -> DataFrame:
+        """The provenance event log (one row per lake operation)."""
+        return self.spark.read.parquet(self.lineage_path)
+
     def process(self, transform=None) -> DataFrame:
         """Zone promotion raw→processed (K5, lambda-function.py:210-234):
         read raw, stamp processed_timestamp (T1), apply the optional
@@ -382,7 +402,11 @@ class DataLakeEngine:
         )
         self._rebuild_search_index()
         self._mark_indexed()
-        return self.records("processed")
+        out = self.records("processed")
+        self._log_lineage(
+            "promote", self.zone("raw"), self.zone("processed"), -1
+        )
+        return out
 
     def curate(self) -> DataFrame:
         """Gold-zone rollup (the curated/ zone the reference creates at
@@ -498,6 +522,51 @@ class DataLakeEngine:
         )
         q.awaitTermination(600)
 
+    def expire(
+        self,
+        zone: str = "raw",
+        keep_days: int = 365,
+        today: str | None = None,
+    ) -> list[str]:
+        """Retention enforcement: drop `ingest_date=` partitions older
+        than `keep_days` from a zone's records — the lifecycle-
+        expiration rule an S3 lake declares in bucket config, as an
+        explicit maintenance op (partition drop = one directory delete
+        per expired day; no data rewrite). `today` pins the clock for
+        reproducible jobs; defaults to the current UTC date. Returns
+        the dropped partition dates.
+
+        Note: `_meta` rows for expired records are kept (the audit
+        trail outlives the payload, like an S3 inventory of expired
+        keys); `status` queries can LEFT ANTI join against the zone to
+        spot payload-less metadata."""
+        import shutil
+        from datetime import date, timedelta
+
+        if self.is_remote:
+            raise NotImplementedError(
+                "expire() walks local partitions in this build; object "
+                "stores declare the same rule as bucket lifecycle config"
+            )
+        anchor = (
+            date.fromisoformat(today)
+            if today
+            else datetime.now(timezone.utc).date()
+        )
+        cutoff = anchor - timedelta(days=keep_days)
+        root = Path(self.zone(zone)) / "records"
+        dropped: list[str] = []
+        for type_dir in sorted(root.glob("data_type=*")):
+            for part in sorted(type_dir.glob("ingest_date=*")):
+                day = part.name.split("=", 1)[1]
+                try:
+                    if date.fromisoformat(day) < cutoff:
+                        shutil.rmtree(part)
+                        dropped.append(day)
+                except ValueError:
+                    continue  # foreign non-date partition value: keep
+        return sorted(set(dropped))
+
     def export_training_shards(
         self,
         zone: str = "processed",
@@ -526,13 +595,18 @@ class DataLakeEngine:
         df = self.records(zone)
         if transform is not None:
             df = transform(df)
-        return write_training_shards(
+        manifest = write_training_shards(
             self.spark,
             df,
             f"{self.root}/{subpath}",
             target_shard_mb=target_shard_mb,
             shuffle_seed=shuffle_seed,
         )
+        self._log_lineage(
+            "export", self.zone(zone), f"{self.root}/{subpath}",
+            manifest["total_rows"],
+        )
+        return manifest
 
     def _mark_indexed(self, ids: DataFrame | None = None) -> None:
         """Metadata upsert (K7): stamp indexed=true for exactly the ids

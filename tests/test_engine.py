@@ -350,3 +350,40 @@ def test_curate_incremental_corrupt_summary_propagates(engine, spark, tmp_path):
         engine.curate_incremental(timeout_s=120)
     # the corrupt file is untouched — history was not overwritten
     assert open(out + "/part-00000.parquet").read() == "not parquet"
+
+
+def test_expire_drops_only_old_partitions(engine, spark):
+    """Retention: ingest_date partitions older than keep_days are
+    dropped; newer data and _meta stay."""
+    import os
+
+    engine.ingest_batch([{"n": 1}], data_type="sales")
+    # forge an old partition next to today's
+    root = engine.zone("raw") + "/records/data_type=sales"
+    today_part = sorted(os.listdir(root))[0]
+    old = root + "/ingest_date=2020-01-01"
+    os.makedirs(old)
+    src_dir = f"{root}/{today_part}"
+    for f in os.listdir(src_dir):
+        if f.endswith(".parquet"):
+            import shutil
+
+            shutil.copy(f"{src_dir}/{f}", f"{old}/{f}")
+    dropped = engine.expire("raw", keep_days=30)
+    assert dropped == ["2020-01-01"]
+    assert not os.path.exists(old)
+    assert os.path.exists(src_dir)  # today's partition survives
+    assert engine.meta().count() == 1  # audit trail kept
+    # idempotent
+    assert engine.expire("raw", keep_days=30) == []
+
+
+def test_lineage_records_ops_chain(engine, spark):
+    engine.ingest_batch([{"n": i} for i in range(5)], data_type="sales")
+    engine.process()
+    engine.export_training_shards(target_shard_mb=1)
+    lin = {r["op"]: r for r in engine.lineage().collect()}
+    assert set(lin) == {"ingest", "promote", "export"}
+    assert lin["ingest"]["n_rows"] == 5
+    assert lin["export"]["n_rows"] == 5
+    assert lin["export"]["dst"].endswith("export/shards")
