@@ -785,3 +785,96 @@ def d15_source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(est, 4).alias("est_jac"),
         )
     )
+
+
+@query(
+    "d16_cluster_canonicals",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_CLUSTER_EDGES_SQL}),
+    edges2 AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+    nodes AS (SELECT DISTINCT x AS node FROM (
+        SELECT a AS x FROM edges UNION SELECT b FROM edges)),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT reach.node, e.b FROM reach JOIN edges2 e ON e.a = reach.r
+    ),
+    clusters AS (
+        SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+    ),
+    scored AS (
+        SELECT c.cluster_id, c.node, d.n_chars
+        FROM clusters c JOIN documents d ON d.doc_id = c.node
+    )
+    SELECT cluster_id,
+           count(*) AS cluster_size,
+           arg_max(node, n_chars * 10000000 - node) AS canonical_doc_id,
+           count(*) - 1 AS n_dropped
+    FROM scored
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+    """,
+)
+def d16_cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per duplicate cluster — the step a
+    dedup pipeline runs AFTER clustering (d08): within each near-dup
+    component keep the best representative (longest text, ties to the
+    smallest doc_id) and count what gets dropped. Quality-aware keep
+    policy is what separates production dedup from naive keep-first
+    (d07): the canonical should be the most complete variant, not the
+    one that happened to arrive first.
+
+    Plan: reuses d08's edge construction + lineage-truncated label
+    propagation; the keep decision is one max_by per cluster
+    (map-side combined) after a doc_id-keyed join to the quality
+    column — no extra pass over text."""
+    docs = table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    hashed = (
+        docs.repartition(n_part, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.transform(TX.distinct_tokens("text"), TX.token_hash).alias("hashes"),
+        )
+    )
+    s = hashed.select(
+        "doc_id", "source", _simhash_col_from("hashes").alias("simhash")
+    ).cache()
+    s.count()
+    s1, s2 = s.alias("s1"), s.alias("s2")
+    edges = (
+        s1.join(
+            s2,
+            (F.col("s1.source") == F.col("s2.source"))
+            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+        )
+        .filter(
+            F.bit_count(F.col("s1.simhash").bitwiseXOR(F.col("s2.simhash"))) <= 6
+        )
+        .select(F.col("s1.doc_id").alias("a"), F.col("s2.doc_id").alias("b"))
+        .cache()
+    )
+    edges.count()
+    from serverless_datalake_aws_spark.operators.components import (
+        connected_components,
+    )
+
+    labels = connected_components(edges, "a", "b", max_iters=20)
+    scored = labels.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    # canonical = max n_chars, ties to smallest doc_id: min_by on the
+    # composite (-n_chars, node) expressed as max_by(node, struct)
+    return (
+        scored.groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.max_by(
+                "node", F.col("n_chars") * 10000000 - F.col("node")
+            ).alias("canonical_doc_id"),
+            (F.count("*") - 1).alias("n_dropped"),
+        )
+        .select("cluster_id", "cluster_size", "canonical_doc_id", "n_dropped")
+        .orderBy("cluster_id")
+    )
