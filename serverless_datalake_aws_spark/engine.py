@@ -522,6 +522,37 @@ class DataLakeEngine:
         )
         q.awaitTermination(600)
 
+    def dedup_zone(self, zone: str = "raw") -> int:
+        """Exact payload deduplication for a zone's records: within each
+        data_type keep the first-ingested copy of every distinct
+        payload (md5 identity, d01/d07 semantics at the engine level —
+        the reference happily ingests byte-identical records forever).
+        Rewrites only when duplicates exist; returns the number of
+        dropped rows. The rewrite is partition-preserving and goes
+        through a staged swap like compact()."""
+        from pyspark.sql import Window as W
+
+        path = f"{self.zone(zone)}/records"
+        df = self.spark.read.parquet(path)
+        w = W.partitionBy("data_type", F.md5("payload")).orderBy("id")
+        deduped = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        before = df.count()
+        after = deduped.count()
+        if after == before:
+            return 0
+        tmp = path + ".dedup.tmp"
+        deduped.write.mode("overwrite").partitionBy(
+            "data_type", "ingest_date"
+        ).parquet(tmp)
+        shutil.rmtree(path)
+        Path(tmp).rename(path)
+        self._log_lineage("dedup", path, path, before - after)
+        return before - after
+
     def expire(
         self,
         zone: str = "raw",

