@@ -522,6 +522,43 @@ class DataLakeEngine:
         )
         q.awaitTermination(600)
 
+    def lake_report(self) -> DataFrame:
+        """Lake-wide health summary — the ops view the reference's
+        dashboard renders (deploy-script.sh:   dashboard section), as a
+        queryable DataFrame: one row per zone with file count, bytes,
+        and partition count, plus one row per `_meta` status with its
+        record count and indexed tally. Driver-side directory walk is
+        metadata-only (an S3 LIST per prefix at scale; the inventory-
+        report route past ~10^8 objects is documented in SCALE.md)."""
+        from pyspark.errors import AnalysisException
+
+        rows = []
+        for z in self.ZONES:
+            root = Path(self.zone(z)) / "records"
+            files = list(root.rglob("*.parquet")) if root.exists() else []
+            parts = {f.parent for f in files}
+            rows.append(
+                ("zone", z, len(files), sum(f.stat().st_size for f in files), len(parts))
+            )
+        # columns: extra = partition count for zones, indexed tally for meta
+        report = self.spark.createDataFrame(
+            rows, "kind string, name string, n_items long, bytes long, extra long"
+        )
+        try:
+            meta = self.meta()
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return report  # pre-ingest lake: zone rows only
+            raise
+        status = meta.groupBy(F.col("status").alias("name")).agg(
+            F.count("*").alias("n_items"),
+            F.sum("size_bytes").alias("bytes"),
+            F.sum(F.coalesce("indexed", F.lit(False)).cast("long")).alias("extra"),
+        ).withColumn("kind", F.lit("meta_status"))
+        return report.unionByName(
+            status.select("kind", "name", "n_items", "bytes", "extra")
+        )
+
     def dedup_zone(self, zone: str = "raw") -> int:
         """Exact payload deduplication for a zone's records: within each
         data_type keep the first-ingested copy of every distinct

@@ -403,3 +403,20 @@ def test_dedup_zone_keeps_first_copy(engine, spark):
     # idempotent
     assert engine.dedup_zone("raw") == 0
     assert {r["op"] for r in engine.lineage().collect()} >= {"ingest", "dedup"}
+
+
+def test_lake_report_zones_and_meta(engine, spark):
+    # pre-ingest: zone rows only, all empty
+    rpt0 = {r["name"]: r for r in engine.lake_report().collect()}
+    assert set(rpt0) == {"raw", "processed", "curated"}
+    assert rpt0["raw"]["n_items"] == 0
+    engine.ingest_batch([{"n": i} for i in range(3)], data_type="sales")
+    engine.process()
+    rpt = engine.lake_report().collect()
+    kinds = {(r["kind"], r["name"]): r for r in rpt}
+    assert kinds[("zone", "raw")]["n_items"] > 0
+    assert kinds[("zone", "raw")]["bytes"] > 0
+    assert kinds[("zone", "processed")]["n_items"] > 0
+    meta_rows = [r for r in rpt if r["kind"] == "meta_status"]
+    assert sum(r["n_items"] for r in meta_rows) == 3
+    assert sum(r["extra"] for r in meta_rows) == 3  # all indexed after process
