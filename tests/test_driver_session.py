@@ -40,6 +40,12 @@ for name in (
     "q18_date_functions",
     "q29_date_arithmetic",
     "st07_stream_static_enrich",
+    # round-5 timestamp consumers: day-split rollup merges, hourly
+    # sketch reach, streaming rollup maintenance
+    "e17_incremental_rollup",
+    "e18_incremental_distinct",
+    "q83_reach_curve_sketch_rollup",
+    "st10_stream_incremental_rollup",
 ):
     probs = check_query(spark, name, "/root/testdata/sf0.001")
     if probs:
