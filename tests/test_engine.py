@@ -420,3 +420,27 @@ def test_lake_report_zones_and_meta(engine, spark):
     meta_rows = [r for r in rpt if r["kind"] == "meta_status"]
     assert sum(r["n_items"] for r in meta_rows) == 3
     assert sum(r["extra"] for r in meta_rows) == 3  # all indexed after process
+
+
+def test_search_bm25_ranking(engine, spark):
+    """BM25: among docs matching the term, higher-tf-shorter docs rank
+    first; multi-token queries sum per-token scores."""
+    engine.ingest_batch(
+        [
+            {"msg": "spark spark spark"},              # high tf, short
+            {"msg": "spark plus many other words here to dilute length"},
+            {"msg": "nothing relevant at all"},
+            {"msg": "spark merge"},
+        ],
+        data_type="notes",
+    )
+    engine.process()
+    hits = engine.search("spark", rank="bm25").collect()
+    assert len(hits) == 3  # only matching docs
+    assert hits[0]["score"] >= hits[-1]["score"]
+    # multi-token: the doc containing both terms matches both
+    multi = engine.search("spark merge", rank="bm25").collect()
+    by_terms = {r["n_terms_matched"] for r in multi}
+    assert 2 in by_terms
+    with pytest.raises(ValueError, match="unknown rank"):
+        engine.search("spark", rank="pagerank")
