@@ -22,6 +22,7 @@ builds inside one job, lifted to cross-job/cross-day granularity.
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 
 from pyspark.sql import DataFrame
@@ -327,3 +328,106 @@ class MaintainedJoin:
         if view is None:
             raise FileNotFoundError(f"no view materialized at {self.path}")
         return view
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (DDSketch-style log histogram, long form)
+# ---------------------------------------------------------------------------
+#
+# Completes the maintained-sketch trio: HLL (distinct), count-min
+# (frequency), and now quantiles — the third non-algebraic metric that
+# otherwise forces a history re-scan. Representation is LONG FORM like
+# cm_*: one row per (key, sign, bin, cnt), so merging sketches is a
+# plain groupBy-sum and the whole machinery stays declarative (no
+# binary blobs, no custom merge UDF). Binning is pure arithmetic
+# (ln-ratio, DDSketch γ-geometric), so any engine — DuckDB included —
+# reproduces the buckets and the estimates bit-for-bit.
+#
+# Guarantee: for gamma = (1+α)/(1-α), every value in bin b is within
+# relative error α of the bin midpoint 2·γ^b/(γ+1); quantile estimates
+# inherit that α-relative-error bound (DDSketch, VLDB'19).
+
+QH_GAMMA = 1.02  # α ≈ 1% relative error
+
+
+def _qh_sign_bin(value_col: str, gamma: float):
+    """(sign, bin) columns for one value: sign ∈ {-1,0,1}; bin is the
+    γ-geometric index ceil(ln|x|/ln γ) for nonzero x, 0 for x == 0.
+    The ln-ratio is rounded to 9 decimals before ceil so a 1-ulp ln()
+    difference across engines cannot flip a bucket at bin edges."""
+    x = F.col(value_col).cast("double")
+    sign = F.when(x > 0, F.lit(1)).when(x < 0, F.lit(-1)).otherwise(F.lit(0))
+    mag = F.abs(x)
+    bin_ = F.when(
+        x == 0, F.lit(0)
+    ).otherwise(F.ceil(F.round(F.log(mag) / F.lit(math.log(gamma)), 9)))
+    return sign, bin_.cast("long")
+
+
+def qh_partial(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    gamma: float = QH_GAMMA,
+) -> DataFrame:
+    """Quantile-sketch partial state: rows (*keys, sign, bin, cnt).
+    One map-side-combined aggregation over the input; output size is
+    |keys| × O(log-range / ln γ) rows regardless of input rows."""
+    sign, bin_ = _qh_sign_bin(value_col, gamma)
+    return (
+        df.select(*(keys or []), sign.alias("sign"), bin_.alias("bin"))
+        .groupBy(*(keys or []), "sign", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def qh_merge(partials: list[DataFrame], keys: list[str] | None = None) -> DataFrame:
+    """Merge long-form quantile sketches: bucket counts add, so
+    sketch(base ∪ delta) == merge(sketch(base), sketch(delta)) exactly
+    — the merged sketch IS the from-scratch sketch."""
+    if not partials:
+        raise ValueError("nothing to merge")
+    union = reduce(lambda a, b: a.unionByName(b), partials)
+    return union.groupBy(*(keys or []), "sign", "bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def qh_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    keys: list[str] | None = None,
+    gamma: float = QH_GAMMA,
+) -> DataFrame:
+    """Quantile estimates from a long-form sketch: order buckets by
+    their representative value (sign-aware γ-midpoint), take the
+    running count, and for each q return the first bucket whose
+    cumulative count reaches rank ceil(q·n) — the classic
+    rank-in-histogram walk, expressed as a window + min_by so it stays
+    one shuffle over SKETCH rows (never fact rows). Output:
+    (*keys, q, est)."""
+    from pyspark.sql import Window
+
+    rep = F.when(F.col("sign") == 0, F.lit(0.0)).otherwise(
+        F.col("sign")
+        * F.lit(2.0 / (gamma + 1.0))
+        * F.exp(F.col("bin").cast("double") * F.lit(math.log(gamma)))
+    )
+    w = (
+        Window.partitionBy(*(keys or []))
+        .orderBy("rep")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        sketch.withColumn("rep", rep)
+        .withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy(*(keys or []))))
+    )
+    quants = F.array(*[F.lit(float(q)) for q in qs])
+    hits = (
+        cum.select(*(keys or []), "rep", "cum", "n", F.explode(quants).alias("q"))
+        .filter(F.col("cum") >= F.greatest(F.ceil(F.col("q") * F.col("n")), F.lit(1)))
+        .groupBy(*(keys or []), "q")
+        .agg(F.min_by("rep", "cum").alias("est"))
+    )
+    return hits

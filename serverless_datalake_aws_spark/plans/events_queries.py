@@ -707,3 +707,119 @@ def e20_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         _sh.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "e21_incremental_quantiles",
+    oracle="""
+    WITH vals AS (SELECT event_type, value FROM events),
+    binned AS (
+        SELECT event_type,
+               CASE WHEN value > 0 THEN 1 WHEN value < 0 THEN -1 ELSE 0 END AS sign,
+               CASE WHEN value = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(ceil(round(ln(abs(value)) / ln(1.02), 9)) AS BIGINT)
+               END AS bin
+        FROM vals),
+    sketch AS (
+        SELECT event_type, sign, bin, count(*) AS cnt FROM binned GROUP BY 1, 2, 3),
+    reps AS (
+        SELECT *, CASE WHEN sign = 0 THEN 0.0
+                       ELSE sign * (2.0 / 2.02) * exp(bin * ln(1.02)) END AS rep
+        FROM sketch),
+    cum AS (
+        SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY rep) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS n
+        FROM reps),
+    qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+    est AS (
+        SELECT event_type, q, min_by(rep, cum) AS est
+        FROM cum CROSS JOIN qs
+        WHERE cum >= greatest(CAST(ceil(q * n) AS BIGINT), 1)
+        GROUP BY 1, 2),
+    ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM vals),
+    exact AS (
+        SELECT r.event_type, q.q, r.value AS exact
+        FROM ranked r CROSS JOIN qs q
+        WHERE r.rn = greatest(CAST(ceil(q.q * r.n) AS BIGINT), 1))
+    SELECT e.event_type, e.q,
+           round(e.est, 4) AS est,
+           round(x.exact, 4) AS exact,
+           (abs(e.est - x.exact) <= (0.02 / 2.02) * abs(x.exact) + 1e-9)
+             AS within_bound
+    FROM est e JOIN exact x ON e.event_type = x.event_type AND e.q = x.q
+    ORDER BY e.event_type, e.q
+    """,
+)
+def e21_incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental QUANTILE maintenance — the third non-algebraic
+    metric after distinct (e18, HLL) and frequency (e19, count-min):
+    a DDSketch-style γ-geometric log histogram kept in LONG FORM
+    (operators/incremental.qh_partial/qh_merge/qh_quantiles), so the
+    sketch merge is a plain groupBy-sum and
+    merge(sketch(A), sketch(B)) == sketch(A ∪ B) holds exactly.
+    Per-type p50/p90/p99 come from merge(sketch(first-half),
+    sketch(second-half)) — the delta-absorb path — and are audited
+    in-result against the rank-exact quantile with DDSketch's
+    α = (γ-1)/(γ+1) ≈ 1% relative-error guarantee. Binning is pure
+    arithmetic (ln-ratio rounded to 9 dp before ceil), so the DuckDB
+    oracle reproduces buckets, estimates, and audit booleans
+    bit-for-bit.
+
+    Scale: each partial folds map-side to |types| × O(log range / ln γ)
+    rows (~700 buckets/type here); quantile extraction windows over
+    SKETCH rows only. The rank-exact audit column is the test-scale
+    yardstick — at 100 TB the sketch IS the product, the audit rides a
+    sample."""
+    from serverless_datalake_aws_spark.operators.incremental import (
+        qh_merge,
+        qh_partial,
+        qh_quantiles,
+    )
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    keys = ["event_type"]
+    sk = qh_merge(
+        [
+            qh_partial(ev.filter(F.dayofmonth("ts") <= 15), "value", keys),
+            qh_partial(ev.filter(F.dayofmonth("ts") > 15), "value", keys),
+        ],
+        keys,
+    )
+    est = qh_quantiles(sk, [0.5, 0.9, 0.99], keys)
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("value"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    qs = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    exact = (
+        ranked.select("*", F.explode(qs).alias("q"))
+        .filter(
+            F.col("rn")
+            == F.greatest(F.ceil(F.col("q") * F.col("n")), F.lit(1)).cast("long")
+        )
+        .select("event_type", "q", F.col("value").alias("exact"))
+    )
+    alpha = 0.02 / 2.02  # (γ-1)/(γ+1) for γ = 1.02
+    return (
+        est.join(exact, ["event_type", "q"])
+        .select(
+            "event_type",
+            "q",
+            F.round("est", 4).alias("est"),
+            F.round("exact", 4).alias("exact"),
+            (
+                F.abs(F.col("est") - F.col("exact"))
+                <= F.lit(alpha) * F.abs(F.col("exact")) + F.lit(1e-9)
+            ).alias("within_bound"),
+        )
+        .orderBy("event_type", "q")
+    )

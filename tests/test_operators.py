@@ -401,3 +401,61 @@ def test_maintained_join_matches_recompute(spark, tmp_path):
     got = sorted(map(tuple, mj.read().select("k", "lv", "rv").collect()))
     want = sorted(map(tuple, left.join(right, "k").select("k", "lv", "rv").collect()))
     assert got == want
+
+
+def test_quantile_sketch_merge_equals_from_scratch(spark):
+    """Long-form log-histogram quantile sketch: merge of per-half
+    sketches must equal the sketch of the union exactly (bucket counts
+    add), including zero and negative values."""
+    from serverless_datalake_aws_spark.operators.incremental import (
+        qh_merge,
+        qh_partial,
+    )
+
+    df = spark.range(4000).selectExpr(
+        "cast(id % 3 as string) as k",
+        # mix of negative, zero, and positive magnitudes
+        "cast((id - 2000) as double) * 0.37 as v",
+    )
+    merged = qh_merge(
+        [
+            qh_partial(df.filter("id < 2000"), "v", ["k"]),
+            qh_partial(df.filter("id >= 2000"), "v", ["k"]),
+        ],
+        ["k"],
+    )
+    scratch = qh_partial(df, "v", ["k"])
+    m = {(r["k"], r["sign"], r["bin"]): r["cnt"] for r in merged.collect()}
+    s = {(r["k"], r["sign"], r["bin"]): r["cnt"] for r in scratch.collect()}
+    assert m == s
+
+
+def test_quantile_sketch_relative_error_bound(spark):
+    """Estimates from the γ=1.02 sketch must sit within the DDSketch
+    guarantee α = (γ-1)/(γ+1) of the rank-exact quantile for every
+    probed q, on a skewed (log-normal-ish) distribution."""
+    import math
+
+    from serverless_datalake_aws_spark.operators.incremental import (
+        qh_partial,
+        qh_quantiles,
+    )
+
+    df = spark.range(20000).selectExpr(
+        # deterministic, heavily skewed positives spanning 5 decades
+        "exp(pmod(id * 2654435761, 1000000) / 1000000 * 11.5) * 0.01 as v"
+    )
+    qs = [0.01, 0.25, 0.5, 0.9, 0.99]
+    est = {
+        r["q"]: r["est"]
+        for r in qh_quantiles(qh_partial(df, "v"), qs).collect()
+    }
+    vals = sorted(r["v"] for r in df.collect())
+    alpha = 0.02 / 2.02
+    for q in qs:
+        exact = vals[max(math.ceil(q * len(vals)), 1) - 1]
+        assert abs(est[q] - exact) <= alpha * abs(exact) + 1e-9, (
+            q,
+            est[q],
+            exact,
+        )
