@@ -457,3 +457,93 @@ def p06_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("incl_prob"),
     )
+
+
+_T31_BUDGET = 512  # tokens per packed sequence (training context window)
+
+
+@query(
+    "t31_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+    ordered AS (
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cum_before
+        FROM toks),
+    spans AS (
+        SELECT doc_id, n_tokens, cum_before,
+               unnest(generate_series(cum_before // {_T31_BUDGET},
+                      (cum_before + n_tokens - 1) // {_T31_BUDGET})) AS chunk_id
+        FROM ordered),
+    per_chunk AS (
+        SELECT chunk_id, count(*) AS n_docs,
+               sum(least((chunk_id + 1) * {_T31_BUDGET}, cum_before + n_tokens)
+                   - greatest(chunk_id * {_T31_BUDGET}, cum_before)) AS chunk_tokens
+        FROM spans GROUP BY 1)
+    SELECT n_docs, count(*) AS n_chunks,
+           CAST(sum(chunk_tokens) AS BIGINT) AS tokens,
+           min(chunk_id) AS first_chunk, max(chunk_id) AS last_chunk
+    FROM per_chunk GROUP BY n_docs ORDER BY n_docs
+    """,
+)
+def t31_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the GPT-style dataloader
+    step: lay every document's tokens end-to-end in doc_id order and
+    cut the stream into fixed 512-token training sequences;
+    a document whose tokens straddle a cut belongs to both chunks.
+    Each doc's global token offset comes from operators/prefix.
+    global_cumsum — the two-phase range-partitioned prefix scan —
+    NEVER from a partitionBy-less Window (the single-reducer trap this
+    operator exists to avoid; cf. SNIPPETS 'global sort' patterns).
+    Chunk membership is pure row-local arithmetic on (offset, len):
+    span = [offset DIV B, (offset+len-1) DIV B], overlap =
+    min((c+1)B, offset+len) - max(cB, offset).
+
+    Result is the bounded packing digest (docs-per-chunk histogram +
+    token totals), which pins every boundary: any off-by-one in the
+    offsets or the span arithmetic shifts a doc between chunks and
+    breaks the histogram. Oracle replays the same arithmetic with a
+    single-threaded SQL cumsum.
+
+    Scale: one range shuffle (the prefix scan) + one hash agg on
+    chunk_id; the span explode emits n_chunks+n_docs rows total —
+    linear, no skew (every chunk key has ≤ a handful of rows)."""
+    from serverless_datalake_aws_spark.operators.prefix import global_cumsum
+
+    B = _T31_BUDGET
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    packed = global_cumsum(docs, ["doc_id"], "n_tokens")
+    spans = packed.select(
+        "cum_before",
+        "n_tokens",
+        F.explode(
+            F.sequence(
+                F.expr(f"cum_before DIV {B}"),
+                F.expr(f"(cum_before + n_tokens - 1) DIV {B}"),
+            )
+        ).alias("chunk_id"),
+    )
+    per_chunk = spans.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.least(
+                (F.col("chunk_id") + 1) * B, F.col("cum_before") + F.col("n_tokens")
+            )
+            - F.greatest(F.col("chunk_id") * B, F.col("cum_before"))
+        ).alias("chunk_tokens"),
+    )
+    return (
+        per_chunk.groupBy("n_docs")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_tokens").cast("long").alias("tokens"),
+            F.min("chunk_id").alias("first_chunk"),
+            F.max("chunk_id").alias("last_chunk"),
+        )
+        .orderBy("n_docs")
+    )

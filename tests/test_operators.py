@@ -459,3 +459,42 @@ def test_quantile_sketch_relative_error_bound(spark):
             est[q],
             exact,
         )
+
+
+def test_global_cumsum_matches_single_reducer(spark):
+    """Two-phase range-partitioned prefix scan must equal the naive
+    single-reducer window cumsum exactly, on an input whose physical
+    layout is adversarially shuffled first."""
+    from pyspark.sql.window import Window
+
+    from serverless_datalake_aws_spark.operators.prefix import global_cumsum
+
+    df = (
+        spark.range(10_000)
+        .selectExpr("id", "cast(pmod(id * 2654435761, 997) as long) as v")
+        .repartition(16)  # destroy any incidental ordering
+    )
+    got = {
+        r["id"]: r["cum_before"]
+        for r in global_cumsum(df, ["id"], "v", num_partitions=8).collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["id"]: r["c"]
+        for r in df.withColumn(
+            "c", F.coalesce(F.sum("v").over(w), F.lit(0))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_cumsum_single_partition_degenerate(spark):
+    """num_partitions=1 (everything in one range) still works."""
+    from serverless_datalake_aws_spark.operators.prefix import global_cumsum
+
+    df = spark.createDataFrame([(1, 5), (2, 7), (3, 11)], "id long, v long")
+    rows = {
+        r["id"]: r["cum_before"]
+        for r in global_cumsum(df, ["id"], "v", num_partitions=1).collect()
+    }
+    assert rows == {1: 0, 2: 5, 3: 12}
