@@ -60,6 +60,7 @@ _MODULES = (
     "graph",
     "text4",
     "similarity4",
+    "similarity5",
 )
 
 

@@ -878,3 +878,124 @@ def d16_cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster_id", "cluster_size", "canonical_doc_id", "n_dropped")
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "d17_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_CLUSTER_EDGES_SQL}),
+    edges2 AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+    nodes AS (SELECT DISTINCT x AS node FROM (
+        SELECT a AS x FROM edges UNION SELECT b FROM edges)),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT reach.node, e.b FROM reach JOIN edges2 e ON e.a = reach.r
+    ),
+    labels AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+    alldocs AS (
+        SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN labels l USING (doc_id)),
+    assigned AS (
+        SELECT doc_id, cluster_id,
+               CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT *,
+                     CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 14))
+                          AS BIGINT) % 100 AS h
+              FROM alldocs)),
+    leak AS (
+        SELECT count(*) AS cross_split_edges
+        FROM edges e
+        JOIN assigned x ON x.doc_id = e.a
+        JOIN assigned y ON y.doc_id = e.b
+        WHERE x.split <> y.split)
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT cluster_id) AS n_clusters,
+           (SELECT cross_split_edges FROM leak) AS cross_split_edges
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+)
+def d17_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split — the anti-contamination
+    assignment a training pipeline runs AFTER near-dup clustering:
+    hashing doc_id alone leaks (two near-identical documents land in
+    train and test and inflate eval), so the split key is the near-dup
+    CLUSTER id (d08's simhash components; singletons are their own
+    cluster). Assignment is a deterministic md5-affine hash of the
+    cluster id -> 80/10/10, so the split is reproducible run-over-run
+    and engine-over-engine. The result carries its own proof:
+    cross_split_edges counts near-dup pairs straddling splits and is
+    structurally zero (every edge is within one cluster, every cluster
+    within one split).
+
+    Scale: component labels from the iterative min-label loop (one
+    shuffle per round, diameter-bounded); assignment is row-local; the
+    leak audit joins |edges| rows against the (doc_id, split) map —
+    all key-partitioned equi-joins, nothing all-pairs."""
+    docs = table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    hashed = docs.repartition(n_part, "doc_id").select(
+        "doc_id",
+        "source",
+        F.transform(TX.distinct_tokens("text"), TX.token_hash).alias("hashes"),
+    )
+    s = hashed.select(
+        "doc_id", "source", _simhash_col_from("hashes").alias("simhash")
+    ).cache()
+    s.count()  # materialize before the self-join (see d05)
+    s1, s2 = s.alias("s1"), s.alias("s2")
+    edges = (
+        s1.join(
+            s2,
+            (F.col("s1.source") == F.col("s2.source"))
+            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+        )
+        .filter(
+            F.bit_count(F.col("s1.simhash").bitwiseXOR(F.col("s2.simhash"))) <= 6
+        )
+        .select(F.col("s1.doc_id").alias("a"), F.col("s2.doc_id").alias("b"))
+        .cache()
+    )
+    edges.count()
+    from serverless_datalake_aws_spark.operators.components import (
+        connected_components,
+    )
+
+    labels = connected_components(edges, "a", "b", max_iters=20).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    alldocs = docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 14), 16, 10)
+        .cast("long")
+        % 100
+    )
+    assigned = alldocs.withColumn(
+        "split",
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test"),
+    ).cache()
+    leak = (
+        edges.join(
+            assigned.select(F.col("doc_id").alias("a"), F.col("split").alias("sa")),
+            "a",
+        )
+        .join(
+            assigned.select(F.col("doc_id").alias("b"), F.col("split").alias("sb")),
+            "b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).alias("cross_split_edges"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .orderBy("split")
+    )
