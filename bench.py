@@ -50,6 +50,9 @@ HEADLINE = (
     # round-5 additions: AQE-skew-split join demo + sketch reach curve
     "q81_skew_join_aqe",
     "q80_running_distinct_approx",
+    # late round-5: prefix-scan sequence packing + PQ/ADC ANN
+    "t31_sequence_packing",
+    "s19_pq_adc_ann",
 )
 
 
