@@ -547,3 +547,110 @@ def t31_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_docs")
     )
+
+
+@query(
+    "t32_lm_quality_score",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    ref_idx AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM tok WHERE doc_id % 5 = 0 AND len(t) >= 2),
+    ref_pairs AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM ref_idx),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM ref_pairs GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM ref_pairs GROUP BY 1),
+    vocab AS (
+        SELECT count(DISTINCT tk) AS v FROM (
+            SELECT unnest(t) AS tk FROM tok WHERE doc_id % 5 = 0)),
+    doc_idx AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM tok WHERE len(t) >= 2),
+    doc_pairs AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM doc_idx),
+    scored_pairs AS (
+        SELECT p.doc_id,
+               ln((coalesce(c2.c2, 0) + 1)
+                  / CAST(coalesce(c1.c1, 0) + (SELECT v FROM vocab) AS DOUBLE))
+                 AS logp
+        FROM doc_pairs p
+        LEFT JOIN c2 ON c2.w1 = p.w1 AND c2.w2 = p.w2
+        LEFT JOIN c1 ON c1.w1 = p.w1),
+    scored AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(avg(logp), 6) AS avg_logp
+        FROM scored_pairs GROUP BY doc_id),
+    thr AS (SELECT CAST(quantile_cont(avg_logp, 0.1) AS DOUBLE) AS p10 FROM scored)
+    SELECT doc_id, n_bigrams, avg_logp,
+           (avg_logp < (SELECT p10 FROM thr)) AS low_quality
+    FROM scored ORDER BY doc_id
+    """,
+)
+def t32_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the CCNet/KenLM pattern: train a
+    bigram LM (add-one smoothing) on a reference slice (doc_id%5==0),
+    score every document by its mean log-probability, and flag the
+    bottom decile as low-quality. This is the model-driven complement
+    to the repo's heuristic filters (t03 quality features, t25 filter
+    report, t29 repetition): a document full of valid-but-improbable
+    token transitions scores low even when length/punct ratios look
+    fine.
+
+    Spark-first shape: bigrams are built ROW-LOCALLY (transform over
+    sequence indices — no positional self-join), the count tables are
+    broadcast (they are the trained LM — a bounded model artifact;
+    production prunes rare bigrams exactly like KenLM pruning, same
+    join shape), so scoring is map-side except one narrow shuffle of
+    (doc_id, logp) pairs for the per-doc mean. The p10 threshold is a
+    one-row aggregate over per-doc scores (|docs| not |tokens|; the
+    e21 quantile sketch is the declared swap when even that is too
+    big), attached via crossJoin(broadcast). avg_logp is rounded to 6
+    dp BEFORE the threshold quantile so both engines interpolate over
+    identical doubles and the boundary flag cannot flip on a 1-ulp
+    ln() difference."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    pairs_expr = F.expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"
+    )
+    ref = docs.filter((F.col("doc_id") % 5 == 0) & (F.size("t") >= 2))
+    ref_pairs = ref.select(F.explode(pairs_expr).alias("p")).select("p.w1", "p.w2")
+    c2 = ref_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = ref_pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(F.explode("t").alias("tk"))
+        .agg(F.countDistinct("tk").alias("v"))
+    )
+    doc_pairs = (
+        docs.filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(pairs_expr).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    scored_pairs = (
+        doc_pairs.join(F.broadcast(c2), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce("c2", F.lit(0)) + 1)
+                / (F.coalesce("c1", F.lit(0)) + F.col("v")).cast("double")
+            ).alias("logp"),
+        )
+    )
+    scored = scored_pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("logp"), 6).alias("avg_logp"),
+    )
+    thr = scored.agg(F.percentile("avg_logp", F.lit(0.1)).alias("p10"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "avg_logp",
+            (F.col("avg_logp") < F.col("p10")).alias("low_quality"),
+        )
+        .orderBy("doc_id")
+    )
