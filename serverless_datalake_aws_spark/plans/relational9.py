@@ -391,14 +391,28 @@ def run_with_skew_confs(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Execute `df` with AQE skew-split thresholds scoped to this one
     job: save confs, lower thresholds so skew detection fires at test
     scale, materialize into a cache, restore confs, return the cache."""
-    scoped = {
-        "spark.sql.adaptive.enabled": "true",
-        "spark.sql.adaptive.skewJoin.enabled": "true",
-        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-    }
+    return run_with_scoped_confs(
+        spark,
+        df,
+        {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+
+
+def run_with_scoped_confs(
+    spark: SparkSession, df: DataFrame, scoped: dict[str, str]
+) -> DataFrame:
+    """Execute `df` with session confs scoped to this one job: save
+    originals, set the scoped values, force the plan into a cache (so
+    the confs hold when the join EXECUTES), restore, return the cached
+    frame. Returning a lazy df instead would leak the confs into
+    whatever the shared session runs next."""
     saved: dict[str, str | None] = {}
     for k in scoped:
         try:
@@ -417,6 +431,64 @@ def run_with_skew_confs(spark: SparkSession, df: DataFrame) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+_Q84 = """
+    SELECT l_returnflag, count(*) AS n_lines,
+           round(sum(l_extendedprice), 2) AS rev
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("q84_bloom_runtime_filter", oracle=_Q84)
+def q84_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning — the ROW-level counterpart
+    to q82's dynamic PARTITION pruning: the selective dim-side filter
+    (urgent orders, ~20% selectivity) is turned into a bloom filter at
+    runtime and pushed into the fact-side scan as
+    `might_contain(xxhash64(l_orderkey))`, so most non-matching
+    lineitem rows die at the scan instead of riding the shuffle into
+    the join. At 100 TB this is the difference between shuffling the
+    whole fact table and shuffling the ~matching fifth of it — free
+    (Catalyst's InjectRuntimeFilter), but OFF at test scale because
+    the application-side scan must exceed 10 GB; the scoped conf
+    lowers that threshold (a real deployment keeps the default), and
+    the broadcast threshold is disabled because broadcast joins get
+    their filtering for free and demonstrate nothing. Plan shape
+    (bloom_filter_agg creation + might_contain application) is
+    asserted in tests/test_plans.py; the oracle's plain SQL join
+    hash-match proves the filter never drops a matching row."""
+    from serverless_datalake_aws_spark.catalog import table as _t
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    out = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+        )
+        .orderBy("l_returnflag")
+    )
+    return run_with_scoped_confs(
+        spark,
+        out,
+        {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "1KB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    )
 
 
 _Q82 = """

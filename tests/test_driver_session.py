@@ -46,6 +46,8 @@ for name in (
     "e18_incremental_distinct",
     "q83_reach_curve_sketch_rollup",
     "st10_stream_incremental_rollup",
+    # late round-5: quantile-sketch merge splits batches on dayofmonth
+    "e21_incremental_quantiles",
 ):
     probs = check_query(spark, name, "/root/testdata/sf0.001")
     if probs:

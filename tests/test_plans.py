@@ -424,3 +424,15 @@ def test_global_cumsum_no_single_partition_funnel(spark):
     assert got.filter("id = 999").collect()[0]["cum_before"] == sum(
         i % 7 for i in range(999)
     )
+
+
+def test_q84_bloom_runtime_filter_fires(spark):
+    """The executed plan must show BOTH halves of the runtime bloom
+    filter under q84's scoped thresholds: the creation-side
+    bloom_filter_agg over the selective dim keys and the
+    fact-side might_contain application. Row-level complement to
+    q82's DPP gate."""
+    df = all_queries()["q84_bloom_runtime_filter"](spark, SF_DIR)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "bloom_filter_agg" in executed, executed[:2000]
+    assert "might_contain" in executed, executed[:2000]
