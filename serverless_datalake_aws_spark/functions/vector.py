@@ -54,38 +54,52 @@ def brute_scores(
     queries: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
     """Score every row of `df` against every query vector — the O(N·Q)
     brute-force pass as one float64 BLAS matmul per Arrow batch.
-    Returns (neighbor_id, query_id, cos_sim) UNROUNDED; callers apply
+    Returns (neighbor_id, query_id, score) UNROUNDED; callers apply
     F.round so the cross-engine rounding rule stays Spark-side. The
     query set is a driver-held literal (it is the search request —
-    bounded), broadcast inside the closure."""
+    bounded), broadcast inside the closure. `metric`: "cosine"
+    (score column `cos_sim`, higher = closer) or "l2" (squared
+    euclidean, column `d2`, lower = closer — the s19 PQ ground
+    truth)."""
     import numpy as np
     import pandas as pd
 
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
     qids = np.array([q[0] for q in queries], dtype=np.int64)
     Q = np.stack([np.asarray(q[1], dtype=np.float64) for q in queries])
     Qn = np.linalg.norm(Q, axis=1)
+    out_col = "cos_sim" if metric == "cosine" else "d2"
 
     def _score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if not len(pdf):
                 continue
             V = np.stack(pdf[emb_col].values).astype(np.float64)
-            nrm = np.linalg.norm(V, axis=1)
-            S = (V @ Q.T) / (nrm[:, None] * Qn[None, :])
+            if metric == "cosine":
+                nrm = np.linalg.norm(V, axis=1)
+                S = (V @ Q.T) / (nrm[:, None] * Qn[None, :])
+            else:  # squared L2 via the dot identity (matches the SQL twin)
+                S = (
+                    (V * V).sum(axis=1)[:, None]
+                    - 2.0 * (V @ Q.T)
+                    + (Qn * Qn)[None, :]
+                )
             n = len(pdf)
             yield pd.DataFrame(
                 {
                     "neighbor_id": np.repeat(pdf[id_col].values, len(qids)),
                     "query_id": np.tile(qids, n),
-                    "cos_sim": S.ravel(),
+                    out_col: S.ravel(),
                 }
             )
 
     return df.select(id_col, emb_col).mapInPandas(
-        _score, schema="neighbor_id long, query_id long, cos_sim double"
+        _score, schema=f"neighbor_id long, query_id long, {out_col} double"
     )
 
 
