@@ -654,3 +654,86 @@ def t32_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "t33_token_runs_udtf",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS token,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents),
+    isl AS (
+        SELECT doc_id, pos, token,
+               CASE WHEN lag(token) OVER w IS DISTINCT FROM token
+                    THEN 1 ELSE 0 END AS brk
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    seg AS (
+        SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS seg_idx
+        FROM isl),
+    runs AS (
+        SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+               min(token) AS token,
+               count(*) AS run_len,
+               min(pos) AS start_pos
+        FROM seg GROUP BY doc_id, seg_idx)
+    SELECT doc_id, seg_idx, token, run_len, start_pos
+    FROM runs WHERE run_len >= 2
+    ORDER BY doc_id, seg_idx
+    """,
+)
+def t33_token_runs_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Immediate-repetition runs (adjacent duplicated tokens — the
+    row-expanding cousin of t29's repetition ratios, giving the WHERE
+    of each stutter, not just the rate) — implemented as a Python
+    UDTF, the one §2.10 seam the pandas-UDF / applyInPandas /
+    mapInPandas trio doesn't cover: a row-to-many-rows generator
+    usable from SQL via LATERAL. The eval loop is a single forward
+    scan per document (state = current run), Arrow-serialized
+    (useArrow); the oracle replays the same segmentation declaratively
+    as gaps-and-islands (lag-break + running sum + group). seg_idx
+    counts ALL value-change segments (including length-1 runs) so both
+    engines number identically; only run_len >= 2 rows are emitted.
+
+    Scale: the UDTF is row-local (embarrassingly parallel, no
+    shuffle); output ∝ stutters, not tokens. Use this seam for
+    per-row generators Catalyst can't express (BPE merges, span
+    extractors); for anything expressible as explode+window — like
+    this oracle — the declarative form is the production path and the
+    UDTF is the oracled demonstration of the seam."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "doc_id: long, seg_idx: long, token: string, "
+            "run_len: long, start_pos: long"
+        ),
+        useArrow=True,
+    )
+    class TokenRuns:
+        def eval(self, doc_id: int, text: str):
+            seg_idx = 0
+            run_tok, run_len, run_start = None, 0, 1
+            pos = 0
+            for tok in (text or "").split(" "):
+                pos += 1
+                if tok == run_tok:
+                    run_len += 1
+                    continue
+                if run_len >= 2:
+                    yield (doc_id, seg_idx, run_tok, run_len, run_start)
+                seg_idx += 1
+                run_tok, run_len, run_start = tok, 1, pos
+            if run_len >= 2:
+                yield (doc_id, seg_idx, run_tok, run_len, run_start)
+
+    spark.udtf.register("token_runs", TokenRuns)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("_t33_docs")
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.seg_idx, s.token, s.run_len, s.start_pos
+        FROM _t33_docs d, LATERAL token_runs(d.doc_id, d.text) s
+        ORDER BY s.doc_id, s.seg_idx
+        """
+    )
