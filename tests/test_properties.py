@@ -165,3 +165,34 @@ def test_interleave_injective_and_axis_monotone(a1, b1, a2, b2):
         assert z1 < z2
     if a1 == a2 and b1 < b2:
         assert z1 < z2
+
+
+# --- quantile-sketch binning (operators/incremental.qh_*) ------------
+# Pure-math mirror of the Column expressions: bin = ceil(round(ln|x| /
+# ln γ, 9)), midpoint = sign · 2γ^b/(γ+1). The DDSketch guarantee —
+# every nonzero value is within α = (γ-1)/(γ+1) of its bin midpoint —
+# must hold across the full float range, including subnormal-adjacent
+# and huge magnitudes, for BOTH signs.
+
+
+@given(
+    st.floats(
+        min_value=1e-300,
+        max_value=1e300,
+        allow_nan=False,
+        allow_infinity=False,
+    ),
+    st.sampled_from([-1.0, 1.0]),
+)
+@settings(max_examples=300, deadline=None)
+def test_qh_bin_midpoint_within_ddsketch_bound(mag, sign):
+    import math
+
+    gamma = 1.02  # incremental.QH_GAMMA
+    x = sign * mag
+    b = math.ceil(round(math.log(abs(x)) / math.log(gamma), 9))
+    rep = sign * (2.0 / (gamma + 1.0)) * math.exp(b * math.log(gamma))
+    alpha = (gamma - 1.0) / (gamma + 1.0)
+    # the 9-dp pre-round can push a boundary value one bin over; that
+    # widens the worst case by γ^(1e-9) — absorbed by a hair of slack
+    assert abs(rep - x) <= alpha * abs(x) * (1 + 1e-6), (x, b, rep)
