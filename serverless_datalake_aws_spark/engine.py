@@ -676,6 +676,75 @@ class DataLakeEngine:
         )
         return manifest
 
+    def export_split_shards(
+        self,
+        zone: str = "processed",
+        subpath: str = "export/splits",
+        group_col: str = "id",
+        fractions: tuple[float, float, float] = (0.8, 0.1, 0.1),
+        target_shard_mb: int = 256,
+        shuffle_seed: int | None = 0,
+        transform=None,
+    ) -> dict:
+        """Shard export with a leakage-safe train/val/test split — the
+        d17 assignment wired into the gold-zone exit: every record is
+        routed by a deterministic md5 hash of `group_col`, so (a) the
+        split is reproducible run-over-run and engine-over-engine, and
+        (b) all records sharing a group land in the SAME split. Pass a
+        near-dup cluster id (d08/d17) or a domain/source key as
+        `group_col` to guarantee no near-duplicate — or same-site —
+        pair straddles train and eval; the default (`id`) is a plain
+        record-level split. Writes `<subpath>/<split>/` shard sets,
+        each with its own manifest (write_training_shards), and
+        lineage-logs each split.
+
+        Scale: the split column is one row-local hash; each split's
+        write is the usual single-exchange shard job over its subset —
+        no extra shuffles versus three plain exports."""
+        from serverless_datalake_aws_spark.sources.writers import (
+            write_training_shards,
+        )
+
+        if self.is_remote:
+            raise NotImplementedError(
+                "shard export requires a local lake root in this build"
+            )
+        if len(fractions) != 3 or abs(sum(fractions) - 1.0) > 1e-9:
+            raise ValueError(f"fractions must be 3 values summing to 1: {fractions}")
+        df = self.records(zone)
+        if transform is not None:
+            df = transform(df)
+        t_train = int(round(fractions[0] * 100))
+        t_val = t_train + int(round(fractions[1] * 100))
+        h = (
+            F.conv(
+                F.substring(F.md5(F.col(group_col).cast("string")), 1, 14), 16, 10
+            ).cast("long")
+            % 100
+        )
+        split_col = (
+            F.when(h < t_train, "train").when(h < t_val, "val").otherwise("test")
+        )
+        df = df.withColumn("_split", split_col).persist()
+        try:
+            manifests: dict[str, dict] = {}
+            for split in ("train", "val", "test"):
+                part = df.filter(F.col("_split") == split).drop("_split")
+                dest = f"{self.root}/{subpath}/{split}"
+                manifests[split] = write_training_shards(
+                    self.spark,
+                    part,
+                    dest,
+                    target_shard_mb=target_shard_mb,
+                    shuffle_seed=shuffle_seed,
+                )
+                self._log_lineage(
+                    "export", self.zone(zone), dest, manifests[split]["total_rows"]
+                )
+            return manifests
+        finally:
+            df.unpersist()
+
     def _mark_indexed(self, ids: DataFrame | None = None) -> None:
         """Metadata upsert (K7): stamp indexed=true for exactly the ids
         just indexed — same last-writer-wins semantics as the reference's

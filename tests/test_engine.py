@@ -444,3 +444,75 @@ def test_search_bm25_ranking(engine, spark):
     assert 2 in by_terms
     with pytest.raises(ValueError, match="unknown rank"):
         engine.search("spark", rank="pagerank")
+
+
+def test_export_split_shards_deterministic_and_disjoint(engine, spark):
+    """Split export: ids are disjoint across splits, the union is the
+    full zone, the assignment is deterministic (re-export yields the
+    same membership), and same group_col value => same split."""
+    engine.ingest_batch(
+        [{"n": i, "grp": f"g{i % 7}"} for i in range(120)], data_type="sales"
+    )
+    engine.process()
+
+    m = engine.export_split_shards(target_shard_mb=1)
+    assert set(m) == {"train", "val", "test"}
+    assert sum(v["total_rows"] for v in m.values()) == 120
+    seen = {}
+    for split in m:
+        back = spark.read.parquet(engine.root + f"/export/splits/{split}")
+        ids = {r["id"] for r in back.select("id").collect()}
+        assert len(ids) == m[split]["total_rows"]
+        for i in ids:
+            assert i not in seen, f"{i} in both {seen.get(i)} and {split}"
+            seen[i] = split
+    # determinism: second export reproduces the exact membership
+    m2 = engine.export_split_shards(subpath="export/splits2", target_shard_mb=1)
+    for split in m:
+        assert m2[split]["total_rows"] == m[split]["total_rows"]
+        back = spark.read.parquet(engine.root + f"/export/splits2/{split}")
+        assert {r["id"] for r in back.select("id").collect()} == {
+            i for i, s in seen.items() if s == split
+        }
+
+
+def test_export_split_shards_group_cohesion(engine, spark):
+    """Splitting on a group key keeps every group intact — the
+    leakage-safety contract (d17 at the engine exit)."""
+    import json
+
+    engine.ingest_batch(
+        [{"n": i, "site": f"site{i % 11}"} for i in range(110)],
+        data_type="sales",
+    )
+    engine.process()
+
+    def with_site(df):
+        from pyspark.sql import functions as F
+
+        return df.withColumn(
+            "site", F.get_json_object("payload", "$.site")
+        )
+
+    engine.export_split_shards(
+        subpath="export/bysite",
+        group_col="site",
+        transform=with_site,
+        target_shard_mb=1,
+    )
+    site_split = {}
+    for split in ("train", "val", "test"):
+        back = spark.read.parquet(engine.root + f"/export/bysite/{split}")
+        for r in back.select("site").distinct().collect():
+            assert r["site"] not in site_split, (
+                f"site {r['site']} straddles {site_split[r['site']]} and {split}"
+            )
+            site_split[r["site"]] = split
+    assert len(site_split) == 11
+
+
+def test_export_split_shards_bad_fractions(engine):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        engine.export_split_shards(fractions=(0.5, 0.2, 0.2))
