@@ -737,3 +737,124 @@ def t33_token_runs_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s.doc_id, s.seg_idx
         """
     )
+
+
+_T34_MERGES = 8  # learned merge rules
+_T34_TOP_WORDS = 500  # word-histogram slice the trainer rides
+
+
+def _t34_oracle() -> str:
+    """Generate the UNROLLED BPE oracle: one (best_k, seq_k) CTE pair
+    per merge step — the data-dependent 'best pair' becomes a scalar
+    subquery feeding a boundary-padded replace, exactly the arithmetic
+    the Spark driver loop runs."""
+    steps = []
+    for k in range(1, _T34_MERGES + 1):
+        prev = f"seq{k - 1}"
+        steps.append(f"""
+    pairs{k} AS (
+        SELECT cnt, t[i] || ' ' || t[i + 1] AS pair
+        FROM (SELECT cnt, string_split(trim(seq), ' ') AS t,
+                     unnest(generate_series(1, len(string_split(trim(seq), ' ')) - 1)) AS i
+              FROM {prev})),
+    best{k} AS (
+        SELECT pair, replace(pair, ' ', '') AS merged,
+               CAST(sum(cnt) AS BIGINT) AS pair_count
+        FROM pairs{k} GROUP BY pair
+        ORDER BY pair_count DESC, pair LIMIT 1),
+    seq{k} AS (
+        SELECT w, cnt,
+               replace(seq, ' ' || (SELECT pair FROM best{k}) || ' ',
+                            ' ' || (SELECT merged FROM best{k}) || ' ') AS seq
+        FROM {prev})""")
+    finals = "\n    UNION ALL ".join(
+        f"SELECT {k} AS step, pair, merged, pair_count FROM best{k}"
+        for k in range(1, _T34_MERGES + 1)
+    )
+    return f"""
+    WITH w0 AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w ORDER BY cnt DESC, w LIMIT {_T34_TOP_WORDS}),
+    seq0 AS (
+        SELECT w, cnt,
+               ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS seq
+        FROM w0),{",".join(steps)}
+    SELECT * FROM ({finals}) ORDER BY step
+    """
+
+
+@query("t34_bpe_merges", oracle=_t34_oracle())
+def t34_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction — the tokenizer-training step of a
+    training-data pipeline: learn the first 8 merge rules over the
+    corpus word histogram (classic Sennrich'16 loop: count adjacent
+    symbol pairs weighted by word frequency, merge the most frequent,
+    repeat). The iterative driver loop is the §2.10/§2.11 'bounded
+    iteration on DataFrames' class (cf. d08's components): each step
+    is ONE aggregation over the |top-words| histogram — NEVER the
+    corpus; that histogram compression is exactly why BPE training
+    scales (a 100 TB corpus still has a bounded frequent-word table;
+    the one corpus-sized job is the initial word count, a plain t02
+    hash-agg). The chosen pair rides the driver per step (1-row
+    collect — the trained artifact), and merge application is a
+    boundary-padded single-pass replace whose left-to-right
+    non-overlap semantics Spark and DuckDB share verbatim (verified:
+    ' a b a b ' -> ' ab a b ' in both).
+
+    The oracle UNROLLS the same 8 steps as CTE pairs with the best
+    pair as a scalar subquery — bit-identical counts, ties broken
+    (count DESC, pair ASC) identically. Output: the learned ruleset
+    (step, pair, merged, pair_count)."""
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w")
+        .limit(_T34_TOP_WORDS)
+    )
+    vocab = words.select(
+        "w",
+        "cnt",
+        F.concat(
+            F.lit(" "),
+            F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), " "),
+            F.lit(" "),
+        ).alias("seq"),
+    ).cache()
+    vocab.count()
+    pairs_expr = F.expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"
+    )
+    merges = []
+    try:
+        for step in range(1, _T34_MERGES + 1):
+            best = (
+                vocab.select("cnt", F.split(F.trim("seq"), " ").alias("t"))
+                # single-symbol rows contribute no pairs; Spark's
+                # sequence(1, 0) is DESCENDING (not empty like DuckDB's
+                # generate_series) so they must be filtered, not mapped
+                .filter(F.size("t") >= 2)
+                .select("cnt", F.explode(pairs_expr).alias("pair"))
+                .groupBy("pair")
+                .agg(F.sum("cnt").alias("pair_count"))
+                .orderBy(F.col("pair_count").desc(), "pair")
+                .limit(1)
+                .collect()[0]
+            )
+            pair, count = best["pair"], best["pair_count"]
+            merged = pair.replace(" ", "")
+            merges.append((step, pair, merged, count))
+            esc_p, esc_m = pair.replace("'", "\\'"), merged.replace("'", "\\'")
+            nxt = vocab.withColumn(
+                "seq", F.expr(f"replace(seq, ' {esc_p} ', ' {esc_m} ')")
+            ).cache()
+            nxt.count()
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, pair string, merged string, pair_count long"
+    )
