@@ -858,3 +858,49 @@ def t34_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step int, pair string, merged string, pair_count long"
     )
+
+
+@query(
+    "p07_dataset_datasheet",
+    oracle="""
+    SELECT CASE WHEN grouping(source) = 1 THEN '<all>' ELSE source END AS source,
+           CASE WHEN grouping(lang) = 1 THEN '<all>' ELSE lang END AS lang,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           round(avg(len(string_split(text, ' '))), 2) AS avg_tokens,
+           round(CAST(quantile_cont(n_chars, 0.5) AS DOUBLE), 1) AS p50_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM documents
+    GROUP BY GROUPING SETS ((source, lang), (source), ())
+    ORDER BY source, lang
+    """,
+)
+def p07_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset datasheet — the 'data card' statistics block every
+    released training set ships (per-slice composition + totals in one
+    result): doc counts, token totals/means, median length, and
+    language spread per (source, lang), per source, and corpus-wide,
+    computed in ONE pass via GROUPING SETS (the multi-granularity
+    rollup Spark plans as a single Expand + hash agg — not three
+    scans). grouping() disambiguates rollup rows from a hypothetical
+    literal '<all>' value, same function both engines.
+
+    Scale: one corpus scan; the Expand triples rows pre-agg but
+    map-side combine collapses them to |slices| before the shuffle.
+    The median rides percentile/quantile_cont (identical type-7
+    interpolation, the t32 convention)."""
+    table(spark, sf_dir, "documents").createOrReplaceTempView("_p07_docs")
+    return spark.sql(
+        """
+        SELECT CASE WHEN grouping(source) = 1 THEN '<all>' ELSE source END AS source,
+               CASE WHEN grouping(lang) = 1 THEN '<all>' ELSE lang END AS lang,
+               count(*) AS n_docs,
+               CAST(sum(size(split(text, ' '))) AS BIGINT) AS total_tokens,
+               round(avg(size(split(text, ' '))), 2) AS avg_tokens,
+               round(CAST(percentile(n_chars, 0.5) AS DOUBLE), 1) AS p50_chars,
+               count(DISTINCT lang) AS n_langs
+        FROM _p07_docs
+        GROUP BY GROUPING SETS ((source, lang), (source), ())
+        ORDER BY source, lang
+        """
+    )
