@@ -823,3 +823,64 @@ def e21_incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "q")
     )
+
+
+@query(
+    "e22_funnel_pattern_regex",
+    oracle="""
+    WITH j AS (
+        SELECT user_id,
+               count(*) AS n_events,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                 AS journey
+        FROM events GROUP BY user_id)
+    SELECT user_id, n_events,
+           length(journey) AS journey_len,
+           len(regexp_extract_all(journey, 'v[^p]*c[^p]*p')) AS conversions,
+           (len(regexp_extract_all(journey, 'v[^p]*c[^p]*p')) > 0) AS converted
+    FROM j ORDER BY user_id
+    """,
+)
+def e22_funnel_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern matching over event sequences — the concrete form
+    of the documented MATCH_RECOGNIZE workaround (COVERAGE
+    'Known-unsupported'): compress each user's time-ordered events
+    into a journey string (one char per type) and count
+    view→…→click→…→purchase conversions as non-overlapping regex
+    matches of `v[^p]*c[^p]*p`. The excluded-class gaps make each
+    match end at the first purchase after its click — exactly
+    MATCH_RECOGNIZE's AFTER MATCH SKIP PAST LAST ROW semantics; both
+    engines' regex engines (Java, RE2) agree on leftmost-first greedy
+    matching for this backreference-free class.
+
+    Scale: one shuffle on user_id; the per-user collect is bounded by
+    per-user activity (the same bound any sessionizer carries — cf.
+    e03); the regex scan is row-local over journey strings. The
+    (ts, event_id) sort key makes the journey — and therefore every
+    count — bit-deterministic under ties."""
+    ev = table(spark, sf_dir, "events")
+    j = (
+        ev.select("user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "c"))
+                    ),
+                    lambda s: s["c"],
+                ),
+                "",
+            ).alias("journey"),
+        )
+    )
+    pat = "v[^p]*c[^p]*p"
+    n_conv = F.size(F.expr(f"regexp_extract_all(journey, '{pat}', 0)"))
+    return j.select(
+        "user_id",
+        "n_events",
+        F.length("journey").alias("journey_len"),
+        n_conv.cast("long").alias("conversions"),
+        (n_conv > 0).alias("converted"),
+    ).orderBy("user_id")
