@@ -498,3 +498,42 @@ def test_global_cumsum_single_partition_degenerate(spark):
         for r in global_cumsum(df, ["id"], "v", num_partitions=1).collect()
     }
     assert rows == {1: 0, 2: 5, 3: 12}
+
+
+def test_global_cumsum_null_values_count_as_zero(spark):
+    """NULL measure values must not poison the prefix: sum() skips
+    them (both the per-partition totals and the within-partition
+    window), so a NULL row contributes 0 and later rows keep exact
+    prefixes."""
+    from serverless_datalake_aws_spark.operators.prefix import global_cumsum
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 7), (4, None), (5, 11)], "id long, v long"
+    )
+    rows = {
+        r["id"]: r["cum_before"]
+        for r in global_cumsum(df, ["id"], "v", num_partitions=3).collect()
+    }
+    assert rows == {1: 0, 2: 5, 3: 5, 4: 12, 5: 12}
+
+
+def test_quantile_sketch_all_zero_and_single_value(spark):
+    """Degenerate inputs: an all-zero column estimates 0 at every q;
+    a single-value column estimates (within the DDSketch bound) that
+    value at every q."""
+    from serverless_datalake_aws_spark.operators.incremental import (
+        qh_partial,
+        qh_quantiles,
+    )
+
+    zeros = spark.range(100).selectExpr("cast(0.0 as double) as v")
+    est0 = {
+        r["q"]: r["est"]
+        for r in qh_quantiles(qh_partial(zeros, "v"), [0.1, 0.5, 0.99]).collect()
+    }
+    assert est0 == {0.1: 0.0, 0.5: 0.0, 0.99: 0.0}
+
+    ones = spark.range(50).selectExpr("cast(42.5 as double) as v")
+    alpha = 0.02 / 2.02
+    for r in qh_quantiles(qh_partial(ones, "v"), [0.01, 0.99]).collect():
+        assert abs(r["est"] - 42.5) <= alpha * 42.5, r
