@@ -616,7 +616,9 @@ def t32_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = docs.filter((F.col("doc_id") % 5 == 0) & (F.size("t") >= 2))
     ref_pairs = ref.select(F.explode(pairs_expr).alias("p")).select("p.w1", "p.w2")
     c2 = ref_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = ref_pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # c1 folds out of c2 (sum over the second word) — one fewer corpus
+    # scan, and at scale the LM is built once, not per-marginal
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = (
         docs.filter(F.col("doc_id") % 5 == 0)
         .select(F.explode("t").alias("tk"))
@@ -643,6 +645,11 @@ def t32_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("logp"), 6).alias("avg_logp"),
     )
+    # NOTE: thr references `scored` a second time, but no persist —
+    # measured: Spark's ReusedExchange already shares the heavy
+    # scoring subplan (1.84 s at sf0.1), and an explicit cache BROKE
+    # that reuse and cost 2.72 s. Trust exchange reuse for
+    # diamond-shaped lineage; cache only across ACTIONS (q81 pattern).
     thr = scored.agg(F.percentile("avg_logp", F.lit(0.1)).alias("p10"))
     return (
         scored.crossJoin(F.broadcast(thr))
