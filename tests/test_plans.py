@@ -436,3 +436,23 @@ def test_q84_bloom_runtime_filter_fires(spark):
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "bloom_filter_agg" in executed, executed[:2000]
     assert "might_contain" in executed, executed[:2000]
+
+
+def test_s19_pq_scan_is_joinless(spark):
+    """PQ encode+ADC must stay one map-only pass: no join operator of
+    any kind in the plan (the codebook and query distance tables ride
+    the closure); the only structure after the scan is the top-k
+    window. Guards against a refactor reintroducing an N×C assign
+    join (the s05 lesson)."""
+    plan = _plan(spark, "s19_pq_adc_ann")
+    assert "Join" not in plan, plan[:1500]
+    assert "MapInPandas" in plan or "mapInPandas" in plan
+
+
+def test_t32_lm_joins_all_broadcast(spark):
+    """The bigram-LM scoring joins (c2, c1, vocab scalar, threshold
+    scalar) are model-artifact attachments and must ALL broadcast —
+    a SortMergeJoin here means the LM shuffled with the corpus."""
+    plan = _plan(spark, "t32_lm_quality_score")
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    assert plan.count("BroadcastHashJoin") >= 3
