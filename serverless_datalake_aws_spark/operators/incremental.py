@@ -431,3 +431,57 @@ def qh_quantiles(
         .agg(F.min_by("rep", "cum").alias("est"))
     )
     return hits
+
+
+class MaintainedQuantiles:
+    """A persisted long-form quantile sketch absorbing delta batches —
+    the qh_* trio behind the MaintainedRollup maintenance contract
+    (explicit first-batch detection, tmp+swap publish with the _tmp
+    copy as crash-recovery point). Because qh_merge is exact bucket
+    addition, the maintained sketch equals the from-scratch sketch
+    bit-for-bit no matter how deltas were batched or ordered — counts
+    are integers, so there is no DECIMAL image to carry (unlike
+    streaming SUMs)."""
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        value_col: str,
+        keys: list[str] | None = None,
+        gamma: float = QH_GAMMA,
+    ):
+        self.spark = spark
+        self.path = path
+        self.value_col = value_col
+        self.keys = keys or []
+        self.gamma = gamma
+
+    def _read_current(self) -> DataFrame | None:
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self.spark.read.parquet(self.path)
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return None
+            raise
+
+    def apply(self, delta: DataFrame) -> None:
+        batch = qh_partial(delta, self.value_col, self.keys, self.gamma)
+        current = self._read_current()
+        merged = batch if current is None else qh_merge([current, batch], self.keys)
+        tmp = self.path + "._tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
+        self.spark.read.parquet(self.path).count()
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def quantiles(self, qs: list[float]) -> DataFrame:
+        return qh_quantiles(self.read(), qs, self.keys, self.gamma)

@@ -663,3 +663,91 @@ def st11_stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "st12_stream_quantile_sketch",
+    oracle="""
+    WITH binned AS (
+        SELECT event_type,
+               CASE WHEN value > 0 THEN 1 WHEN value < 0 THEN -1 ELSE 0 END AS sign,
+               CASE WHEN value = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(ceil(round(ln(abs(value)) / ln(1.02), 9)) AS BIGINT)
+               END AS bin
+        FROM events),
+    sketch AS (
+        SELECT event_type, sign, bin, count(*) AS cnt FROM binned GROUP BY 1, 2, 3),
+    reps AS (
+        SELECT *, CASE WHEN sign = 0 THEN 0.0
+                       ELSE sign * (2.0 / 2.02) * exp(bin * ln(1.02)) END AS rep
+        FROM sketch),
+    cum AS (
+        SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY rep) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS n
+        FROM reps),
+    qs AS (SELECT unnest([0.5, 0.95]) AS q)
+    SELECT event_type, q, round(min_by(rep, cum), 4) AS est
+    FROM cum CROSS JOIN qs
+    WHERE cum >= greatest(CAST(ceil(q * n) AS BIGINT), 1)
+    GROUP BY event_type, q
+    ORDER BY event_type, q
+    """,
+)
+def st12_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of per-type quantiles — the sketch trio's
+    third member under foreachBatch (st10 maintains sums+HLL, st11
+    quality verdicts; this maintains the e21 log-histogram): each
+    micro-batch folds map-side into (type, sign, bin, cnt) rows and
+    MaintainedQuantiles merges them into the persisted sketch with the
+    MaintainedRollup publish contract. Because the merge is exact
+    integer bucket addition, the final estimates are bit-identical to
+    the from-scratch sketch REGARDLESS of batch order — the oracle
+    computes exactly that, and equality proves both the maintenance
+    identity and the stream's exactly-once drain (a dropped or doubled
+    batch shifts bucket counts and flips estimates).
+
+    Scale: per batch one combine over ITS rows plus a ~|types|×700-row
+    sketch merge; history never re-read; p50/p95 extraction windows
+    over sketch rows only."""
+    import shutil
+    import tempfile
+
+    from serverless_datalake_aws_spark.catalog import table
+    from serverless_datalake_aws_spark.operators.incremental import (
+        MaintainedQuantiles,
+    )
+
+    work = tempfile.mkdtemp(prefix="st12_")
+    try:
+        src = f"{work}/events_shards"
+        (
+            table(spark, sf_dir, "events")
+            .select("event_type", "value")
+            .repartition(4)
+            .write.parquet(src)
+        )
+        mq = MaintainedQuantiles(
+            spark, f"{work}/sketch", value_col="value", keys=["event_type"]
+        )
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(lambda batch, _eid: mq.apply(batch))
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = (
+            mq.quantiles([0.5, 0.95])
+            .select("event_type", "q", F.round("est", 4).alias("est"))
+            .orderBy("event_type", "q")
+        )
+        rows = out.collect()  # materialize before the workdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -537,3 +537,34 @@ def test_quantile_sketch_all_zero_and_single_value(spark):
     alpha = 0.02 / 2.02
     for r in qh_quantiles(qh_partial(ones, "v"), [0.01, 0.99]).collect():
         assert abs(r["est"] - 42.5) <= alpha * 42.5, r
+
+
+def test_maintained_quantiles_equals_from_scratch(spark, tmp_path):
+    """Three applied deltas must leave EXACTLY the from-scratch sketch
+    (integer bucket addition), and quantile estimates must match."""
+    from serverless_datalake_aws_spark.operators.incremental import (
+        MaintainedQuantiles,
+        qh_partial,
+        qh_quantiles,
+    )
+
+    df = spark.range(3000).selectExpr(
+        "cast(id % 2 as string) as k", "cast(id + 1 as double) * 0.5 as v"
+    )
+    mq = MaintainedQuantiles(spark, str(tmp_path / "qs"), "v", keys=["k"])
+    for lo, hi in ((0, 1000), (1000, 2500), (2500, 3000)):
+        mq.apply(df.filter(f"id >= {lo} and id < {hi}"))
+    got = {
+        (r["k"], r["sign"], r["bin"]): r["cnt"] for r in mq.read().collect()
+    }
+    want = {
+        (r["k"], r["sign"], r["bin"]): r["cnt"]
+        for r in qh_partial(df, "v", ["k"]).collect()
+    }
+    assert got == want
+    est_m = {(r["k"], r["q"]): r["est"] for r in mq.quantiles([0.5]).collect()}
+    est_s = {
+        (r["k"], r["q"]): r["est"]
+        for r in qh_quantiles(qh_partial(df, "v", ["k"]), [0.5], ["k"]).collect()
+    }
+    assert est_m == est_s
