@@ -709,17 +709,27 @@ class DataLakeEngine:
             raise NotImplementedError(
                 "shard export requires a local lake root in this build"
             )
-        if len(fractions) != 3 or abs(sum(fractions) - 1.0) > 1e-9:
-            raise ValueError(f"fractions must be 3 values summing to 1: {fractions}")
+        if (
+            len(fractions) != 3
+            or abs(sum(fractions) - 1.0) > 1e-9
+            or any(f < 0 for f in fractions)
+        ):
+            raise ValueError(
+                f"fractions must be 3 non-negative values summing to 1: {fractions}"
+            )
         df = self.records(zone)
         if transform is not None:
             df = transform(df)
         t_train = int(round(fractions[0] * 100))
         t_val = t_train + int(round(fractions[1] * 100))
+        # NULL group keys fall back to the record id (the d17
+        # coalesce convention) — otherwise md5(NULL) is NULL and every
+        # unkeyed record would silently land in 'test'
+        gkey = F.coalesce(
+            F.col(group_col).cast("string"), F.col("id").cast("string")
+        )
         h = (
-            F.conv(
-                F.substring(F.md5(F.col(group_col).cast("string")), 1, 14), 16, 10
-            ).cast("long")
+            F.conv(F.substring(F.md5(gkey), 1, 14), 16, 10).cast("long")
             % 100
         )
         split_col = (

@@ -114,6 +114,37 @@ def finalize_rollup(
     return out
 
 
+def _read_partials(spark, path: str) -> DataFrame | None:
+    """Stored partial state, or None ONLY when never published. Any
+    other read failure (corrupt footer, permission, transient IO)
+    propagates — treating it as "first batch" would overwrite all
+    accumulated history with one delta's partials."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
+
+
+def _publish_partials(spark, df: DataFrame, path: str) -> None:
+    """tmp+swap publish with verified read-back: a crash (or partial
+    write) mid-publish leaves the _tmp copy as the recovery point
+    instead of a corrupt, unrecoverable state table. Local-FS cleanup;
+    object stores route through sources/versioning.py's atomic
+    publish."""
+    tmp = path + "._tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).count()
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 class MaintainedRollup:
     """A persisted rollup table absorbing delta batches incrementally.
 
@@ -140,19 +171,7 @@ class MaintainedRollup:
         self.with_moments = with_moments
 
     def _read_current(self) -> DataFrame | None:
-        """Stored partials, or None ONLY when the rollup has never been
-        published. Any other read failure (corrupt footer, permission,
-        transient IO) propagates — treating it as "first batch" would
-        overwrite all accumulated history with one delta's partials."""
-        from pyspark.errors import AnalysisException
-
-        try:
-            return self.spark.read.parquet(self.path)
-        except AnalysisException as e:
-            msg = str(e)
-            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
-                return None
-            raise
+        return _read_partials(self.spark, self.path)
 
     def apply(self, delta: DataFrame) -> None:
         batch = partial_rollup(
@@ -173,17 +192,7 @@ class MaintainedRollup:
                 self.distinct_cols,
                 self.with_moments,
             )
-        tmp = self.path + "._tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
-        # Verify the publish before dropping the _tmp copy: a crash (or
-        # partial write) above leaves the tmp partials as the recovery
-        # point instead of a corrupt, unrecoverable rollup.
-        self.spark.read.parquet(self.path).count()
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)  # local-FS cleanup; object
-        # stores route through sources/versioning.py's atomic publish
+        _publish_partials(self.spark, merged, self.path)
 
     def read(self) -> DataFrame:
         return finalize_rollup(
@@ -375,7 +384,11 @@ def qh_partial(
     |keys| × O(log-range / ln γ) rows regardless of input rows."""
     sign, bin_ = _qh_sign_bin(value_col, gamma)
     return (
-        df.select(*(keys or []), sign.alias("sign"), bin_.alias("bin"))
+        # NULL measures are excluded, matching SQL quantile semantics
+        # (percentile/quantile_cont ignore NULLs) — counting them as
+        # zeros would silently drag every estimate toward 0
+        df.filter(F.col(value_col).isNotNull())
+        .select(*(keys or []), sign.alias("sign"), bin_.alias("bin"))
         .groupBy(*(keys or []), "sign", "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -457,28 +470,11 @@ class MaintainedQuantiles:
         self.keys = keys or []
         self.gamma = gamma
 
-    def _read_current(self) -> DataFrame | None:
-        from pyspark.errors import AnalysisException
-
-        try:
-            return self.spark.read.parquet(self.path)
-        except AnalysisException as e:
-            msg = str(e)
-            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
-                return None
-            raise
-
     def apply(self, delta: DataFrame) -> None:
         batch = qh_partial(delta, self.value_col, self.keys, self.gamma)
-        current = self._read_current()
+        current = _read_partials(self.spark, self.path)
         merged = batch if current is None else qh_merge([current, batch], self.keys)
-        tmp = self.path + "._tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
-        self.spark.read.parquet(self.path).count()
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
+        _publish_partials(self.spark, merged, self.path)
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)

@@ -39,6 +39,7 @@ def global_cumsum(
     value_col: str,
     out_col: str = "cum_before",
     num_partitions: int | None = None,
+    _plan_probe: bool = False,
 ) -> DataFrame:
     """Add `out_col` = exclusive prefix sum of `value_col` over the
     total order defined by `order_cols` (which must be a UNIQUE key —
@@ -50,7 +51,14 @@ def global_cumsum(
     its prefix value. The input is cached for the duration of the call
     so the offset pass and the window pass see the same partitioning
     (RangePartitioner samples with a nondeterministic seed; two
-    recomputations could disagree on boundaries)."""
+    recomputations could disagree on boundaries).
+
+    Integral measures produce an exact `bigint` prefix; fractional
+    measures (float/double/decimal) produce a `double` (offsets
+    accumulate driver-side in the matching Python type)."""
+    vtype = dict(df.dtypes)[value_col]
+    integral = vtype in ("tinyint", "smallint", "int", "bigint")
+    off_type, out_type = ("long", "long") if integral else ("double", "double")
     n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = (
         df.repartitionByRange(n_part, *order_cols)
@@ -61,27 +69,37 @@ def global_cumsum(
         totals = {
             r["_pid"]: r["t"]
             for r in ranged.groupBy("_pid")
-            .agg(F.sum(value_col).alias("t"))
+            .agg(F.sum(F.col(value_col).cast(off_type)).alias("t"))
             .collect()
         }
-        offsets, running = [], 0
+        offsets, running = [], 0 if integral else 0.0
         for pid in range(max(totals, default=-1) + 1):
             offsets.append((pid, running))
-            running += totals.get(pid, 0) or 0
+            running += totals.get(pid) or (0 if integral else 0.0)
         off_df = ranged.sparkSession.createDataFrame(
-            offsets or [(0, 0)], "_pid int, _offset long"
+            offsets or [(0, 0)], f"_pid int, _offset {off_type}"
         )
         w = (
             Window.partitionBy("_pid")
             .orderBy(*order_cols)
             .rowsBetween(Window.unboundedPreceding, -1)
         )
+        local = F.coalesce(
+            F.sum(F.col(value_col).cast(off_type)).over(w),
+            F.lit(0).cast(off_type),
+        )
         out = (
-            ranged.withColumn("_local", F.coalesce(F.sum(value_col).over(w), F.lit(0)))
+            ranged.withColumn("_local", local)
             .join(F.broadcast(off_df), "_pid")
-            .withColumn(out_col, (F.col("_offset") + F.col("_local")).cast("long"))
+            .withColumn(out_col, (F.col("_offset") + F.col("_local")).cast(out_type))
             .drop("_pid", "_offset", "_local")
         )
+        if _plan_probe:
+            # test hook: return the LAZY plan (tests/test_plans.py gates
+            # that THIS operator's own plan has no single-partition
+            # funnel); values from a probe frame must not be used — the
+            # checkpoint below is what pins range boundaries
+            return out
         # materialize before unpersist so no downstream recompute can
         # observe fresh (different) range boundaries
         out = out.localCheckpoint(eager=True)

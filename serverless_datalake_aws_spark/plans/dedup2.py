@@ -165,6 +165,44 @@ _CLUSTER_EDGES_SQL = f"""
 """
 
 
+def _simhash_edge_labels(spark: SparkSession, sf_dir: str):
+    """Shared near-dup graph build for d08/d16/d17: per-source simhash
+    self-join (Hamming <= 6) -> edges (a, b), then min-label connected
+    components. Caching + materialization before the self-join / label
+    loop is load-bearing (see d05). Returns (edges, labels) with labels
+    as (node, label)."""
+    from serverless_datalake_aws_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    hashed = docs.repartition(n_part, "doc_id").select(
+        "doc_id",
+        "source",
+        F.transform(TX.distinct_tokens("text"), TX.token_hash).alias("hashes"),
+    )
+    sh = hashed.select(
+        "doc_id", "source", _simhash_col_from("hashes").alias("simhash")
+    ).cache()
+    sh.count()  # materialize before the self-join (see d05)
+    s1, s2 = sh.alias("s1"), sh.alias("s2")
+    edges = (
+        s1.join(
+            s2,
+            (F.col("s1.source") == F.col("s2.source"))
+            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+        )
+        .filter(
+            F.bit_count(F.col("s1.simhash").bitwiseXOR(F.col("s2.simhash"))) <= 6
+        )
+        .select(F.col("s1.doc_id").alias("a"), F.col("s2.doc_id").alias("b"))
+        .cache()
+    )
+    edges.count()  # materialize before fanning into the label loop
+    return edges, connected_components(edges, "a", "b", max_iters=20)
+
+
 @query(
     "d08_dup_clusters",
     oracle=f"""
@@ -196,42 +234,10 @@ def d08_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components with a recursive CTE. Output: one row per node with its
     cluster id (min doc_id in component).
     """
-    docs = table(spark, sf_dir, "documents")
-    n_part = spark.sparkContext.defaultParallelism
-    hashed = (
-        docs.repartition(n_part, "doc_id")
-        .select(
-            "doc_id",
-            "source",
-            F.transform(TX.distinct_tokens("text"), TX.token_hash).alias("hashes"),
-        )
-        .cache()
-    )
-    s = hashed.select(
-        "doc_id", "source", _simhash_col_from("hashes").alias("simhash")
-    ).cache()
-    s.count()  # materialize before the self-join (see d05)
-    s1, s2 = s.alias("s1"), s.alias("s2")
-    edges = (
-        s1.join(
-            s2,
-            (F.col("s1.source") == F.col("s2.source"))
-            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
-        )
-        .filter(
-            F.bit_count(F.col("s1.simhash").bitwiseXOR(F.col("s2.simhash"))) <= 6
-        )
-        .select(F.col("s1.doc_id").alias("a"), F.col("s2.doc_id").alias("b"))
-        .cache()
-    )
-    edges.count()  # materialize before fanning into the label loop
     # min-label propagation with per-round lineage truncation
-    # (operators/components.py — the VERDICT r1 §wrong.5 fix)
-    from serverless_datalake_aws_spark.operators.components import (
-        connected_components,
-    )
-
-    labels = connected_components(edges, "a", "b", max_iters=20)
+    # (operators/components.py — the VERDICT r1 §wrong.5 fix); graph
+    # build shared with d16/d17 (_simhash_edge_labels)
+    _edges, labels = _simhash_edge_labels(spark, sf_dir)
     sizes = labels.groupBy("label").agg(
         F.count("*").alias("cluster_size"),
         F.array_join(
@@ -829,38 +835,7 @@ def d16_cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combined) after a doc_id-keyed join to the quality
     column — no extra pass over text."""
     docs = table(spark, sf_dir, "documents")
-    n_part = spark.sparkContext.defaultParallelism
-    hashed = (
-        docs.repartition(n_part, "doc_id")
-        .select(
-            "doc_id",
-            "source",
-            F.transform(TX.distinct_tokens("text"), TX.token_hash).alias("hashes"),
-        )
-    )
-    s = hashed.select(
-        "doc_id", "source", _simhash_col_from("hashes").alias("simhash")
-    ).cache()
-    s.count()
-    s1, s2 = s.alias("s1"), s.alias("s2")
-    edges = (
-        s1.join(
-            s2,
-            (F.col("s1.source") == F.col("s2.source"))
-            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
-        )
-        .filter(
-            F.bit_count(F.col("s1.simhash").bitwiseXOR(F.col("s2.simhash"))) <= 6
-        )
-        .select(F.col("s1.doc_id").alias("a"), F.col("s2.doc_id").alias("b"))
-        .cache()
-    )
-    edges.count()
-    from serverless_datalake_aws_spark.operators.components import (
-        connected_components,
-    )
-
-    labels = connected_components(edges, "a", "b", max_iters=20)
+    _edges, labels = _simhash_edge_labels(spark, sf_dir)
     scored = labels.join(
         docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
     )
@@ -934,35 +909,8 @@ def d17_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     leak audit joins |edges| rows against the (doc_id, split) map —
     all key-partitioned equi-joins, nothing all-pairs."""
     docs = table(spark, sf_dir, "documents")
-    n_part = spark.sparkContext.defaultParallelism
-    hashed = docs.repartition(n_part, "doc_id").select(
-        "doc_id",
-        "source",
-        F.transform(TX.distinct_tokens("text"), TX.token_hash).alias("hashes"),
-    )
-    s = hashed.select(
-        "doc_id", "source", _simhash_col_from("hashes").alias("simhash")
-    ).cache()
-    s.count()  # materialize before the self-join (see d05)
-    s1, s2 = s.alias("s1"), s.alias("s2")
-    edges = (
-        s1.join(
-            s2,
-            (F.col("s1.source") == F.col("s2.source"))
-            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
-        )
-        .filter(
-            F.bit_count(F.col("s1.simhash").bitwiseXOR(F.col("s2.simhash"))) <= 6
-        )
-        .select(F.col("s1.doc_id").alias("a"), F.col("s2.doc_id").alias("b"))
-        .cache()
-    )
-    edges.count()
-    from serverless_datalake_aws_spark.operators.components import (
-        connected_components,
-    )
-
-    labels = connected_components(edges, "a", "b", max_iters=20).select(
+    edges, raw_labels = _simhash_edge_labels(spark, sf_dir)
+    labels = raw_labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
     alldocs = docs.select("doc_id").join(labels, "doc_id", "left").select(

@@ -89,10 +89,14 @@ _PQ_ORACLE = f"""
 """
 
 
-def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_scored(
+    spark: SparkSession, sf_dir: str, qrows: list | None = None
+) -> DataFrame:
     """ADC-scored (query_id, neighbor_id, approx_d2) triples for the
     whole corpus, self-pairs excluded — the shared PQ scan behind s19
-    (top-k) and s20 (recall audit + rerank)."""
+    (top-k) and s20 (recall audit + rerank). Callers that already
+    collected the query sample pass it via `qrows` so the corpus isn't
+    re-scanned for it."""
     import numpy as np
     import pandas as pd
 
@@ -105,12 +109,13 @@ def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PQ_K)
         .collect()
     )
-    qrows = sorted(
-        (r["vec_id"], r["embedding"])
-        for r in emb.filter(F.col("vec_id") < _PQ_NQ)
-        .select("vec_id", "embedding")
-        .collect()
-    )
+    if qrows is None:
+        qrows = sorted(
+            (r["vec_id"], r["embedding"])
+            for r in emb.filter(F.col("vec_id") < _PQ_NQ)
+            .select("vec_id", "embedding")
+            .collect()
+        )
     C = np.stack([np.asarray(c[1], dtype=np.float64) for c in cents])
     Q = np.stack([np.asarray(q[1], dtype=np.float64) for q in qrows])
     qids = np.array([q[0] for q in qrows], dtype=np.int64)
@@ -303,7 +308,7 @@ def s20_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     )
     wpq = W.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
-    pq_rk = _pq_scored(spark, sf_dir).withColumn(
+    pq_rk = _pq_scored(spark, sf_dir, qrows=qrows).withColumn(
         "rk", F.row_number().over(wpq)
     )
     pq_top = pq_rk.filter(F.col("rk") <= _PQ_TOPK).select(

@@ -853,9 +853,14 @@ def t34_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             pair, count = best["pair"], best["pair_count"]
             merged = pair.replace(" ", "")
             merges.append((step, pair, merged, count))
-            esc_p, esc_m = pair.replace("'", "\\'"), merged.replace("'", "\\'")
+            # F.replace with literal Columns — no SQL string splicing,
+            # so backslashes/quotes in corpus tokens cannot break or
+            # silently divert the merge
             nxt = vocab.withColumn(
-                "seq", F.expr(f"replace(seq, ' {esc_p} ', ' {esc_m} ')")
+                "seq",
+                F.replace(
+                    F.col("seq"), F.lit(f" {pair} "), F.lit(f" {merged} ")
+                ),
             ).cache()
             nxt.count()
             vocab.unpersist()

@@ -516,3 +516,29 @@ def test_export_split_shards_bad_fractions(engine):
 
     with _pt.raises(ValueError):
         engine.export_split_shards(fractions=(0.5, 0.2, 0.2))
+
+
+def test_export_split_shards_null_group_falls_back_to_id(engine, spark):
+    """Records whose group_col is NULL must be split by record id, not
+    silently routed to 'test' (md5(NULL) -> NULL -> otherwise branch)."""
+    engine.ingest_batch(
+        [{"n": i, "site": (f"s{i % 3}" if i % 2 == 0 else None)} for i in range(80)],
+        data_type="sales",
+    )
+    engine.process()
+
+    def with_site(df):
+        from pyspark.sql import functions as F
+
+        return df.withColumn("site", F.get_json_object("payload", "$.site"))
+
+    m = engine.export_split_shards(
+        subpath="export/nullsite",
+        group_col="site",
+        transform=with_site,
+        target_shard_mb=1,
+    )
+    # NULL-site records must not be concentrated in test: with an
+    # id-hash fallback they spread ~80/10/10, so train holds most rows
+    assert m["train"]["total_rows"] > m["test"]["total_rows"]
+    assert sum(v["total_rows"] for v in m.values()) == 80

@@ -568,3 +568,35 @@ def test_maintained_quantiles_equals_from_scratch(spark, tmp_path):
         for r in qh_quantiles(qh_partial(df, "v", ["k"]), [0.5], ["k"]).collect()
     }
     assert est_m == est_s
+
+
+def test_global_cumsum_double_values(spark):
+    """Fractional measures must work (offsets accumulate as Python
+    floats into a double column) — the integer-only crash was found by
+    review: '_offset long' rejected float totals."""
+    from serverless_datalake_aws_spark.operators.prefix import global_cumsum
+
+    df = spark.createDataFrame(
+        [(1, 0.25), (2, 1.5), (3, 2.75), (4, 0.5)], "id long, v double"
+    )
+    rows = {
+        r["id"]: r["cum_before"]
+        for r in global_cumsum(df, ["id"], "v", num_partitions=3).collect()
+    }
+    assert rows == {1: 0.0, 2: 0.25, 3: 1.75, 4: 4.5}
+
+
+def test_quantile_sketch_ignores_nulls(spark):
+    """NULL measures are excluded (SQL percentile semantics) — found
+    by review: counting them as zeros dragged every estimate to 0."""
+    from serverless_datalake_aws_spark.operators.incremental import (
+        qh_partial,
+        qh_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(None,), (None,), (None,), (100.0,)], "v double"
+    )
+    est = {r["q"]: r["est"] for r in qh_quantiles(qh_partial(df, "v"), [0.5]).collect()}
+    alpha = 0.02 / 2.02
+    assert abs(est[0.5] - 100.0) <= alpha * 100.0, est

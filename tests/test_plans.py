@@ -388,39 +388,23 @@ def test_q82_dynamic_partition_pruning_fires(spark):
 
 def test_global_cumsum_no_single_partition_funnel(spark):
     """The prefix scan must never route all rows through one task: no
-    Exchange SinglePartition and no partitionBy-less window sort in the
-    plan (the naive Window.orderBy cumsum shows both). The range
-    shuffle + per-pid windows are the designed shape."""
+    Exchange SinglePartition and no partitionBy-less window sort in
+    THE OPERATOR'S OWN plan (the naive Window.orderBy cumsum shows
+    both), inspected via its _plan_probe hook — a regression inside
+    prefix.py fails here, not just in value tests."""
     from pyspark.sql import functions as F
 
     from serverless_datalake_aws_spark.operators.prefix import global_cumsum
 
     df = spark.range(1000).select("id", (F.col("id") % 7).alias("v"))
-    # inspect the pre-checkpoint plan: build the same expression chain
-    # global_cumsum materializes (its public result is checkpointed,
-    # which hides the plan), asserting on the operator's own internals
-    # would couple the test to implementation layout — instead gate on
-    # the executed job's physical plan recorded via explain of the
-    # un-checkpointed twin below.
-    n_part = 8
-    ranged = df.repartitionByRange(n_part, "id").withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    from pyspark.sql import Window
-
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy("id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    probe = ranged.withColumn("_local", F.coalesce(F.sum("v").over(w), F.lit(0)))
+    probe = global_cumsum(df, ["id"], "v", num_partitions=8, _plan_probe=True)
     plan = probe._sc._jvm.PythonSQLUtils.explainString(
         probe._jdf.queryExecution(), "formatted"
     )
-    assert "SinglePartition" not in plan
+    assert "SinglePartition" not in plan, plan[:1500]
     assert "rangepartitioning" in plan.lower()
     # and the real operator returns correct values end-to-end
-    got = global_cumsum(df, ["id"], "v", num_partitions=n_part)
+    got = global_cumsum(df, ["id"], "v", num_partitions=8)
     assert got.filter("id = 999").collect()[0]["cum_before"] == sum(
         i % 7 for i in range(999)
     )
