@@ -86,3 +86,27 @@ def test_engine_versioned_refuses_remote_root(spark):
     eng = DataLakeEngine(spark, "s3a://bucket/lake")
     with pytest.raises(NotImplementedError):
         eng.publish_versioned("gold", _df(spark, [1]))
+
+
+def test_diff_versions_added_removed_changed(spark, tmp_path):
+    """Keyed diff between two committed snapshots classifies every
+    affected key and stays silent on unchanged rows."""
+    from serverless_datalake_aws_spark.sources.versioning import (
+        diff_versions,
+        write_versioned,
+    )
+
+    root = tmp_path / "vt"
+    v1 = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y"), ("c", 3, "z")], "id string, n int, s string"
+    )
+    v2 = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 99, "y"), ("d", 4, "w")], "id string, n int, s string"
+    )
+    write_versioned(v1, root)
+    write_versioned(v2, root)
+    got = {
+        r["id"]: r["change"]
+        for r in diff_versions(spark, root, old=1, key="id").collect()
+    }
+    assert got == {"b": "changed", "c": "removed", "d": "added"}
