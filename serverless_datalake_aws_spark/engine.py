@@ -566,10 +566,33 @@ class DataLakeEngine:
         the reference happily ingests byte-identical records forever).
         Rewrites only when duplicates exist; returns the number of
         dropped rows. The rewrite is partition-preserving and goes
-        through a staged swap like compact()."""
+        through a staged swap like compact().
+
+        Crash safety: the swap is rename→rename→delete (hide old,
+        publish staged, reclaim), and an interrupted previous swap is
+        rolled forward/back at entry from the `.dedup.tmp` /
+        `.dedup.old` staging dirs — the zone is never left without a
+        records directory. Remote roots are rejected up front (rename
+        swaps don't exist on object stores; the upgrade is
+        Delta/Iceberg MERGE or a copy+prefix-flip job)."""
         from pyspark.sql import Window as W
 
+        if self.is_remote:
+            raise NotImplementedError(
+                "dedup_zone() swaps local zone directories via rename; "
+                "object stores need Delta/Iceberg MERGE (or copy + "
+                "prefix flip) — matching expire()/export_training_shards()"
+            )
         path = f"{self.zone(zone)}/records"
+        tmp, old = Path(path + ".dedup.tmp"), Path(path + ".dedup.old")
+        if not Path(path).exists() and (tmp.exists() or old.exists()):
+            # crashed mid-swap: tmp was fully staged before the swap
+            # began, so roll FORWARD if present, else back to old
+            (tmp if tmp.exists() else old).rename(path)
+        if old.exists():
+            shutil.rmtree(old)  # completed swap that died before reclaim
+        if tmp.exists():
+            shutil.rmtree(tmp)  # stale staging from a pre-swap crash
         df = self.spark.read.parquet(path)
         w = W.partitionBy("data_type", F.md5("payload")).orderBy("id")
         deduped = (
@@ -581,12 +604,12 @@ class DataLakeEngine:
         after = deduped.count()
         if after == before:
             return 0
-        tmp = path + ".dedup.tmp"
         deduped.write.mode("overwrite").partitionBy(
             "data_type", "ingest_date"
-        ).parquet(tmp)
-        shutil.rmtree(path)
-        Path(tmp).rename(path)
+        ).parquet(str(tmp))
+        Path(path).rename(old)  # hide current (atomic)
+        tmp.rename(path)  # publish staged (atomic)
+        shutil.rmtree(old)  # reclaim — recoverable if we die before this
         self._log_lineage("dedup", path, path, before - after)
         return before - after
 
@@ -779,10 +802,10 @@ class DataLakeEngine:
             return
         from serverless_datalake_aws_spark.sources.commitlog import FileLock
 
-        with FileLock(self.meta_path + ".lock"):
-            self._mark_indexed_inner(ids)
+        with FileLock(self.meta_path + ".lock") as lk:
+            self._mark_indexed_inner(ids, lock=lk)
 
-    def _mark_indexed_inner(self, ids: DataFrame | None = None) -> None:
+    def _mark_indexed_inner(self, ids: DataFrame | None = None, lock=None) -> None:
         meta = self.meta()
         if ids is None:
             ids = meta.filter(~F.coalesce("indexed", F.lit(False))).select("id")
@@ -835,6 +858,14 @@ class DataLakeEngine:
         # DynamoDB update (index-data-lambda.py:165-172) at partition
         # granularity; on object stores the dynamic-overwrite committer
         # branch above owns the same contract.
+        # Last-line-of-defence ownership re-check (commitlog docstring):
+        # if a >ttl stall let a contender steal the lock, abort before
+        # publishing rather than race the new owner's rewrite.
+        if lock is not None and not lock.still_held():
+            raise RuntimeError(
+                "commit lock lost during _meta rewrite; aborting publish "
+                f"(staged rewrite left at {tmp})"
+            )
         (Path(tmp) / _SWAP_READY).touch()
         self._publish_meta_swap(Path(tmp))
 

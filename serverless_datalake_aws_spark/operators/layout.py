@@ -136,7 +136,12 @@ def zorder_write(
     cheaper by one sketch pass, correct for evenly-distributed keys.
     The write is a single range-exchange on the z-value so each output
     file owns a contiguous z-range — a small hyper-rectangle in `cols`
-    space that parquet footer stats expose to any scan."""
+    space that parquet footer stats expose to any scan.
+
+    NULL rows in a cluster column map to that column's cell 0 (NULLS
+    FIRST — they co-locate with the lowest values) identically under
+    both quantizers; an all-NULL / empty column still fails fast in the
+    bounds pass."""
     if len(cols) < 2:
         raise ValueError("zorder needs at least 2 cluster columns")
     dtypes = dict(df.dtypes)
@@ -157,15 +162,32 @@ def zorder_write(
     if quantizer == "rank":
         for t in tmp_cols:
             bk, c_in, c_out = rank_cells(df, t, bits)
-            df = df.withColumn(c_in, F.col(t).cast("double"))
+            # Bucketizer(handleInvalid='error') would abort the whole
+            # rewrite on the first NULL row; feed it a placeholder and
+            # route NULLs explicitly to cell 0 below (NULLS FIRST).
+            df = df.withColumn(
+                c_in, F.coalesce(F.col(t).cast("double"), F.lit(0.0))
+            )
             df = bk.transform(df)
-            cells.append(F.col(c_out).cast("long"))
+            cells.append(
+                F.when(F.col(t).isNull(), F.lit(0))
+                .otherwise(F.col(c_out))
+                .cast("long")
+            )
             extra += [c_in, c_out]
     elif quantizer == "uniform":
         for t in tmp_cols:
             cells.append(
-                quantize(
-                    F.col(t), F.lit(bounds[f"lo_{t}"]), F.lit(bounds[f"hi_{t}"]), bits
+                # quantize(NULL) is NULL — same NULLS-FIRST cell-0 rule
+                # as the rank branch, so both quantizers agree.
+                F.coalesce(
+                    quantize(
+                        F.col(t),
+                        F.lit(bounds[f"lo_{t}"]),
+                        F.lit(bounds[f"hi_{t}"]),
+                        bits,
+                    ),
+                    F.lit(0).cast("long"),
                 )
             )
     else:

@@ -405,6 +405,16 @@ def run_with_skew_confs(spark: SparkSession, df: DataFrame) -> DataFrame:
     )
 
 
+# One cached result per scoped-conf query (keyed by the caller's conf
+# dict, which is per-query static): repeated executions — the bench's 5
+# timed runs, full-registry parity sweeps — unpersist the PREVIOUS run's
+# cache instead of leaking one block-manager entry per call (ADVICE r5).
+# The cache must outlive the return (callers inspect the executed plan
+# on the returned frame for skew=true / bloom_filter_agg evidence), so
+# "bounded to the latest run per query" is the correct lifetime.
+_SCOPED_LAST: dict[tuple, DataFrame] = {}
+
+
 def run_with_scoped_confs(
     spark: SparkSession, df: DataFrame, scoped: dict[str, str]
 ) -> DataFrame:
@@ -412,18 +422,31 @@ def run_with_scoped_confs(
     originals, set the scoped values, force the plan into a cache (so
     the confs hold when the join EXECUTES), restore, return the cached
     frame. Returning a lazy df instead would leak the confs into
-    whatever the shared session runs next."""
+    whatever the shared session runs next. The persist is released on
+    failure, and on the next call with the same conf set."""
     saved: dict[str, str | None] = {}
     for k in scoped:
         try:
             saved[k] = spark.conf.get(k)
         except Exception:
             saved[k] = None
+    key = tuple(sorted(scoped.items()))
     try:
         for k, v in scoped.items():
             spark.conf.set(k, v)
         df = df.persist()
-        df.count()
+        try:
+            df.count()
+        except Exception:
+            df.unpersist()
+            raise
+        prev = _SCOPED_LAST.pop(key, None)
+        if prev is not None:
+            try:
+                prev.unpersist()
+            except Exception:
+                pass  # session restarted since — nothing to release
+        _SCOPED_LAST[key] = df
         return df
     finally:
         for k, v in saved.items():

@@ -16,6 +16,20 @@ mtime goes stale; the next writer steals it by RENAMING the stale file
 to a unique name first — rename succeeds for exactly one contender —
 then re-creating it.
 
+Liveness vs safety (round-6 hardening, ADVICE r5):
+
+- Every acquire writes a unique OWNER TOKEN into the lock file. A
+  holder only ever unlinks the lock after re-reading the token and
+  confirming it is still its own, so a holder that was (wrongly or
+  rightly) deemed stale and stolen can no longer delete the THIEF's
+  lock and open the door to a third concurrent writer.
+- While held, a daemon HEARTBEAT thread touches the file's mtime every
+  ttl/4 seconds, so a *live* holder never goes stale no matter how long
+  its commit takes — staleness now really means "the owning process is
+  gone" (crashed, or SIGSTOPped longer than ttl, the one hole plain
+  POSIX cannot close; `still_held()` lets a commit re-verify ownership
+  immediately before publishing for exactly that case).
+
 Serializing writers is the right trade for metadata-sized tables (the
 stamp job is seconds). The scale upgrade, documented not vendored, is
 Delta/Iceberg optimistic concurrency: commit by conditional-PUT of
@@ -26,6 +40,7 @@ waiting, needed only when commits contend for minutes.
 from __future__ import annotations
 
 import os
+import threading
 import time
 import uuid
 from pathlib import Path
@@ -34,14 +49,24 @@ from pathlib import Path
 class FileLock:
     """Exclusive advisory lock backed by an O_EXCL-created file.
 
-    `ttl` bounds how long a dead owner can block others: a lock file
+    `ttl` bounds how long a DEAD owner can block others: a lock file
     whose mtime is older than ttl seconds is considered abandoned and
-    is stolen (rename-then-recreate, so only one contender wins)."""
+    is stolen (rename-then-recreate, so only one contender wins). A
+    live owner's heartbeat keeps the mtime fresh, so ttl never expires
+    under it; `heartbeat=0` disables the heartbeat (used by tests to
+    simulate a crashed holder, and by callers that prefer a hard lease).
+    """
 
-    def __init__(self, path: str | Path, ttl: float = 60.0):
+    def __init__(
+        self, path: str | Path, ttl: float = 60.0, heartbeat: float | None = None
+    ):
         self.path = Path(path)
         self.ttl = ttl
+        self._hb_interval = ttl / 4.0 if heartbeat is None else heartbeat
         self._held = False
+        self._token: str | None = None
+        self._hb_stop: threading.Event | None = None
+        self._hb_thread: threading.Thread | None = None
 
     def _is_stale(self) -> bool:
         try:
@@ -49,20 +74,54 @@ class FileLock:
         except FileNotFoundError:
             return False
 
+    def _owner_token(self) -> str | None:
+        """Token currently recorded in the lock file (None if absent)."""
+        try:
+            parts = self.path.read_text().split()
+            return parts[-1] if parts else None
+        except (FileNotFoundError, OSError):
+            return None
+
     def held_elsewhere(self) -> bool:
         """True when a live (non-stale) owner other than us holds it."""
         return (not self._held) and self.path.exists() and not self._is_stale()
 
+    def still_held(self) -> bool:
+        """Re-verify ownership: the lock file still carries OUR token.
+
+        A commit should call this immediately before its publish step —
+        if a pathological stall (> ttl with the heartbeat also frozen,
+        e.g. SIGSTOP) let a contender steal the lock, the commit must
+        abort rather than race the thief."""
+        return self._held and self._owner_token() == self._token
+
+    def _heartbeat_loop(self, stop: threading.Event, interval: float) -> None:
+        while not stop.wait(interval):
+            try:
+                os.utime(self.path)
+            except (FileNotFoundError, OSError):
+                return  # stolen or released — nothing left to keep alive
+
     def acquire(self, timeout: float = 120.0) -> None:
         deadline = time.time() + timeout
+        token = uuid.uuid4().hex
         while True:
             try:
                 fd = os.open(
                     self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
                 )
-                os.write(fd, f"{os.getpid()}\n".encode())
+                os.write(fd, f"{os.getpid()} {token}\n".encode())
                 os.close(fd)
                 self._held = True
+                self._token = token
+                if self._hb_interval > 0:
+                    self._hb_stop = threading.Event()
+                    self._hb_thread = threading.Thread(
+                        target=self._heartbeat_loop,
+                        args=(self._hb_stop, self._hb_interval),
+                        daemon=True,
+                    )
+                    self._hb_thread.start()
                 return
             except FileExistsError:
                 if self._is_stale():
@@ -81,12 +140,21 @@ class FileLock:
                 time.sleep(0.05)
 
     def release(self) -> None:
+        if self._hb_stop is not None:
+            self._hb_stop.set()
+            if self._hb_thread is not None:
+                self._hb_thread.join(timeout=5.0)
+            self._hb_stop = self._hb_thread = None
         if self._held:
             self._held = False
-            try:
-                self.path.unlink()
-            except FileNotFoundError:
-                pass  # stolen after we went stale — nothing to release
+            # Unlink only OUR lock: if it was stolen while we stalled,
+            # the file now carries the thief's token — leave it alone.
+            if self._owner_token() == self._token:
+                try:
+                    self.path.unlink()
+                except FileNotFoundError:
+                    pass  # stolen after we went stale — nothing to release
+            self._token = None
 
     def __enter__(self) -> "FileLock":
         self.acquire()

@@ -19,7 +19,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_filelock_exclusive_and_stale_steal(tmp_path):
-    lock = FileLock(tmp_path / "l", ttl=0.4)
+    # heartbeat=0 simulates a holder that CRASHES without releasing —
+    # nothing refreshes the mtime, so the lock goes stale after ttl
+    lock = FileLock(tmp_path / "l", ttl=0.4, heartbeat=0)
     lock.acquire()
     other = FileLock(tmp_path / "l", ttl=0.4)
     assert other.held_elsewhere()
@@ -30,6 +32,43 @@ def test_filelock_exclusive_and_stale_steal(tmp_path):
     assert not other.held_elsewhere()
     other.acquire(timeout=1.0)
     other.release()
+    assert not (tmp_path / "l").exists()
+
+
+def test_filelock_heartbeat_keeps_slow_holder_alive(tmp_path):
+    """A LIVE holder whose commit exceeds ttl must not be stolen: the
+    heartbeat thread refreshes mtime, so staleness means death, not
+    slowness (ADVICE r5: the old lock was stealable mid-commit)."""
+    lock = FileLock(tmp_path / "l", ttl=0.3)
+    lock.acquire()
+    contender = FileLock(tmp_path / "l", ttl=0.3)
+    time.sleep(0.8)  # well past ttl — heartbeat (ttl/4) keeps it fresh
+    assert contender.held_elsewhere()
+    with pytest.raises(TimeoutError):
+        contender.acquire(timeout=0.15)
+    assert lock.still_held()
+    lock.release()
+    assert not (tmp_path / "l").exists()
+
+
+def test_filelock_stolen_release_spares_thief(tmp_path):
+    """After a steal, the original holder's release must NOT unlink the
+    thief's lock (owner-token check) — otherwise a third writer could
+    acquire while the thief is still committing (the exact lost-update
+    scenario the lock exists to prevent)."""
+    victim = FileLock(tmp_path / "l", ttl=0.2, heartbeat=0)
+    victim.acquire()
+    time.sleep(0.3)  # victim stalls past ttl with no heartbeat
+    thief = FileLock(tmp_path / "l", ttl=0.2)
+    thief.acquire(timeout=1.0)
+    assert not victim.still_held()  # victim can detect the theft
+    victim.release()  # must be a no-op on the thief's lock file
+    assert (tmp_path / "l").exists()
+    assert thief.still_held()
+    third = FileLock(tmp_path / "l", ttl=5.0)
+    with pytest.raises(TimeoutError):
+        third.acquire(timeout=0.15)
+    thief.release()
     assert not (tmp_path / "l").exists()
 
 

@@ -542,3 +542,26 @@ def test_export_split_shards_null_group_falls_back_to_id(engine, spark):
     # id-hash fallback they spread ~80/10/10, so train holds most rows
     assert m["train"]["total_rows"] > m["test"]["total_rows"]
     assert sum(v["total_rows"] for v in m.values()) == 80
+
+
+def test_dedup_zone_recovers_interrupted_swap(engine, spark):
+    """A crash between the rename swap's steps must be recoverable:
+    dedup_zone rolls a `.dedup.tmp` staging dir forward (or `.dedup.old`
+    back) at entry, so the zone never stays without a records dir
+    (ADVICE r5: the old rmtree-then-rename left a hole)."""
+    import shutil as _sh
+    from pathlib import Path as _P
+
+    engine.ingest_batch([{"n": 1}, {"n": 2}], data_type="sales")
+    engine.ingest_batch([{"n": 1}], data_type="sales")  # dup
+    path = _P(engine.zone("raw")) / "records"
+    # simulate a crash AFTER staging completed and old was hidden but
+    # BEFORE the staged dir was renamed into place
+    tmp, old = _P(str(path) + ".dedup.tmp"), _P(str(path) + ".dedup.old")
+    _sh.copytree(path, tmp)
+    path.rename(old)
+    assert not path.exists()
+    dropped = engine.dedup_zone("raw")  # entry recovery rolls forward
+    assert dropped == 1  # tmp had the pre-dedup copy; dedup then ran
+    assert path.exists() and not tmp.exists() and not old.exists()
+    assert engine.records("raw").count() == 2

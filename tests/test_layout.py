@@ -187,3 +187,27 @@ def test_interleave_n_bits_overflow_guard(spark):
         from serverless_datalake_aws_spark.operators.layout import interleave_bits_n
 
         interleave_bits_n([F.lit(1)] * 4, 16)
+
+
+def test_zorder_partial_nulls_survive_both_quantizers(spark, tmp_path):
+    """A few NULL rows in an otherwise-valid cluster column must not
+    abort the rewrite (ADVICE r5: Bucketizer handleInvalid='error'
+    threw mid-job) — NULLs land in cell 0 under BOTH quantizers and
+    every row survives the rewrite."""
+    df = spark.range(300).select(
+        F.when(F.col("id") % 29 == 0, F.lit(None))
+        .otherwise(F.col("id") % 37)
+        .cast("long")
+        .alias("a"),
+        (F.col("id") % 53).alias("b"),
+    )
+    n_nulls = df.filter("a is null").count()
+    assert n_nulls > 0
+    for quant, sub in (("rank", "zr"), ("uniform", "zu")):
+        zorder_write(
+            df, str(tmp_path / sub), ("a", "b"), bits=4, num_files=4,
+            quantizer=quant,
+        )
+        back = spark.read.parquet(str(tmp_path / sub))
+        assert back.count() == 300, quant
+        assert back.filter("a is null").count() == n_nulls, quant
