@@ -53,6 +53,8 @@ HEADLINE = (
     # late round-5: prefix-scan sequence packing + PQ/ADC ANN
     "t31_sequence_packing",
     "s19_pq_adc_ann",
+    # round-6: composed IVF-PQ (cell-restricted ADC scan + recall audit)
+    "s21_ivf_pq_ann",
 )
 
 

@@ -340,3 +340,260 @@ def s20_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(_recall(rerank_top, "recall_rerank"), "query_id")
         .orderBy("query_id")
     )
+
+
+_IVFPQ_C = 8  # coarse cells (first C vectors = centroids, s05 convention)
+_IVFPQ_NPROBE = 2  # cells searched per query
+
+_S21_ORACLE = f"""
+    WITH sub AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m),
+    evec AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+    coarse AS (SELECT vec_id AS ccid, v AS cv FROM evec
+               WHERE vec_id < {_IVFPQ_C}),
+    cdist AS (
+        SELECT e.vec_id, c.ccid, {_D2.format(a="e.v", b="c.cv")} AS cd2
+        FROM evec e CROSS JOIN coarse c),
+    cell AS (
+        SELECT vec_id, ccid AS cid FROM cdist
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY cd2, ccid) = 1),
+    probes AS (
+        SELECT vec_id AS query_id, ccid AS cid FROM cdist
+        WHERE vec_id < {_PQ_NQ}
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY cd2, ccid) <= {_IVFPQ_NPROBE}),
+    cents AS (SELECT vec_id AS k, embedding AS cemb FROM embeddings
+              WHERE vec_id % {_PQ_STRIDE} = 0 ORDER BY vec_id LIMIT {_PQ_K}),
+    csub AS (
+        SELECT c.k, s.m, {_SUB.format(col="c.cemb", m="s.m")} AS cv
+        FROM cents c CROSS JOIN sub s),
+    psub AS (
+        SELECT e.vec_id, s.m, {_SUB.format(col="e.embedding", m="s.m")} AS v
+        FROM embeddings e CROSS JOIN sub s),
+    pdist AS (
+        SELECT p.vec_id, p.m, c.k, {_D2.format(a="p.v", b="c.cv")} AS d2
+        FROM psub p JOIN csub c ON p.m = c.m),
+    codes AS (
+        SELECT vec_id, m, k AS code FROM pdist
+        QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) = 1),
+    qsub AS (
+        SELECT vec_id AS query_id, m, v FROM psub WHERE vec_id < {_PQ_NQ}),
+    qdist AS (
+        SELECT q.query_id, q.m, c.k, {_D2.format(a="q.v", b="c.cv")} AS qd2
+        FROM qsub q JOIN csub c ON q.m = c.m),
+    cand AS (
+        SELECT cl.vec_id, p.query_id
+        FROM cell cl JOIN probes p ON cl.cid = p.cid
+        WHERE cl.vec_id <> p.query_id),
+    approx AS (
+        SELECT ca.query_id, c.vec_id AS neighbor_id,
+               round(sum(qd.qd2), 6) AS approx_d2
+        FROM cand ca
+        JOIN codes c ON c.vec_id = ca.vec_id
+        JOIN qdist qd ON qd.query_id = ca.query_id
+                     AND qd.m = c.m AND qd.k = c.code
+        GROUP BY ca.query_id, c.vec_id),
+    topk AS (
+        SELECT query_id, neighbor_id, approx_d2, CAST(rk AS BIGINT) AS rk
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY approx_d2, neighbor_id) AS rk
+              FROM approx)
+        WHERE rk <= {_PQ_TOPK}),
+    qfull AS (SELECT vec_id AS query_id, v AS qv FROM evec
+              WHERE vec_id < {_PQ_NQ}),
+    exact AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {_D2.format(a="e.v", b="q.qv")} AS d2
+        FROM evec e CROSS JOIN qfull q
+        WHERE e.vec_id <> q.query_id),
+    exact_top AS (
+        SELECT query_id, neighbor_id FROM exact
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY d2, neighbor_id) <= {_PQ_TOPK}),
+    recall AS (
+        SELECT t.query_id,
+               round(count(e.neighbor_id) / {_PQ_TOPK}.0, 2) AS recall_at_k
+        FROM topk t
+        LEFT JOIN exact_top e
+          ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+        GROUP BY t.query_id)
+    SELECT t.query_id, t.neighbor_id, t.approx_d2, t.rk, r.recall_at_k
+    FROM topk t JOIN recall r ON t.query_id = r.query_id
+    ORDER BY t.query_id, t.rk
+"""
+
+
+@query("s21_ivf_pq_ann", oracle=_S21_ORACLE)
+def s21_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the FAISS deployment shape both s05 and s19 gesture at,
+    composed as ONE index: the coarse quantizer restricts each query's
+    search to its {_IVFPQ_NPROBE} nearest of {_IVFPQ_C} inverted-file
+    cells, and within those cells candidates are scored by PQ
+    asymmetric distance (table-lookup sum over M=8 one-byte codes) —
+    vectors appear in exactly one map pass and never again.
+
+    Plan shape (gated in tests/test_plans.py::test_s21_probe_join):
+    1. ENCODE (mapInPandas, map-only): each vector → (cid, codes[8]).
+       The 256-byte embedding dies inside the batch; what crosses the
+       exchange is 1+1+8 small ints — the 32x PQ compression made
+       literal in the shuffle payload.
+    2. PROBE JOIN (BroadcastHashJoin on cid): the query-side probe
+       table (query_id, cid, ADC distance table) has NQ x nprobe rows
+       and broadcasts; the equi-join on cell id IS the inverted-file
+       restriction — candidates outside probed cells never leave the
+       scan, visible in the plan as the join key.
+    3. ADC SCORE (row-local F.aggregate over the codes array indexing
+       the flattened M x K distance table) — pure JVM expression, no
+       UDF in the scoring hot path.
+    4. TOP-K window per query over 24-byte triples.
+    5. RECALL AUDIT: brute-force exact-L2 top-k (VX.brute_scores, the
+       s01/s20 BLAS pass) joined back as a per-query recall@k column —
+       an approximate index ships WITH its measured recall (s11/s14
+       contract). Raw nprobe={_IVFPQ_NPROBE}/{_IVFPQ_C} IVF-PQ recall
+       on near-random 64-dim vectors is low (distance concentration +
+       cell misses); s20's rerank stage is the production recovery.
+
+    At 100 TB: the encode pass is embarrassingly parallel; codebooks
+    (C + K·M doubles) and per-query tables ride the closure/broadcast
+    exactly like s05/s19; per-cell candidate lists are ~N·nprobe/C so
+    the probe join's fact side shrinks {_IVFPQ_C}/{_IVFPQ_NPROBE}x
+    before any shuffle. Production upgrades, same shapes: k-means
+    codebooks, residual (v - cell centroid) PQ encoding, s20 rerank.
+
+    All distances round to 6 dp before every argmin/sum boundary so
+    DuckDB replays cells, codes, probes, distances, and rank order
+    bit-identically (cf. similarity5 module docstring)."""
+    import numpy as np
+    import pandas as pd
+
+    from serverless_datalake_aws_spark.functions import vector as VX
+
+    emb = table(spark, sf_dir, "embeddings")
+    coarse_rows = sorted(
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < _IVFPQ_C)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    pq_rows = sorted(
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") % _PQ_STRIDE == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(_PQ_K)
+        .collect()
+    )
+    qrows = sorted(
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < _PQ_NQ)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ccids = np.array([c[0] for c in coarse_rows], dtype=np.int64)
+    CC = np.stack([np.asarray(c[1], dtype=np.float64) for c in coarse_rows])
+    K_eff, M, S = len(pq_rows), _PQ_M, _PQ_SUB
+    Cm = np.stack(
+        [np.asarray(c[1], dtype=np.float64) for c in pq_rows]
+    ).reshape(K_eff, M, S)
+
+    def _encode(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].values).astype(np.float64)
+            cd2 = np.round(((V[:, None, :] - CC[None, :, :]) ** 2).sum(2), 6)
+            cid = ccids[np.argmin(cd2, axis=1)]  # ties → smallest ccid
+            Vm = V.reshape(len(pdf), M, S)
+            d2 = np.round(
+                (
+                    (Vm[:, :, None, :] - Cm.transpose(1, 0, 2)[None, :, :, :])
+                    ** 2
+                ).sum(axis=3),
+                6,
+            )
+            codes = d2.argmin(axis=2).astype(np.int32)  # positional, ties → smallest k
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "cid": cid,
+                    "codes": list(codes),
+                }
+            )
+
+    enc = emb.select("vec_id", "embedding").mapInPandas(
+        _encode, schema="vec_id long, cid long, codes array<int>"
+    )
+
+    # driver-side probe table: per query, its nprobe nearest cells and
+    # its flattened M x K ADC table (same rounding as the encode pass)
+    Q = np.stack([np.asarray(q[1], dtype=np.float64) for q in qrows])
+    qd2c = np.round(((Q[:, None, :] - CC[None, :, :]) ** 2).sum(2), 6)
+    Qm = Q.reshape(len(qrows), M, S)
+    dtab = np.round(
+        ((Qm[:, None, :, :] - Cm[None, :, :, :]) ** 2).sum(axis=3), 6
+    )  # (NQ, K, M)
+    probe_rows = []
+    for qi, (qid, _) in enumerate(qrows):
+        order = sorted(range(len(ccids)), key=lambda j: (qd2c[qi, j], ccids[j]))
+        flat = dtab[qi].T.ravel().tolist()  # flat[m * K_eff + k]
+        for j in order[:_IVFPQ_NPROBE]:
+            probe_rows.append((int(qid), int(ccids[j]), flat))
+    probe = spark.createDataFrame(
+        probe_rows, "query_id long, cid long, dtab array<double>"
+    )
+
+    adc = F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(M - 1)),
+            F.lit(0.0),
+            lambda acc, m: acc
+            + F.element_at(
+                F.col("dtab"),
+                (m * K_eff + F.element_at(F.col("codes"), m + 1) + 1).cast(
+                    "int"
+                ),
+            ),
+        ),
+        6,
+    )
+    w = W.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+    topk = (
+        enc.join(F.broadcast(probe), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.alias("approx_d2"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _PQ_TOPK)
+    )
+
+    exact = (
+        VX.brute_scores(emb, qrows, metric="l2")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round("d2", 6).alias("d2"))
+    )
+    we = W.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact_top = (
+        exact.withColumn("erk", F.row_number().over(we))
+        .filter(F.col("erk") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    recall = (
+        topk.select("query_id", "neighbor_id")
+        .join(exact_top, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.count("hit").cast("double") / F.lit(float(_PQ_TOPK)), 2
+            ).alias("recall_at_k")
+        )
+    )
+    return (
+        topk.join(recall, "query_id")
+        .select("query_id", "neighbor_id", "approx_d2", "rk", "recall_at_k")
+        .orderBy("query_id", "rk")
+    )
