@@ -33,9 +33,14 @@ except Exception:  # pragma: no cover
 
 _SIMHASH_BITS = 32
 
-# DuckDB twin of the Spark simhash expression below.
-_SIMHASH_SQL = f"""
-        list_sum(list_transform(generate_series(0, {_SIMHASH_BITS - 1}), j ->
+
+def _simhash_sql(bits: int) -> str:
+    """DuckDB twin of the Spark simhash expression below, at any width
+    up to the 56 bits the md5-derived token hash carries (powers of two
+    are exact in double, so `// power(2, j)::BIGINT` is safe through
+    j=55 and the bit sum stays under 2^63)."""
+    return f"""
+        list_sum(list_transform(generate_series(0, {bits - 1}), j ->
             CASE WHEN list_sum(list_transform(
                      list_distinct(string_split(text, ' ')), t ->
                      CASE WHEN (CAST(concat('0x', substr(md5(t), 1, 14)) AS BIGINT)
@@ -45,10 +50,13 @@ _SIMHASH_SQL = f"""
 """
 
 
-def _simhash_col_from(hashes_col: str):
-    """32-bit SimHash from a materialized token-hash array column: bit j
-    is set iff the majority of token hashes have bit j set (±1 vote per
-    token)."""
+_SIMHASH_SQL = _simhash_sql(_SIMHASH_BITS)
+
+
+def _simhash_col_from(hashes_col: str, bits: int = _SIMHASH_BITS):
+    """SimHash of width `bits` from a materialized token-hash array
+    column: bit j is set iff the majority of token hashes have bit j
+    set (±1 vote per token). The md5-56 token hash bounds bits at 56."""
     hashes = F.col(hashes_col)
 
     def _vote(j: int):
@@ -58,13 +66,11 @@ def _simhash_col_from(hashes_col: str):
             F.shiftright(h, j) % 2 == 1, 1
         ).otherwise(-1)
 
-    bits = []
-    for j in range(_SIMHASH_BITS):
+    out = None
+    for j in range(bits):
         vote = F.aggregate(hashes, F.lit(0), _vote(j))
-        bits.append(F.when(vote > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
+        b = F.when(vote > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0))
+        out = b if out is None else out + b
     return out
 
 
@@ -947,3 +953,101 @@ def d17_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(leak))
         .orderBy("split")
     )
+
+
+_D18_BITS = 56  # full width of the md5-derived token hash
+# 7 contiguous 8-bit pigeonhole blocks: any pair within Hamming 6
+# differs in at most 6 blocks, so at least one block matches exactly.
+_D18_BLOCKS = [(j * 8, 8) for j in range(7)]
+
+
+@query(
+    "d18_simhash56_banded_pairs",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, {_simhash_sql(_D18_BITS)} AS simhash
+        FROM documents
+    )
+    SELECT s1.doc_id AS doc1, s2.doc_id AS doc2,
+           bit_count(xor(s1.simhash, s2.simhash)) AS hamming
+    FROM s s1 JOIN s s2 ON s1.doc_id < s2.doc_id
+    WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 6
+    """,
+)
+def d18_simhash56_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-fingerprint SimHash near-dup — the corpus-scale upgrade the
+    round-6 100x probe proved d11 NEEDS, not just prefers.
+
+    The saturation wall (measured, SCALE.md round-6): a 32-bit
+    fingerprint's Hamming-6 ball holds ~1.2M of 4.3e9 points (2.8e-4 of
+    the space), so at N docs the EXPECTED number of random cross pairs
+    within Hamming 6 is ~N^2/2 * 2.8e-4 — at N = 5M that is ~3.4e9
+    TRUE-by-definition output pairs. No banding trick fixes that: the
+    fingerprint itself stops discriminating around N ~ 1e6 (the same
+    reason Google's production simhash dedup uses 64-bit fingerprints
+    for 8e9 pages — Manku et al., WWW'07). At 56 bits the ball is
+    ~3.2e7 of 7.2e16 (4.5e-10): ~5.6k incidental pairs at N = 5M, so
+    the output is the actual near-dup structure.
+
+    Mechanics are d11's, widened: 56-bit majority-vote fingerprint over
+    md5-56 token hashes, pigeonhole banding on 7 contiguous 8-bit
+    blocks (any Hamming<=6 pair matches at least one block exactly),
+    hot-band cap (operators/banding.py) bounding degenerate bands, and
+    the Hamming refine evaluated INSIDE the join probe via the slim
+    8-byte payload. Per-block band occupancy at 5M docs is ~N/256 ~
+    19.5k — just past the 10k cap, so the group split runs at g=2 with
+    real work behind it (the probe records the histogram). Shuffle
+    carries (doc_id, 8-byte fingerprint, band key) — never text.
+
+    The oracle is the plain all-pairs definition; band decomposition
+    plus refine must reproduce it exactly."""
+    docs = table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    hashed = (
+        docs.repartition(n_part, "doc_id")
+        .select(
+            "doc_id",
+            F.transform(TX.distinct_tokens("text"), TX.token_hash).alias(
+                "hashes"
+            ),
+        )
+        .cache()
+    )
+    s = hashed.select(
+        "doc_id", _simhash_col_from("hashes", bits=_D18_BITS).alias("simhash")
+    ).cache()
+    s.count()  # materialize before multi-read (see d05)
+
+    band_cols = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(i),
+                (F.shiftright("simhash", off) % F.lit(2**width)).cast(
+                    "string"
+                ),
+            )
+            for i, (off, width) in enumerate(_D18_BLOCKS)
+        ]
+    )
+    bands = s.select(
+        "doc_id", "simhash", F.explode(band_cols).alias("band_key")
+    )
+    from serverless_datalake_aws_spark.operators.banding import (
+        capped_band_self_join,
+    )
+
+    pairs = capped_band_self_join(
+        bands,
+        "band_key",
+        "doc_id",
+        payload="simhash",
+        pair_filter=lambda h1, h2: F.bit_count(h1.bitwiseXOR(h2)) <= 6,
+    )
+    return pairs.select(
+        "doc1",
+        "doc2",
+        F.bit_count(F.col("payload1").bitwiseXOR(F.col("payload2")))
+        .cast("long")
+        .alias("hamming"),
+    ).dropDuplicates(["doc1", "doc2"])
