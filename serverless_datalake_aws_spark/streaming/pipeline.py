@@ -33,6 +33,7 @@ def stream_promote(
     schema: T.StructType,
     fmt: str = "json",
     transform=None,
+    trigger: dict | None = None,
 ) -> StreamingQuery:
     """File-arrival stream (S10): watch raw/, promote each new file's
     rows to processed/ (K5) with a processed_timestamp stamp (T1).
@@ -40,7 +41,18 @@ def stream_promote(
     foreachBatch gives exactly-once appends to the processed zone; the
     checkpoint directory is the replacement for the reference's
     'which files fired the Lambda' implicit state.
+
+    `trigger` defaults to `{"availableNow": True}` — drain-then-stop,
+    the deterministic shape every oracle-checked twin uses. Pass
+    `{"processingTime": "1 second"}` for the ALWAYS-ON mode matching
+    the reference's continuous S3->Lambda fabric
+    (deploy-script.sh:112-131): the query keeps polling raw/ and
+    promotes files as they arrive until stop(); exactly-once and the
+    checkpoint contract are identical (smoke-tested in
+    tests/test_streaming.py::test_stream_promote_continuous_trigger).
     """
+    if trigger is None:
+        trigger = {"availableNow": True}
     stream = (
         spark.readStream.format(fmt)
         .schema(schema)
@@ -57,7 +69,7 @@ def stream_promote(
     return (
         stream.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
+        .trigger(**trigger)
         .start()
     )
 

@@ -160,3 +160,46 @@ def test_stream_sessionize(spark, tmp_path):
     closed = [(r["n_events"], r["session_value"]) for r in rows]
     assert (2, 3.0) in closed  # the 10:00-10:10 session
     assert (1, 4.0) in closed  # the 11:30 session
+
+
+def test_stream_promote_continuous_trigger(spark, tmp_path):
+    """Always-on mode (VERDICT r5 item 6): a processingTime-triggered
+    stream must pick up files dropped MID-FLIGHT — the reference's
+    continuous S3->Lambda fabric (deploy-script.sh:112-131) — without
+    a restart, and leave a valid checkpoint behind on stop()."""
+    import time
+
+    raw = tmp_path / "raw"
+    processed = str(tmp_path / "processed")
+    ckpt = str(tmp_path / "ckpt")
+    _write_ndjson(raw / "f1.json", [{"id": "a", "v": 1}])
+
+    q = stream_promote(
+        spark, str(raw), processed, ckpt, RECORD_SCHEMA,
+        trigger={"processingTime": "1 second"},
+    )
+    try:
+        # drop N more files while the query is live
+        deadline = time.time() + 60
+        for i in range(2, 5):
+            _write_ndjson(raw / f"f{i}.json", [{"id": f"x{i}", "v": i}])
+            time.sleep(1.0)
+        # all 4 rows must surface without any restart
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(processed).count() == 4:
+                    break
+            except Exception:
+                pass  # sink dir not created yet
+            time.sleep(1.0)
+        assert spark.read.parquet(processed).count() == 4
+        ids = {r["id"] for r in spark.read.parquet(processed).collect()}
+        assert ids == {"a", "x2", "x3", "x4"}
+    finally:
+        q.stop()
+
+    # checkpoint survives the stop: an availableNow drain afterwards
+    # reprocesses NOTHING (exactly-once across trigger modes)
+    q2 = stream_promote(spark, str(raw), processed, ckpt, RECORD_SCHEMA)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(processed).count() == 4
