@@ -387,11 +387,40 @@ class DataLakeEngine:
         """The provenance event log (one row per lake operation)."""
         return self.spark.read.parquet(self.lineage_path)
 
+    def _zone_lock(self, zone: str):
+        """Inter-process exclusion for zone-directory mutation (VERDICT
+        r5 item 7): dedup_zone/expire rewrite or delete under
+        `{zone}/records` while process() reads raw and overwrites
+        processed — unserialized, a reader can catch the swap's
+        missing-directory instant and two writers can interleave an
+        overwrite. One commit lock per zone (heartbeat keeps it alive
+        for however long the Spark job runs); remote roots skip it —
+        their analogue is Delta/Iceberg OCC, per the commitlog
+        docstring. Callers acquire multiple zones in the fixed order
+        raw -> processed (process()) so lock order can't deadlock."""
+        from serverless_datalake_aws_spark.sources.commitlog import FileLock
+
+        zdir = Path(self.zone(zone))
+        zdir.mkdir(parents=True, exist_ok=True)
+        return FileLock(zdir / ".zone.lock", ttl=120.0)
+
     def process(self, transform=None) -> DataFrame:
         """Zone promotion raw→processed (K5, lambda-function.py:210-234):
         read raw, stamp processed_timestamp (T1), apply the optional
         transform hook (§2.10), write processed, flip `indexed` in _meta
-        and rebuild the search index (K7/K8)."""
+        and rebuild the search index (K7/K8).
+
+        Runs under the raw + processed zone locks: the raw lock keeps a
+        concurrent dedup_zone/expire from swapping the directory out
+        mid-scan (the read materializes lazily, during the write), the
+        processed lock keeps two promotions from interleaving one
+        overwrite."""
+        if self.is_remote:
+            return self._process_inner(transform)
+        with self._zone_lock("raw"), self._zone_lock("processed"):
+            return self._process_inner(transform)
+
+    def _process_inner(self, transform=None) -> DataFrame:
         df = self.records("raw").withColumn(
             "processed_timestamp", F.current_timestamp()
         )
@@ -583,35 +612,36 @@ class DataLakeEngine:
                 "object stores need Delta/Iceberg MERGE (or copy + "
                 "prefix flip) — matching expire()/export_training_shards()"
             )
-        path = f"{self.zone(zone)}/records"
-        tmp, old = Path(path + ".dedup.tmp"), Path(path + ".dedup.old")
-        if not Path(path).exists() and (tmp.exists() or old.exists()):
-            # crashed mid-swap: tmp was fully staged before the swap
-            # began, so roll FORWARD if present, else back to old
-            (tmp if tmp.exists() else old).rename(path)
-        if old.exists():
-            shutil.rmtree(old)  # completed swap that died before reclaim
-        if tmp.exists():
-            shutil.rmtree(tmp)  # stale staging from a pre-swap crash
-        df = self.spark.read.parquet(path)
-        w = W.partitionBy("data_type", F.md5("payload")).orderBy("id")
-        deduped = (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        before = df.count()
-        after = deduped.count()
-        if after == before:
-            return 0
-        deduped.write.mode("overwrite").partitionBy(
-            "data_type", "ingest_date"
-        ).parquet(str(tmp))
-        Path(path).rename(old)  # hide current (atomic)
-        tmp.rename(path)  # publish staged (atomic)
-        shutil.rmtree(old)  # reclaim — recoverable if we die before this
-        self._log_lineage("dedup", path, path, before - after)
-        return before - after
+        with self._zone_lock(zone):
+            path = f"{self.zone(zone)}/records"
+            tmp, old = Path(path + ".dedup.tmp"), Path(path + ".dedup.old")
+            if not Path(path).exists() and (tmp.exists() or old.exists()):
+                # crashed mid-swap: tmp was fully staged before the swap
+                # began, so roll FORWARD if present, else back to old
+                (tmp if tmp.exists() else old).rename(path)
+            if old.exists():
+                shutil.rmtree(old)  # completed swap that died before reclaim
+            if tmp.exists():
+                shutil.rmtree(tmp)  # stale staging from a pre-swap crash
+            df = self.spark.read.parquet(path)
+            w = W.partitionBy("data_type", F.md5("payload")).orderBy("id")
+            deduped = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            before = df.count()
+            after = deduped.count()
+            if after == before:
+                return 0
+            deduped.write.mode("overwrite").partitionBy(
+                "data_type", "ingest_date"
+            ).parquet(str(tmp))
+            Path(path).rename(old)  # hide current (atomic)
+            tmp.rename(path)  # publish staged (atomic)
+            shutil.rmtree(old)  # reclaim — recoverable if we die before this
+            self._log_lineage("dedup", path, path, before - after)
+            return before - after
 
     def expire(
         self,
@@ -647,15 +677,19 @@ class DataLakeEngine:
         cutoff = anchor - timedelta(days=keep_days)
         root = Path(self.zone(zone)) / "records"
         dropped: list[str] = []
-        for type_dir in sorted(root.glob("data_type=*")):
-            for part in sorted(type_dir.glob("ingest_date=*")):
-                day = part.name.split("=", 1)[1]
-                try:
-                    if date.fromisoformat(day) < cutoff:
-                        shutil.rmtree(part)
-                        dropped.append(day)
-                except ValueError:
-                    continue  # foreign non-date partition value: keep
+        # zone lock: a concurrent dedup_zone swap would re-create the
+        # partitions this loop just deleted (from its pre-delete
+        # snapshot), silently undoing retention
+        with self._zone_lock(zone):
+            for type_dir in sorted(root.glob("data_type=*")):
+                for part in sorted(type_dir.glob("ingest_date=*")):
+                    day = part.name.split("=", 1)[1]
+                    try:
+                        if date.fromisoformat(day) < cutoff:
+                            shutil.rmtree(part)
+                            dropped.append(day)
+                    except ValueError:
+                        continue  # foreign non-date partition value: keep
         return sorted(set(dropped))
 
     def export_training_shards(

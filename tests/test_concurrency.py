@@ -122,3 +122,67 @@ def test_concurrent_markers_no_lost_update(spark, tmp_path):
     # no stray stage/lock debris
     assert not os.path.exists(lake + "/_meta.mark.tmp")
     assert not os.path.exists(lake + "/_meta.lock")
+
+
+_ZONE_MUTATOR = textwrap.dedent(
+    """
+    import sys
+    sys.path.insert(0, {repo!r})
+    from serverless_datalake_aws_spark.session import get_session
+    from serverless_datalake_aws_spark.engine import DataLakeEngine
+
+    lake, op = sys.argv[1], sys.argv[2]
+    spark = get_session(app_name="zonemut-" + op, cpus=2)
+    engine = DataLakeEngine(spark, lake)
+    if op == "dedup":
+        print("dropped", engine.dedup_zone("raw"))
+    else:
+        print("promoted", engine.process().count())
+    spark.stop()
+    """
+)
+
+
+def test_concurrent_dedup_and_process_zone_lock(spark, tmp_path):
+    """VERDICT r5 item 7: dedup_zone rewrites raw/ via directory swap
+    while process() lazily scans raw/ and overwrites processed/ —
+    unserialized, the promoter can catch the swap's missing-directory
+    instant or read a half-visible zone. Under the per-zone commit
+    locks both orders are legal but both must be CONSISTENT: raw ends
+    deduplicated, processed holds exactly one coherent snapshot
+    (pre- or post-dedup), and neither process errors."""
+    from serverless_datalake_aws_spark.engine import DataLakeEngine
+
+    lake = str(tmp_path / "lake")
+    engine = DataLakeEngine(spark, lake)
+    # 30 rows, 10 distinct payloads -> dedup drops 20
+    engine.ingest_batch([{"n": i % 10} for i in range(30)], data_type="sales")
+
+    env = dict(os.environ)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _ZONE_MUTATOR.format(repo=REPO), lake, op],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for op in ("dedup", "promote")
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+        outs.append(out.decode())
+
+    assert engine.records("raw").count() == 10  # dedup landed
+    processed = engine.records("processed").count()
+    # promoter saw EITHER the pre-dedup or post-dedup snapshot, whole
+    assert processed in (10, 30), (processed, outs)
+    # and its ids are a coherent subset of what raw ever contained
+    raw_ids = {r["id"] for r in engine.records("raw").select("id").collect()}
+    proc_ids = {
+        r["id"] for r in engine.records("processed").select("id").collect()
+    }
+    assert len(proc_ids) == processed  # no duplicated ids from a torn write
+    if processed == 10:
+        assert proc_ids == raw_ids
