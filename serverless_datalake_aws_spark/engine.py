@@ -115,6 +115,39 @@ def generate_sample_data(data_type: str) -> dict[str, Any]:
     }
 
 
+def apply_metadata_search(
+    df: DataFrame,
+    data_type: str | None = None,
+    owner: str | None = None,
+    source: str | None = None,
+    from_date: str | None = None,
+    to_date: str | None = None,
+    tags: list[str] | None = None,
+    limit: int = 20,
+) -> DataFrame:
+    """The conjunctive metadata-search expression tree, factored out so
+    access.PrincipalSession can run the same search over a
+    policy-secured view of `_meta` (F1 eq / F2 AND / F3 between /
+    F4 array-contains / F6 limit)."""
+    conds = []
+    if data_type is not None:
+        conds.append(F.col("data_type") == data_type)
+    if owner is not None:
+        conds.append(F.col("owner") == owner)
+    if source is not None:
+        conds.append(F.col("source") == source)
+    if from_date is not None and to_date is not None:
+        conds.append(F.col("timestamp").between(from_date, to_date))
+    for tag in tags or []:
+        conds.append(F.array_contains("tags", tag))
+    if not conds:
+        return df.limit(limit)
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    return df.filter(cond)
+
+
 class DataLakeEngine:
     """Spark-native data lake engine with medallion zones."""
 
@@ -132,6 +165,33 @@ class DataLakeEngine:
         if not self.is_remote:
             for z in self.ZONES:
                 Path(self.root, z).mkdir(parents=True, exist_ok=True)
+        from serverless_datalake_aws_spark.access import AccessController
+
+        self.acl = AccessController(self.root)
+
+    # -- access control (reference: Cognito + IAM, SURVEY §2 auth gap) ------
+    def grant(
+        self,
+        principal: str,
+        dataset: str,
+        cols: list[str] | None = None,
+        row_filter: str | None = None,
+    ):
+        """Grant `principal` read access to `dataset` (raw / processed /
+        curated / meta), optionally limited to `cols` and rows matching
+        `row_filter`. Resolves to column-pruned, row-filtered views at
+        query time — see access.py for the model and the SQL-session
+        isolation contract."""
+        return self.acl.grant(principal, dataset, cols, row_filter)
+
+    def revoke(self, principal: str, dataset: str | None = None) -> int:
+        return self.acl.revoke(principal, dataset)
+
+    def as_principal(self, principal: str):
+        """Scoped facade: every read entry point, policy-checked."""
+        from serverless_datalake_aws_spark.access import PrincipalSession
+
+        return PrincipalSession(self, principal)
 
     # -- paths -------------------------------------------------------------
     def zone(self, name: str) -> str:
@@ -260,24 +320,16 @@ class DataLakeEngine:
         query-data-lambda.py:127-145 rebuilt as a Column expression tree
         (F1 eq / F2 AND / F3 between / F4 array-contains / F6 limit).
         Unfiltered search keeps the reference's Limit=20 default."""
-        df = self.meta()
-        conds = []
-        if data_type is not None:
-            conds.append(F.col("data_type") == data_type)
-        if owner is not None:
-            conds.append(F.col("owner") == owner)
-        if source is not None:
-            conds.append(F.col("source") == source)
-        if from_date is not None and to_date is not None:
-            conds.append(F.col("timestamp").between(from_date, to_date))
-        for tag in tags or []:
-            conds.append(F.array_contains("tags", tag))
-        if not conds:
-            return df.limit(limit)
-        cond = conds[0]
-        for c in conds[1:]:
-            cond = cond & c
-        return df.filter(cond)
+        return apply_metadata_search(
+            self.meta(),
+            data_type=data_type,
+            owner=owner,
+            source=source,
+            from_date=from_date,
+            to_date=to_date,
+            tags=tags,
+            limit=limit,
+        )
 
     def get_content(self, data_id: str) -> DataFrame:
         """Metadata-driven content fetch (J2 inner-join semantics,
