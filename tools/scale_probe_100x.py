@@ -130,15 +130,22 @@ def band_histogram(spark, which: str) -> dict:
     from serverless_datalake_aws_spark.catalog import table
     from serverless_datalake_aws_spark.functions import text as TX
 
+    from pyspark import StorageLevel
+
     docs = table(spark, OUT, "documents")
     if which == "d04":
+        # persist barrier BEFORE the 16 minhash mins, exactly like d04:
+        # projection collapse otherwise inlines the md5 shingle hashing
+        # into every min expression (16x recompute — measured as a
+        # >1h/task stall at 5M docs on the first probe attempt)
         d = docs.select(
             "doc_id",
             F.transform(
                 F.array_distinct(TX.word_ngrams("text", n=3)),
                 lambda t: TX.token_hash(t) % TX.MINHASH_P,
             ).alias("hs"),
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        d.count()
         bands = d.select(
             "doc_id",
             F.explode(
@@ -153,12 +160,16 @@ def band_histogram(spark, which: str) -> dict:
         )
 
         bits = _D18_BITS if which == "d18" else 32
-        s = docs.select(
+        # same persist barrier as d05/d11/d18: the per-bit votes would
+        # otherwise inline the token-hash md5 chain `bits` times
+        hashed = docs.select(
             "doc_id",
             F.transform(TX.distinct_tokens("text"), TX.token_hash).alias(
                 "hashes"
             ),
-        ).select(
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        hashed.count()
+        s = hashed.select(
             "doc_id", _simhash_col_from("hashes", bits=bits).alias("simhash")
         )
         blocks = (
@@ -183,6 +194,7 @@ def band_histogram(spark, which: str) -> dict:
                 )
             ).alias("band_key"),
         )
+    cached = d if which == "d04" else hashed
     sizes = bands.groupBy("band_key").agg(F.count("*").alias("n"))
     agg = sizes.agg(
         F.count("*").alias("bands"),
@@ -196,6 +208,7 @@ def band_histogram(spark, which: str) -> dict:
             )
         ).alias("sum_g_hot"),
     ).collect()[0]
+    cached.unpersist()
     return {
         "bands": agg["bands"],
         "max_band": agg["max_band"],
