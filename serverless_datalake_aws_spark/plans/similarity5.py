@@ -597,3 +597,271 @@ def s21_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "approx_d2", "rk", "recall_at_k")
         .orderBy("query_id", "rk")
     )
+
+
+_S22_ORACLE = f"""
+    WITH sub AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m),
+    evec AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+    coarse AS (SELECT vec_id AS ccid, v AS cv FROM evec
+               WHERE vec_id < {_IVFPQ_C}),
+    cdist AS (
+        SELECT e.vec_id, c.ccid, {_D2.format(a="e.v", b="c.cv")} AS cd2
+        FROM evec e CROSS JOIN coarse c),
+    cell AS (
+        SELECT vec_id, ccid AS cid FROM cdist
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY cd2, ccid) = 1),
+    probes AS (
+        SELECT vec_id AS query_id, ccid AS cid FROM cdist
+        WHERE vec_id < {_PQ_NQ}
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY cd2, ccid) <= {_IVFPQ_NPROBE}),
+    resid AS (
+        SELECT e.vec_id, cl.cid,
+               list_transform(generate_series(1, 64),
+                              i -> e.v[i] - c.cv[i]) AS r
+        FROM evec e
+        JOIN cell cl ON cl.vec_id = e.vec_id
+        JOIN coarse c ON c.ccid = cl.cid),
+    cents AS (SELECT vec_id AS k FROM embeddings
+              WHERE vec_id % {_PQ_STRIDE} = 0 ORDER BY vec_id LIMIT {_PQ_K}),
+    csub AS (
+        SELECT ct.k, s.m,
+               list_slice(r.r, s.m * 8 + 1, s.m * 8 + 8) AS cv
+        FROM cents ct
+        JOIN resid r ON r.vec_id = ct.k
+        CROSS JOIN sub s),
+    psub AS (
+        SELECT r.vec_id, s.m,
+               list_slice(r.r, s.m * 8 + 1, s.m * 8 + 8) AS v
+        FROM resid r CROSS JOIN sub s),
+    pdist AS (
+        SELECT p.vec_id, p.m, c.k, {_D2.format(a="p.v", b="c.cv")} AS d2
+        FROM psub p JOIN csub c ON p.m = c.m),
+    codes AS (
+        SELECT vec_id, m, k AS code FROM pdist
+        QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) = 1),
+    qres AS (
+        SELECT p.query_id, p.cid,
+               list_transform(generate_series(1, 64),
+                              i -> q.v[i] - c.cv[i]) AS qr
+        FROM probes p
+        JOIN evec q ON q.vec_id = p.query_id
+        JOIN coarse c ON c.ccid = p.cid),
+    qsub AS (
+        SELECT qr.query_id, qr.cid, s.m,
+               list_slice(qr.qr, s.m * 8 + 1, s.m * 8 + 8) AS v
+        FROM qres qr CROSS JOIN sub s),
+    qdist AS (
+        SELECT q.query_id, q.cid, q.m, c.k,
+               {_D2.format(a="q.v", b="c.cv")} AS qd2
+        FROM qsub q JOIN csub c ON q.m = c.m),
+    cand AS (
+        SELECT cl.vec_id, p.query_id, p.cid
+        FROM cell cl JOIN probes p ON cl.cid = p.cid
+        WHERE cl.vec_id <> p.query_id),
+    approx AS (
+        SELECT ca.query_id, c.vec_id AS neighbor_id,
+               round(sum(qd.qd2), 6) AS approx_d2
+        FROM cand ca
+        JOIN codes c ON c.vec_id = ca.vec_id
+        JOIN qdist qd ON qd.query_id = ca.query_id AND qd.cid = ca.cid
+                     AND qd.m = c.m AND qd.k = c.code
+        GROUP BY ca.query_id, c.vec_id),
+    topk AS (
+        SELECT query_id, neighbor_id, approx_d2, CAST(rk AS BIGINT) AS rk
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY approx_d2, neighbor_id) AS rk
+              FROM approx)
+        WHERE rk <= {_PQ_TOPK}),
+    qfull AS (SELECT vec_id AS query_id, v AS qv FROM evec
+              WHERE vec_id < {_PQ_NQ}),
+    exact AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {_D2.format(a="e.v", b="q.qv")} AS d2
+        FROM evec e CROSS JOIN qfull q
+        WHERE e.vec_id <> q.query_id),
+    exact_top AS (
+        SELECT query_id, neighbor_id FROM exact
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY d2, neighbor_id) <= {_PQ_TOPK}),
+    recall AS (
+        SELECT t.query_id,
+               round(count(e.neighbor_id) / {_PQ_TOPK}.0, 2) AS recall_at_k
+        FROM topk t
+        LEFT JOIN exact_top e
+          ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+        GROUP BY t.query_id)
+    SELECT t.query_id, t.neighbor_id, t.approx_d2, t.rk, r.recall_at_k
+    FROM topk t JOIN recall r ON t.query_id = r.query_id
+    ORDER BY t.query_id, t.rk
+"""
+
+
+@query("s22_ivfpq_residual_ann", oracle=_S22_ORACLE)
+def s22_ivfpq_residual_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the actual FAISS `IVFPQ` index
+    (s21's docstring names it as the production refinement): PQ codes
+    quantize v - centroid(cell) rather than v itself, because residuals
+    concentrate around the origin once the coarse quantizer has
+    absorbed the between-cell variance, so the same code budget spends
+    its resolution on what the cell DIDN'T explain. The query side
+    mirrors it: each probed cell gets its own ADC table built from the
+    query's residual w.r.t. THAT cell (q - centroid(cell)) — the
+    per-(query, cell) table is the structural difference from s21,
+    where one table served every probe.
+
+    Plan shape is s21's (and shares its gates' properties): one
+    map-only encode pass (assign + residual + codes; vectors die in
+    the batch), a BroadcastHashJoin on cell id against the
+    (query_id, cid, dtab) probe table — now one row per probed cell
+    with a cell-specific table — row-local F.aggregate ADC, top-k
+    window, and the brute-force recall@k audit column.
+
+    At 100 TB nothing changes vs s21: the probe broadcast grows to
+    NQ x nprobe x (M·K doubles) — still driver-bounded — and the
+    residual subtraction is per-row arithmetic inside the encode batch.
+    Codebooks stay deterministic (residuals of the stride-sampled
+    vectors, each w.r.t. its own cell); production swaps in per-cell
+    k-means, same shapes. Rounding discipline identical to s19/s21, so
+    DuckDB replays cells, residuals, codes, probes, and ranks
+    bit-identically."""
+    import numpy as np
+    import pandas as pd
+
+    from serverless_datalake_aws_spark.functions import vector as VX
+
+    emb = table(spark, sf_dir, "embeddings")
+    coarse_rows = sorted(
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < _IVFPQ_C)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    pq_rows = sorted(
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") % _PQ_STRIDE == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(_PQ_K)
+        .collect()
+    )
+    qrows = sorted(
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < _PQ_NQ)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ccids = np.array([c[0] for c in coarse_rows], dtype=np.int64)
+    CC = np.stack([np.asarray(c[1], dtype=np.float64) for c in coarse_rows])
+    K_eff, M, S = len(pq_rows), _PQ_M, _PQ_SUB
+
+    def _assign(V):  # rounded-d2 argmin over coarse cells (ties→smallest)
+        cd2 = np.round(((V[:, None, :] - CC[None, :, :]) ** 2).sum(2), 6)
+        return np.argmin(cd2, axis=1)
+
+    # residual codebook: each stride-sampled vector's residual w.r.t.
+    # its OWN cell (deterministic; production = per-cell k-means)
+    PQV = np.stack([np.asarray(c[1], dtype=np.float64) for c in pq_rows])
+    CmR = (PQV - CC[_assign(PQV)]).reshape(K_eff, M, S)
+
+    def _encode(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].values).astype(np.float64)
+            ai = _assign(V)
+            R = (V - CC[ai]).reshape(len(pdf), M, S)
+            d2 = np.round(
+                (
+                    (R[:, :, None, :] - CmR.transpose(1, 0, 2)[None, :, :, :])
+                    ** 2
+                ).sum(axis=3),
+                6,
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "cid": ccids[ai],
+                    "codes": list(d2.argmin(axis=2).astype(np.int32)),
+                }
+            )
+
+    enc = emb.select("vec_id", "embedding").mapInPandas(
+        _encode, schema="vec_id long, cid long, codes array<int>"
+    )
+
+    # per-(query, probed cell) ADC tables over the QUERY's residual
+    # w.r.t. that cell
+    Q = np.stack([np.asarray(q[1], dtype=np.float64) for q in qrows])
+    qd2c = np.round(((Q[:, None, :] - CC[None, :, :]) ** 2).sum(2), 6)
+    probe_rows = []
+    for qi, (qid, _) in enumerate(qrows):
+        order = sorted(range(len(ccids)), key=lambda j: (qd2c[qi, j], ccids[j]))
+        for j in order[:_IVFPQ_NPROBE]:
+            qr = (Q[qi] - CC[j]).reshape(M, S)
+            dtab = np.round(
+                ((qr[None, :, :] - CmR) ** 2).sum(axis=2), 6
+            )  # (K, M)
+            probe_rows.append(
+                (int(qid), int(ccids[j]), dtab.T.ravel().tolist())
+            )
+    probe = spark.createDataFrame(
+        probe_rows, "query_id long, cid long, dtab array<double>"
+    )
+
+    adc = F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(M - 1)),
+            F.lit(0.0),
+            lambda acc, m: acc
+            + F.element_at(
+                F.col("dtab"),
+                (m * K_eff + F.element_at(F.col("codes"), m + 1) + 1).cast(
+                    "int"
+                ),
+            ),
+        ),
+        6,
+    )
+    w = W.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+    topk = (
+        enc.join(F.broadcast(probe), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.alias("approx_d2"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _PQ_TOPK)
+    )
+
+    exact = (
+        VX.brute_scores(emb, qrows, metric="l2")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round("d2", 6).alias("d2"))
+    )
+    we = W.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact_top = (
+        exact.withColumn("erk", F.row_number().over(we))
+        .filter(F.col("erk") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    recall = (
+        topk.select("query_id", "neighbor_id")
+        .join(exact_top, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.count("hit").cast("double") / F.lit(float(_PQ_TOPK)), 2
+            ).alias("recall_at_k")
+        )
+    )
+    return (
+        topk.join(recall, "query_id")
+        .select("query_id", "neighbor_id", "approx_d2", "rk", "recall_at_k")
+        .orderBy("query_id", "rk")
+    )
