@@ -469,14 +469,18 @@ def test_p06_no_per_source_window(spark):
             assert "ct" not in line.split("hashpartitioning")[1][:200], line
 
 
-def test_s21_probe_join_restricts_to_cells(spark):
-    """IVF-PQ's inverted-file restriction must be STRUCTURAL: the
-    candidate scan joins the encoded corpus to the broadcast probe
-    table on cell id (an equi-BroadcastHashJoin on cid), never a
-    nested-loop/cartesian against the query set — candidates outside
-    probed cells die at the join, not in a post-filter. ADC scoring is
-    a row-local expression, so no UDF appears after the join."""
-    plan = _plan(spark, "s21_ivf_pq_ann")
+@pytest.mark.parametrize(
+    "name", ["s21_ivf_pq_ann", "s22_ivfpq_residual_ann"]
+)
+def test_ivfpq_probe_join_restricts_to_cells(spark, name):
+    """IVF-PQ's inverted-file restriction must be STRUCTURAL (raw s21
+    and residual s22 alike): the candidate scan joins the encoded
+    corpus to the broadcast probe table on cell id (an
+    equi-BroadcastHashJoin on cid), never a nested-loop/cartesian
+    against the query set — candidates outside probed cells die at the
+    join, not in a post-filter. ADC scoring is a row-local expression,
+    so no UDF appears after the join."""
+    plan = _plan(spark, name)
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
     assert "CartesianProduct" not in plan, plan[:1500]
     blocks = plan.split("\n\n")
