@@ -72,12 +72,33 @@ def write_versioned(
     versioning semantics). Publication order: data → commit flag →
     pointer; a crash between any two steps leaves the previous current
     version intact and the partial write inert (uncommitted dirs are
-    ignored by readers and reclaimed by `vacuum`)."""
+    ignored by readers and reclaimed by `vacuum`).
+
+    Multi-writer (round 6): CONCURRENT writers are safe without any
+    lock around the data write — Delta/Iceberg-style optimistic
+    concurrency. The version number is claimed by atomically creating
+    its directory (`mkdir` is the local-FS conditional PUT /
+    If-None-Match; exactly one writer wins a given n, the loser probes
+    n+1), so two writers can never collide on a version dir, and both
+    their versions land. Only the POINTER update sits in a
+    micro-critical-section (FileLock held for one read+rename) so a
+    slower writer finishing later can't move `_CURRENT` backwards —
+    the pointer is monotonic, matching S3 versioning's "latest PUT is
+    current". Two-writer interleavings are tested in
+    tests/test_versioning.py::test_concurrent_writers_occ."""
+    from serverless_datalake_aws_spark.sources.commitlog import FileLock
+
     root = Path(root)
     root.mkdir(parents=True, exist_ok=True)
     seen = _versions(root)
     v = (seen[-1] + 1) if seen else 1
-    vdir = root / f"{_PREFIX}{v}"
+    while True:  # OCC claim: exactly one writer wins each number
+        vdir = root / f"{_PREFIX}{v}"
+        try:
+            vdir.mkdir(exist_ok=False)
+            break
+        except FileExistsError:
+            v += 1
     if fmt == "parquet":
         df.write.mode("overwrite").parquet(str(vdir))
     elif fmt in ("json", "ndjson"):
@@ -85,9 +106,12 @@ def write_versioned(
     else:
         raise ValueError(f"unsupported versioned format: {fmt}")
     (vdir / _FLAG).write_text("ok\n")
-    tmp = root / f"{_POINTER}.tmp"
-    tmp.write_text(f"{v}\n")
-    tmp.replace(root / _POINTER)  # atomic pointer move
+    with FileLock(root / f"{_POINTER}.lock", ttl=30.0):
+        cur = current_version(root)
+        if cur is None or v > cur:  # never move the pointer backwards
+            tmp = root / f"{_POINTER}.tmp"
+            tmp.write_text(f"{v}\n")
+            tmp.replace(root / _POINTER)  # atomic pointer move
     return v
 
 

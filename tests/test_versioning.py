@@ -110,3 +110,48 @@ def test_diff_versions_added_removed_changed(spark, tmp_path):
         for r in diff_versions(spark, root, old=1, key="id").collect()
     }
     assert got == {"b": "changed", "c": "removed", "d": "added"}
+
+
+def test_concurrent_writers_occ(spark, tmp_path):
+    """Two writers committing versions CONCURRENTLY (threads sharing
+    the session — Spark job submission is thread-safe) must never
+    collide on a version number, never lose a version, and leave the
+    pointer at the highest committed version (monotonic — a slow
+    writer finishing late can't regress `_CURRENT`)."""
+    import threading
+
+    from serverless_datalake_aws_spark.sources.versioning import (
+        current_version,
+        read_versioned,
+        write_versioned,
+    )
+
+    root = tmp_path / "occ"
+    got: dict[str, list[int]] = {"a": [], "b": []}
+    errs: list[Exception] = []
+
+    def writer(tag: str) -> None:
+        try:
+            for i in range(4):
+                df = spark.createDataFrame(
+                    [(tag, i)], "writer string, seq int"
+                )
+                got[tag].append(write_versioned(df, root))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(t,)) for t in ("a", "b")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errs, errs
+    versions = got["a"] + got["b"]
+    assert len(set(versions)) == 8  # no collisions, no losses
+    assert sorted(versions) == list(range(1, 9))
+    assert current_version(root) == 8
+    # every version is committed and reads back its own writer's row
+    for tag in ("a", "b"):
+        for v, i in zip(got[tag], range(4)):
+            row = read_versioned(spark, root, version=v).collect()[0]
+            assert (row["writer"], row["seq"]) == (tag, i)
