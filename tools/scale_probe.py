@@ -51,6 +51,11 @@ DEFAULT_PROBE = (
     # round-5 probe targets (events/orders now also build 10x)
     "e17_incremental_rollup",
     "m05_quality_constraints",
+    # round-6: composed IVF-PQ (raw + residual) — 10x vectors stress the
+    # probe-join fan-in; d18 at REAL scale is in scale_probe_100x.py
+    "s21_ivf_pq_ann",
+    "s22_ivfpq_residual_ann",
+    "d18_simhash56_banded_pairs",
 )
 
 
