@@ -59,17 +59,21 @@ GOVERNED_DATASETS = ("raw", "processed", "curated", "meta")
 
 
 class AccessController:
-    """Grant store: one JSON doc, atomic publish, read-per-call so
-    grants apply across processes without invalidation machinery (the
-    document is metadata-sized; the production analogue is an IAM
-    policy fetch)."""
+    """Grant store: one JSON doc keyed {principal: {dataset: grant}}
+    (NESTED, so principal names are opaque strings — no separator
+    character to alias one principal into another's namespace), atomic
+    publish, read-per-call so grants apply across processes without
+    invalidation machinery. Mutations run under a FileLock: grant and
+    revoke are read-modify-write, and two unserialized admins would
+    silently last-writer-win each other's policy changes (round-6
+    self-review finding)."""
 
     def __init__(self, root: str):
         self.is_remote = "://" in root
         self._mem: dict[str, dict] = {}  # remote roots: in-memory only
         self.path = Path(root) / "_acl" / "grants.json"
 
-    def _load(self) -> dict[str, dict]:
+    def _load(self) -> dict[str, dict[str, dict]]:
         if self.is_remote:
             return self._mem
         try:
@@ -77,7 +81,7 @@ class AccessController:
         except (FileNotFoundError, json.JSONDecodeError):
             return {}
 
-    def _save(self, doc: dict[str, dict]) -> None:
+    def _save(self, doc: dict[str, dict[str, dict]]) -> None:
         if self.is_remote:
             # local JSON file semantics don't exist on an object store;
             # keep grants session-scoped and document the S3 analogue
@@ -89,9 +93,15 @@ class AccessController:
         tmp.write_text(json.dumps(doc, indent=1, sort_keys=True))
         os.replace(tmp, self.path)  # atomic publish
 
-    @staticmethod
-    def _key(principal: str, dataset: str) -> str:
-        return f"{principal}␟{dataset}"
+    def _mutate_lock(self):
+        from serverless_datalake_aws_spark.sources.commitlog import FileLock
+
+        if self.is_remote:
+            from contextlib import nullcontext
+
+            return nullcontext()
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        return FileLock(self.path.with_suffix(".lock"), ttl=30.0)
 
     def grant(
         self,
@@ -105,33 +115,39 @@ class AccessController:
                 f"unknown dataset {dataset!r}; governed: {GOVERNED_DATASETS}"
             )
         g = Grant(principal, dataset, list(cols) if cols else None, row_filter)
-        doc = self._load()
-        doc[self._key(principal, dataset)] = asdict(g)
-        self._save(doc)
+        with self._mutate_lock():
+            doc = self._load()
+            doc.setdefault(principal, {})[dataset] = asdict(g)
+            self._save(doc)
         return g
 
     def revoke(self, principal: str, dataset: str | None = None) -> int:
-        doc = self._load()
-        gone = [
-            k
-            for k in doc
-            if k.startswith(principal + "␟")
-            and (dataset is None or k == self._key(principal, dataset))
-        ]
-        for k in gone:
-            del doc[k]
-        self._save(doc)
-        return len(gone)
+        with self._mutate_lock():
+            doc = self._load()
+            mine = doc.get(principal, {})
+            if dataset is None:
+                gone = len(mine)
+                doc.pop(principal, None)
+            else:
+                gone = 1 if dataset in mine else 0
+                mine.pop(dataset, None)
+                if not mine:
+                    doc.pop(principal, None)
+            self._save(doc)
+        return gone
 
     def grants_for(self, principal: str) -> dict[str, Grant]:
         return {
-            g["dataset"]: Grant(**g)
-            for k, g in self._load().items()
-            if k.startswith(principal + "␟")
+            ds: Grant(**g)
+            for ds, g in self._load().get(principal, {}).items()
         }
 
     def all_grants(self) -> list[Grant]:
-        return [Grant(**g) for g in self._load().values()]
+        return [
+            Grant(**g)
+            for by_ds in self._load().values()
+            for g in by_ds.values()
+        ]
 
 
 class PrincipalSession:
@@ -183,12 +199,56 @@ class PrincipalSession:
     def sql(self, sql_query: str) -> DataFrame:
         """Run SQL against ONLY this principal's secured views, in a
         child session whose temp-view catalog contains nothing else and
-        which refuses direct-file queries."""
+        which refuses direct-file queries.
+
+        Defence in depth: `newSession()` isolates SESSION temp views,
+        but the external catalog and global_temp database live in
+        SharedState and stay resolvable — so after analysis the plan is
+        walked and any relation that resolved through a QUALIFIED name
+        (spark_catalog.db.table, global_temp.view) is rejected. The
+        principal's own secured views resolve as unqualified session
+        views and pass; there is no ungoverned path left: files are
+        blocked by runSQLOnFiles, catalog/global-temp by the plan walk,
+        and unknown names by resolution failure."""
         s = self.engine.spark.newSession()
         s.conf.set("spark.sql.runSQLOnFiles", "false")
         for ds in self._grants():
             self._secured(ds, spark=s).createOrReplaceTempView(ds)
-        return s.sql(sql_query)
+        df = s.sql(sql_query)
+        self._assert_session_views_only(df)
+        return df
+
+    def _assert_session_views_only(self, df: DataFrame) -> None:
+        """Reject any relation in the ANALYZED plan that carries a
+        qualified alias — Spark wraps every catalog-table / global-temp
+        resolution in `SubqueryAlias <catalog>.<db>.<name>`, while
+        session temp views (and CTE/user aliases) are single-part."""
+        analyzed = df._jdf.queryExecution().analyzed()
+        plans = [analyzed]
+        subs = analyzed.subqueriesAll()  # plans inside expressions too
+        for i in range(subs.size()):
+            plans.append(subs.apply(i))
+
+        def walk(node) -> None:
+            if node.getClass().getSimpleName() == "SubqueryAlias":
+                qual = node.identifier().qualifier()
+                if qual.size() > 0:
+                    parts = [qual.apply(i) for i in range(qual.size())]
+                    full = ".".join([*parts, node.identifier().name()])
+                    raise PermissionError(
+                        f"principal {self.principal!r} may not read "
+                        f"catalog relation {full!r}: only granted views "
+                        f"({sorted(self._grants())}) are queryable"
+                    )
+            kids = node.children()
+            for i in range(kids.size()):
+                walk(kids.apply(i))
+            inner = node.innerChildren()  # resolved-view child plans
+            for i in range(inner.size()):
+                walk(inner.apply(i))
+
+        for p in plans:
+            walk(p)
 
     def query(self, type: str, **params) -> DataFrame:
         """The reference's four-way dispatch (query-data-lambda.py:51-70),

@@ -265,15 +265,20 @@ def t30_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("long")
+    # null-safe join-back: GROUP BY folds NULL sources into one group
+    # (matching the window/SQL semantics), so the join key must be <=>
+    # or NULL-source rows would silently vanish from the sample
     sums = docs.groupBy("source").agg(
         F.sum("n_chars").cast("long").alias("sum_w")
-    )
+    ).withColumnRenamed("source", "_src")
     w = docs.select(
         "doc_id",
         "source",
         "n_chars",
         h.alias("h"),
-    ).join(F.broadcast(sums), "source")
+    ).join(
+        F.broadcast(sums), F.col("source").eqNullSafe(F.col("_src"))
+    ).drop("_src")
     return w.filter(
         F.col("h") * F.col("sum_w")
         < F.lit(_PPS_K).cast("long") * F.col("n_chars") * F.lit(_HASH_SPAN)
@@ -447,8 +452,14 @@ def p06_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("h"),
         F.length("ct").cast("long").alias("w"),
     )
-    sums = gated_base.groupBy("source").agg(F.sum("w").alias("sum_w"))
-    gated = gated_base.join(F.broadcast(sums), "source")
+    sums = (
+        gated_base.groupBy("source")
+        .agg(F.sum("w").alias("sum_w"))
+        .withColumnRenamed("source", "_src")
+    )  # null-safe join-back, same reason as t30
+    gated = gated_base.join(
+        F.broadcast(sums), F.col("source").eqNullSafe(F.col("_src"))
+    ).drop("_src")
     return gated.filter(
         F.col("h") * F.col("sum_w")
         < F.lit(_P06_K).cast("long") * F.col("w") * F.lit(_HASH_SPAN)

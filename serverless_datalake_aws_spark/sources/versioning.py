@@ -28,7 +28,9 @@ extra pointer GET.
 
 from __future__ import annotations
 
+import os
 import shutil
+import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,18 +39,27 @@ from pyspark.sql import functions as F
 _PREFIX = "_v="
 _POINTER = "_CURRENT"
 _FLAG = "_COMMITTED"
+_CLAIM = ".claim"  # sibling claim file: survives SaveMode.Overwrite's
+# delete-and-recreate of the version DIRECTORY (claiming the dir itself
+# was round 6's first attempt — Spark's overwrite committer deletes an
+# existing target path, which would have handed the number to a racer)
+_CLAIM_TTL = 3600.0  # vacuum grace for uncommitted-but-claimed versions
 
 
 def _versions(root: Path) -> list[int]:
     if not root.exists():
         return []
-    out = []
+    out = set()
     for p in root.iterdir():
-        if p.is_dir() and p.name.startswith(_PREFIX):
-            try:
-                out.append(int(p.name[len(_PREFIX):]))
-            except ValueError:
-                continue
+        name = p.name
+        if not name.startswith(_PREFIX):
+            continue
+        if name.endswith(_CLAIM):
+            name = name[: -len(_CLAIM)]
+        try:
+            out.add(int(name[len(_PREFIX):]))
+        except ValueError:
+            continue
     return sorted(out)
 
 
@@ -76,11 +87,16 @@ def write_versioned(
 
     Multi-writer (round 6): CONCURRENT writers are safe without any
     lock around the data write — Delta/Iceberg-style optimistic
-    concurrency. The version number is claimed by atomically creating
-    its directory (`mkdir` is the local-FS conditional PUT /
+    concurrency. The version number is claimed by O_EXCL-creating a
+    SIBLING `_v=<n>.claim` file (the local-FS conditional PUT /
     If-None-Match; exactly one writer wins a given n, the loser probes
-    n+1), so two writers can never collide on a version dir, and both
-    their versions land. Only the POINTER update sits in a
+    n+1). The claim must NOT be the data directory itself: Spark's
+    SaveMode.Overwrite deletes an existing target path before its
+    committer recreates it, which would briefly un-claim the number
+    mid-job and let a racer take it (found by round-6 self-review).
+    `_versions()` counts claims as taken, so probes skip in-flight
+    numbers; `vacuum()` honours a claim-age grace so it never reclaims
+    a live writer's uncommitted dir. Only the POINTER update sits in a
     micro-critical-section (FileLock held for one read+rename) so a
     slower writer finishing later can't move `_CURRENT` backwards —
     the pointer is monotonic, matching S3 versioning's "latest PUT is
@@ -93,9 +109,11 @@ def write_versioned(
     seen = _versions(root)
     v = (seen[-1] + 1) if seen else 1
     while True:  # OCC claim: exactly one writer wins each number
-        vdir = root / f"{_PREFIX}{v}"
+        claim = root / f"{_PREFIX}{v}{_CLAIM}"
         try:
-            vdir.mkdir(exist_ok=False)
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            vdir = root / f"{_PREFIX}{v}"
             break
         except FileExistsError:
             v += 1
@@ -106,6 +124,7 @@ def write_versioned(
     else:
         raise ValueError(f"unsupported versioned format: {fmt}")
     (vdir / _FLAG).write_text("ok\n")
+    claim.unlink(missing_ok=True)  # committed: the dir itself marks v taken
     with FileLock(root / f"{_POINTER}.lock", ttl=30.0):
         cur = current_version(root)
         if cur is None or v > cur:  # never move the pointer backwards
@@ -134,11 +153,17 @@ def read_versioned(
     return spark.read.json(vdir)
 
 
-def vacuum(root: str | Path, keep: int = 2) -> list[int]:
+def vacuum(
+    root: str | Path, keep: int = 2, claim_grace: float = _CLAIM_TTL
+) -> list[int]:
     """Expire noncurrent versions, keeping the newest `keep` of them —
     the lifecycle `noncurrent_version_expiration` rule. Uncommitted
-    (crashed) version dirs are always reclaimed. The current version is
-    never deleted. Returns the pruned version numbers."""
+    (crashed) version dirs are reclaimed UNLESS their claim file is
+    younger than `claim_grace` seconds — a fresh claim means a live
+    writer is mid-commit under the OCC protocol, and reclaiming under
+    it would hand the writer's task commits a deleted directory (the
+    round-6 self-review's multi-writer/vacuum interaction). The current
+    version is never deleted. Returns the pruned version numbers."""
     root = Path(root)
     cur = current_version(root)
     pruned: list[int] = []
@@ -146,7 +171,18 @@ def vacuum(root: str | Path, keep: int = 2) -> list[int]:
     uncommitted = [v for v in noncurrent if not _committed(root, v)]
     committed = [v for v in noncurrent if _committed(root, v)]
     expired = committed[:-keep] if keep > 0 else committed
-    for v in uncommitted + expired:
+    now = time.time()
+    for v in uncommitted:
+        claim = root / f"{_PREFIX}{v}{_CLAIM}"
+        try:
+            if (now - claim.stat().st_mtime) < claim_grace:
+                continue  # live in-flight writer — leave it alone
+        except FileNotFoundError:
+            pass  # no claim: pre-OCC crash debris, safe to reclaim
+        claim.unlink(missing_ok=True)
+        shutil.rmtree(root / f"{_PREFIX}{v}", ignore_errors=True)
+        pruned.append(v)
+    for v in expired:
         shutil.rmtree(root / f"{_PREFIX}{v}")
         pruned.append(v)
     return sorted(pruned)

@@ -109,3 +109,73 @@ def test_revoke_and_persistence(lake, spark):
     # and the revoke is visible through the FIRST engine too
     with pytest.raises(PermissionError):
         erin.meta()
+
+
+def test_sql_cannot_reach_catalog_or_global_temp(lake, spark):
+    """newSession() shares the external catalog and global_temp with
+    the owner — the analyzed-plan walk must reject relations resolved
+    through qualified names (round-6 self-review finding), including
+    when smuggled into a CTE, a subquery expression, or a join arm."""
+    from serverless_datalake_aws_spark.catalog import save_table
+
+    save_table(spark, lake.records("processed").select("id"), "acl_perm_tbl")
+    spark.sql(
+        "CREATE OR REPLACE GLOBAL TEMPORARY VIEW acl_gt AS SELECT 42 AS x"
+    )
+    try:
+        lake.grant("frank", "processed", cols=["id"])
+        frank = lake.as_principal("frank")
+        for q in (
+            "SELECT * FROM acl_perm_tbl",
+            "SELECT * FROM default.acl_perm_tbl",
+            "SELECT * FROM global_temp.acl_gt",
+            "WITH c AS (SELECT * FROM acl_perm_tbl) SELECT * FROM c",
+            "SELECT (SELECT count(*) FROM acl_perm_tbl) AS n",
+            "SELECT * FROM processed JOIN acl_perm_tbl USING (id)",
+        ):
+            with pytest.raises(PermissionError):
+                frank.sql(q).collect()
+        # the granted view, CTEs over it, and plain aliases still work
+        assert (
+            frank.sql(
+                "WITH c AS (SELECT id FROM processed) "
+                "SELECT count(*) AS n FROM c t"
+            ).collect()[0]["n"]
+            == 7
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS acl_perm_tbl")
+        spark.sql("DROP VIEW IF EXISTS global_temp.acl_gt")
+
+
+def test_principal_names_are_opaque(lake):
+    """A principal name may contain ANY character — the nested store
+    has no separator to alias one principal into another's namespace
+    (round-6 self-review: the flat 'p<sep>ds' keys were aliasable)."""
+    weird = "alice␟raw"  # contains the old separator
+    lake.grant(weird, "meta")
+    assert set(lake.acl.grants_for(weird)) == {"meta"}
+    assert lake.acl.grants_for("alice") == {}  # no aliasing
+    assert lake.revoke("alice") == 0
+    assert set(lake.acl.grants_for(weird)) == {"meta"}  # untouched
+    assert lake.revoke(weird) == 1
+
+
+def test_concurrent_grants_no_lost_update(lake):
+    """grant() is read-modify-write over the shared policy doc; the
+    mutation lock must keep two concurrent admins from last-writer-
+    winning each other's grants."""
+    import threading
+
+    def do(principal, ds):
+        lake.grant(principal, ds)
+
+    ts = [
+        threading.Thread(target=do, args=(f"u{i}", "meta")) for i in range(8)
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=60)
+    for i in range(8):
+        assert set(lake.acl.grants_for(f"u{i}")) == {"meta"}, i

@@ -209,3 +209,43 @@ def test_mm05_windows_tile_durations(spark):
     for r in rows:
         assert r.end_ms - r.start_ms == 2000
         assert r.start_sample == r.start_ms * 16  # 16 kHz offsets
+
+
+def test_t30_p06_null_source_rows_survive(spark, tmp_path):
+    """NULL-source documents must flow through the aggregate+broadcast
+    sampler exactly as SQL semantics dictate (GROUP BY folds NULLs into
+    one group; the round-6 window->aggregate rewrite must join back
+    null-safely, not drop them — self-review finding). Full oracle
+    parity on a fixture where 1 in 7 documents has source = NULL."""
+    import shutil
+
+    import duckdb
+
+    from serverless_datalake_aws_spark.testing import check_query
+
+    fx = tmp_path / "nullsrc"
+    fx.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        shutil.copy(f"{SF_DIR}/{t}.parquet", fx / f"{t}.parquet")
+    con = duckdb.connect()
+    con.sql(
+        f"""
+        COPY (
+          SELECT doc_id, text, lang,
+                 CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS source,
+                 n_chars
+          FROM '{SF_DIR}/documents.parquet'
+        ) TO '{fx}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    for name in ("t30_pps_sample", "p06_curation_pipeline"):
+        assert check_query(spark, name, str(fx)) == [], name
+    # and the NULL group genuinely participates (rows can be sampled)
+    from serverless_datalake_aws_spark.plans import all_queries
+
+    out = all_queries()["t30_pps_sample"](spark, str(fx))
+    assert out.filter("source IS NULL").count() > 0

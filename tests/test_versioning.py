@@ -155,3 +155,34 @@ def test_concurrent_writers_occ(spark, tmp_path):
         for v, i in zip(got[tag], range(4)):
             row = read_versioned(spark, root, version=v).collect()[0]
             assert (row["writer"], row["seq"]) == (tag, i)
+
+
+def test_vacuum_spares_live_claims(spark, tmp_path):
+    """vacuum must not reclaim an uncommitted version whose OCC claim
+    is fresh (a live writer mid-commit); stale claims and claimless
+    crash debris are reclaimed as before."""
+    import os
+    import time as _time
+
+    from serverless_datalake_aws_spark.sources.versioning import (
+        vacuum,
+        write_versioned,
+    )
+
+    root = tmp_path / "t"
+    write_versioned(spark.createDataFrame([(1,)], "a int"), root)
+    # simulate a live writer: claim + uncommitted dir, fresh mtime
+    (root / "_v=2.claim").write_text("")
+    (root / "_v=2").mkdir()
+    (root / "_v=2" / "part-0.parquet").write_bytes(b"x")
+    assert vacuum(root, keep=2) == []  # spared
+    assert (root / "_v=2").exists() and (root / "_v=2.claim").exists()
+    # age the claim past the grace -> reclaimed
+    old = _time.time() - 7200
+    os.utime(root / "_v=2.claim", (old, old))
+    assert vacuum(root, keep=2) == [2]
+    assert not (root / "_v=2").exists()
+    assert not (root / "_v=2.claim").exists()
+    # claimless uncommitted dir (pre-OCC crash debris) reclaims at once
+    (root / "_v=3").mkdir()
+    assert vacuum(root, keep=2) == [3]
