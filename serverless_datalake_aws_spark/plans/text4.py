@@ -940,3 +940,115 @@ def p07_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY source, lang
         """
     )
+
+
+_T35_SPAN = 8  # words per span (the "line" unit of C4-style dedup)
+_T35_MIN = 2  # corpus-wide occurrences that make a span boilerplate
+
+
+@query(
+    "t35_boilerplate_span_dedup",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    si AS (SELECT doc_id, ws,
+                  unnest(generate_series(0,
+                      CAST(ceil(len(ws) / {_T35_SPAN}.0) - 1 AS BIGINT)))
+                      AS idx
+           FROM w),
+    spans AS (
+        SELECT doc_id, idx,
+               array_to_string(
+                   list_slice(ws, idx * {_T35_SPAN} + 1,
+                              idx * {_T35_SPAN} + {_T35_SPAN}), ' ') AS span
+        FROM si),
+    hot AS (SELECT md5(span) AS h FROM spans
+            GROUP BY 1 HAVING count(*) >= {_T35_MIN}),
+    rm AS (SELECT s.doc_id, s.idx FROM spans s
+           JOIN hot ON md5(s.span) = hot.h),
+    keepj AS (
+        SELECT s.doc_id, s.idx, s.span
+        FROM spans s LEFT JOIN rm
+          ON rm.doc_id = s.doc_id AND rm.idx = s.idx
+        WHERE rm.idx IS NULL),
+    clean AS (SELECT doc_id, string_agg(span, ' ' ORDER BY idx) AS ct
+              FROM keepj GROUP BY doc_id),
+    tot AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id),
+    nrm AS (SELECT doc_id, count(*) AS n_removed FROM rm GROUP BY doc_id)
+    SELECT t.doc_id, t.n_spans, coalesce(n.n_removed, 0) AS n_removed,
+           md5(coalesce(c.ct, '')) AS clean_md5,
+           CAST(CASE WHEN coalesce(c.ct, '') = '' THEN 0
+                     ELSE len(string_split(c.ct, ' ')) END AS BIGINT)
+               AS n_tokens_clean
+    FROM tot t
+    LEFT JOIN nrm n ON n.doc_id = t.doc_id
+    LEFT JOIN clean c ON c.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def t35_boilerplate_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate-span removal — the C4/RefinedWeb 'line
+    dedup' primitive the t-family was missing: any {_T35_SPAN}-word
+    span occurring >= {_T35_MIN} times ACROSS the corpus (navigation
+    chrome, license footers, copied paragraphs) is cut from every
+    document, and the survivors are reassembled in order. This is the
+    sub-document complement to d01/d04: whole-doc dedup keeps one copy
+    of a duplicated page; span dedup removes the boilerplate that
+    repeats across *different* pages. Output is the per-doc digest
+    (span counts, removed count, md5 + token count of the cleaned
+    text), which pins both the removal set and the reassembly order.
+
+    Scale shape (the reason this isn't a groupBy over text): span TEXT
+    dies in the first map stage — the corpus-wide occurrence count
+    shuffles (doc_id, idx, md5(span)) only; the removal set comes back
+    as a left-semi join on the 16-byte hash; reassembly re-derives the
+    span text ROW-LOCALLY from the original document (one slim shuffle
+    of (doc_id, removed-idx-set) arrays), so no exchange ever carries
+    document text. At 100 TB this is exactly how C4's line-dedup is
+    run: hash lines, count, semi-join back, rebuild.
+
+    Spans are non-overlapping {_T35_SPAN}-word windows (the corpus has
+    no newlines; a real deployment splits on '\\n' — one-line change,
+    same plan). The oracle replays removal and ordered reassembly in
+    plain SQL (string_agg ORDER BY idx)."""
+    docs = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_spans = F.ceil(F.size(words) / F.lit(_T35_SPAN)).cast("long")
+    span_at = lambda i: F.array_join(  # noqa: E731 — used twice below
+        F.slice(words, i * _T35_SPAN + 1, _T35_SPAN), " "
+    )
+    spanarr = F.transform(F.sequence(F.lit(0), (n_spans - 1).cast("int")), span_at)
+    # slim exploded rows: span text reduced to md5 in the SAME map stage
+    spans = docs.select(
+        "doc_id", F.posexplode(spanarr).alias("idx", "span")
+    ).select("doc_id", "idx", F.md5("span").alias("h"))
+    hot = (
+        spans.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= _T35_MIN)
+        .select("h")
+    )
+    rm_sets = (
+        spans.join(hot, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("idx").alias("rm"))
+    )
+    rm = F.coalesce(F.col("rm"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.sequence(F.lit(0), (n_spans - 1).cast("int")),
+        lambda i: ~F.array_contains(rm, i),
+    )
+    clean = F.array_join(F.transform(kept, span_at), " ")
+    return (
+        docs.join(rm_sets, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_spans.alias("n_spans"),
+            F.size(rm).cast("long").alias("n_removed"),
+            F.md5(clean).alias("clean_md5"),
+            F.when(clean == "", F.lit(0))
+            .otherwise(F.size(F.split(clean, " ")))
+            .cast("long")
+            .alias("n_tokens_clean"),
+        )
+        .orderBy("doc_id")
+    )
