@@ -751,3 +751,94 @@ def st12_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "st13_stream_dedup_index",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_sort(list_distinct(string_split(text, ' '))), ' '))
+                   AS fp
+        FROM documents)
+    SELECT fp,
+           count(*) AS n_copies,
+           min(doc_id) AS first_doc_id,
+           count(*) > 1 AS is_dup
+    FROM f GROUP BY fp ORDER BY fp
+    """,
+)
+def st13_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-ingest: maintain the exact-dedup index AS THE DOCUMENT
+    STREAM LANDS — each micro-batch folds its fingerprint partials
+    (count + min doc_id per content hash) into the persisted index, so
+    at any instant the lake knows every document's canonical survivor
+    without ever re-scanning history. This is d01/d07's whole-corpus
+    dedup turned into streaming maintenance (the st10-12 pattern, 4th
+    member), and the shape every training-data ingest front-door runs:
+    new crawl shards arrive continuously, and a doc is droppable at
+    arrival iff its fingerprint is already in the index.
+
+    Determinism contract: the maintained aggregates are ALGEBRAIC
+    (count, min) — batch-order independent by construction — so the
+    index is bit-identical however the stream was sharded, and the
+    from-scratch SQL GROUP BY is the oracle (equality IS the
+    maintenance-correctness proof). The input is split into 4 shards
+    drained one per trigger to force multi-batch merging; exactly-once
+    comes from the checkpoint, like every stream here.
+
+    Scale: per batch one map-side-combined pass over the BATCH plus a
+    |distinct fingerprints|-row merge; fingerprints are 32-char
+    hashes, so the maintained state is ~50 B/distinct-doc regardless
+    of document size (the text never leaves the ingest map stage)."""
+    import shutil
+    import tempfile
+
+    from serverless_datalake_aws_spark.catalog import table
+    from serverless_datalake_aws_spark.functions import text as TX
+    from serverless_datalake_aws_spark.operators.incremental import (
+        MaintainedRollup,
+    )
+
+    work = tempfile.mkdtemp(prefix="st13_")
+    try:
+        src = f"{work}/doc_shards"
+        (
+            table(spark, sf_dir, "documents")
+            .select("doc_id", TX.fingerprint("text").alias("fp"))
+            .repartition(4)
+            .write.parquet(src)
+        )
+        index = MaintainedRollup(
+            spark, f"{work}/dedup_index", keys=["fp"], measures=["doc_id"]
+        )
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch, _eid: index.apply(batch)
+            )
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = (
+            index.read()
+            .select(
+                "fp",
+                F.col("n_rows").alias("n_copies"),
+                F.col("min_doc_id").cast("long").alias("first_doc_id"),
+                (F.col("n_rows") > 1).alias("is_dup"),
+            )
+            .orderBy("fp")
+        )
+        rows = out.collect()  # materialize before the workdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -489,3 +489,18 @@ def test_ivfpq_probe_join_restricts_to_cells(spark, name):
         if "BroadcastHashJoin" in b and "Left keys" in b and "cid" in b
     ]
     assert probe, plan[:2000]
+
+
+def test_d18_band_join_is_hash_with_slim_payload(spark):
+    """d18's 56-bit band self-join must stay a hash join (the hot-band
+    cap's group-pair decomposition never degrades to nested-loop/
+    cartesian) and its exchanges must carry fingerprints, never the
+    token-hash arrays or text — the slim-shuffle contract that makes
+    the 5M-doc probe run in SCALE.md possible."""
+    plan = _plan(spark, "d18_simhash56_banded_pairs")
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "hashes" not in line, line
+            assert "text" not in line.split("hashpartitioning")[1][:200], line
