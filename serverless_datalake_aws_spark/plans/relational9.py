@@ -431,6 +431,18 @@ def run_with_scoped_confs(
         except Exception:
             saved[k] = None
     key = tuple(sorted(scoped.items()))
+    # Release the PREVIOUS run's cache BEFORE persisting the new one:
+    # CacheManager matches canonicalized plans, so a still-cached prior
+    # result would alias this run's identical plan and the "execution"
+    # would be an InMemoryTableScan — contaminating both the timing and
+    # the executed-plan evidence (skew=true / bloom_filter_agg) the
+    # callers of this function exist to produce.
+    prev = _SCOPED_LAST.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # session restarted since — nothing to release
     try:
         for k, v in scoped.items():
             spark.conf.set(k, v)
@@ -440,12 +452,6 @@ def run_with_scoped_confs(
         except Exception:
             df.unpersist()
             raise
-        prev = _SCOPED_LAST.pop(key, None)
-        if prev is not None:
-            try:
-                prev.unpersist()
-            except Exception:
-                pass  # session restarted since — nothing to release
         _SCOPED_LAST[key] = df
         return df
     finally:

@@ -361,20 +361,30 @@ def e11_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                date_trunc('hour', ts) AS win,
                CAST(extract(hour FROM ts) AS BIGINT) AS hod,
-               round(sum(value), 4) AS v
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+                   AS v
         FROM events
         GROUP BY 1, 2, 3
     ),
     baseline AS (
         SELECT event_type, hod,
-               avg(v) AS mu,
-               stddev_samp(v) AS sigma
+               count(*) AS n,
+               CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS s,
+               CAST(sum(CAST(v AS DECIMAL(18,4)) * CAST(v AS DECIMAL(18,4)))
+                    AS DOUBLE) AS sq
         FROM hourly GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, hod, s / n AS mu,
+               CASE WHEN n > 1
+                    THEN sqrt(greatest(sq - s * s / n, 0) / (n - 1))
+                    ELSE 0.0 END AS sigma
+        FROM baseline
     )
     SELECT h.event_type, h.win, h.v,
            round(b.mu, 4) AS hod_baseline,
            round((h.v - b.mu) / b.sigma, 4) AS deviation_z
-    FROM hourly h JOIN baseline b
+    FROM hourly h JOIN stats b
       ON h.event_type = b.event_type AND h.hod = b.hod
     WHERE b.sigma > 0 AND abs((h.v - b.mu) / b.sigma) > 2
     """,
@@ -385,23 +395,52 @@ def e10_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     reporting buckets more than 2 sigma off their diurnal norm — the
     seasonality-aware twin of e09's global MAD outliers.
 
+    Determinism discipline (round-6 fix for a rounding-boundary flake):
+    every aggregate that feeds a rounded output rides an EXACT decimal
+    image — the hourly sum over DECIMAL(18,6) values, and the baseline
+    over DECIMAL(18,4) sums + sums-of-squares — so mu and sigma are a
+    fixed arithmetic expression over order-independent exact sums
+    (sigma via the sum-of-squares identity), never a float avg/stddev
+    whose partial-aggregation order can flip round(·, 4) at a ...x5
+    boundary (observed: 82.4263 vs 82.4262 on the same data). Same
+    batch-order-independence rule as the st10 maintained rollup.
+
     Scale: the hourly rollup is the only corpus-sized aggregation
     (partial+final, one shuffle); the 24×|types| baseline is a
-    broadcast join back. The z-threshold compares on values rounded
-    identically in both engines (v at 4 dp before the stats), keeping
-    the sigma compare deterministic."""
+    broadcast join back."""
     ev = table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type",
         F.date_trunc("hour", "ts").alias("win"),
         F.hour("ts").cast("long").alias("hod"),
-    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("v")
+    )
+    vd = F.col("v").cast("decimal(18,4)")
     baseline = hourly.groupBy("event_type", "hod").agg(
-        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sigma")
+        F.count("*").alias("n"),
+        F.sum(vd).cast("double").alias("s"),
+        F.sum(vd * vd).cast("double").alias("sq"),
+    )
+    mu = F.col("s") / F.col("n")
+    sigma = F.when(
+        F.col("n") > 1,
+        F.sqrt(
+            F.greatest(
+                F.col("sq") - F.col("s") * F.col("s") / F.col("n"),
+                F.lit(0.0),
+            )
+            / (F.col("n") - 1)
+        ),
+    ).otherwise(F.lit(0.0))
+    stats = baseline.select(
+        "event_type", "hod", mu.alias("mu"), sigma.alias("sigma")
     )
     z = (F.col("v") - F.col("mu")) / F.col("sigma")
     return (
-        hourly.join(F.broadcast(baseline), ["event_type", "hod"])
+        hourly.join(F.broadcast(stats), ["event_type", "hod"])
         .filter((F.col("sigma") > 0) & (F.abs(z) > 2))
         .select(
             "event_type",
