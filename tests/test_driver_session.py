@@ -48,6 +48,11 @@ for name in (
     "st10_stream_incremental_rollup",
     # late round-5: quantile-sketch merge splits batches on dayofmonth
     "e21_incremental_quantiles",
+    # round-6: hour-of-day baseline (date_trunc + hour() under a
+    # non-UTC session shift both the bucket and the baseline key) and
+    # the streaming dedup-index drain
+    "e10_seasonal_baseline",
+    "st13_stream_dedup_index",
 ):
     probs = check_query(spark, name, "/root/testdata/sf0.001")
     if probs:
