@@ -774,43 +774,48 @@ _T34_MERGES = 8  # learned merge rules
 _T34_TOP_WORDS = 500  # word-histogram slice the trainer rides
 
 
-def _t34_oracle() -> str:
-    """Generate the UNROLLED BPE oracle: one (best_k, seq_k) CTE pair
+def _t34_cte_body() -> str:
+    """The UNROLLED BPE-induction CTE chain: one (best_k, seq_k) pair
     per merge step — the data-dependent 'best pair' becomes a scalar
     subquery feeding a boundary-padded replace, exactly the arithmetic
-    the Spark driver loop runs."""
+    the Spark driver loop runs. Shared by t34 (returns the ruleset)
+    and t36 (applies it to the corpus)."""
     steps = []
     for k in range(1, _T34_MERGES + 1):
         prev = f"seq{k - 1}"
         steps.append(f"""
-    pairs{k} AS (
+    pairs{k} AS MATERIALIZED (
         SELECT cnt, t[i] || ' ' || t[i + 1] AS pair
         FROM (SELECT cnt, string_split(trim(seq), ' ') AS t,
                      unnest(generate_series(1, len(string_split(trim(seq), ' ')) - 1)) AS i
               FROM {prev})),
-    best{k} AS (
+    best{k} AS MATERIALIZED (
         SELECT pair, replace(pair, ' ', '') AS merged,
                CAST(sum(cnt) AS BIGINT) AS pair_count
         FROM pairs{k} GROUP BY pair
         ORDER BY pair_count DESC, pair LIMIT 1),
-    seq{k} AS (
+    seq{k} AS MATERIALIZED (
         SELECT w, cnt,
                replace(seq, ' ' || (SELECT pair FROM best{k}) || ' ',
                             ' ' || (SELECT merged FROM best{k}) || ' ') AS seq
         FROM {prev})""")
+    return f"""w0 AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w ORDER BY cnt DESC, w LIMIT {_T34_TOP_WORDS}),
+    seq0 AS MATERIALIZED (
+        SELECT w, cnt,
+               ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS seq
+        FROM w0),{",".join(steps)}"""
+
+
+def _t34_oracle() -> str:
     finals = "\n    UNION ALL ".join(
         f"SELECT {k} AS step, pair, merged, pair_count FROM best{k}"
         for k in range(1, _T34_MERGES + 1)
     )
     return f"""
-    WITH w0 AS (
-        SELECT w, CAST(count(*) AS BIGINT) AS cnt
-        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        GROUP BY w ORDER BY cnt DESC, w LIMIT {_T34_TOP_WORDS}),
-    seq0 AS (
-        SELECT w, cnt,
-               ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS seq
-        FROM w0),{",".join(steps)}
+    WITH {_t34_cte_body()}
     SELECT * FROM ({finals}) ORDER BY step
     """
 
@@ -1049,6 +1054,92 @@ def t35_boilerplate_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.size(F.split(clean, " ")))
             .cast("long")
             .alias("n_tokens_clean"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _t36_oracle() -> str:
+    """t36 = the t34 induction CTEs + corpus-wide APPLICATION: every
+    word of every document is char-split with pad boundaries, the 8
+    learned merges replayed in order (same scalar subqueries, same
+    boundary-padded replace), and the per-doc token digest emitted."""
+    seq = "' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' '"
+    for k in range(1, _T34_MERGES + 1):
+        seq = (
+            f"replace({seq}, ' ' || (SELECT pair FROM best{k}) || ' ',"
+            f" ' ' || (SELECT merged FROM best{k}) || ' ')"
+        )
+    return f"""
+    WITH {_t34_cte_body()},
+    enc AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+    encw AS (
+        SELECT doc_id, w, {seq} AS seq FROM enc)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(string_split(trim(seq), ' '))) AS BIGINT)
+               AS n_tokens_bpe,
+           CAST(sum(len(w)) AS BIGINT) AS n_chars,
+           round(CAST(sum(len(w)) AS DOUBLE)
+                 / sum(len(string_split(trim(seq), ' '))), 4)
+               AS chars_per_token
+    FROM encw GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("t36_bpe_encode", oracle=_t36_oracle())
+def t36_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — the other half of the tokenizer loop t34 trains:
+    apply the learned merge ruleset to every word of the corpus and
+    report the per-document token accounting (word count, BPE token
+    count, chars, chars-per-token). Together t34 -> t36 is the full
+    tokenizer lifecycle of a training-data pipeline: induce merges on
+    the frequent-word histogram, then encode the whole corpus with
+    them (the sequence-length numbers that drive t31's packing and
+    every context-window budget).
+
+    The ruleset is obtained by RUNNING t34 (deterministic induction)
+    and collecting its 8 rows — the trained-artifact-rides-the-driver
+    convention shared with s05's centroids and t32's LM; application
+    is then 8 chained boundary-padded literal replaces per word, pure
+    row-local expression (no UDF, no shuffle beyond the word explode +
+    per-doc reassembly agg). replace() is left-to-right non-overlapping
+    in BOTH engines, so greedy application order is bit-identical; the
+    oracle replays induction AND application in one unrolled SQL query.
+
+    At 100 TB: encoding is embarrassingly parallel (the ruleset is a
+    broadcast-sized literal; production swaps 8 merges for 32k and the
+    chained replace for the linear-scan UDTF seam t33 demonstrates —
+    same plan shape, same determinism argument)."""
+    docs = table(spark, sf_dir, "documents")
+    rules = [
+        (r["pair"], r["merged"])
+        for r in sorted(
+            t34_bpe_merges(spark, sf_dir).collect(), key=lambda r: r["step"]
+        )
+    ]
+    seq = F.concat(
+        F.lit(" "),
+        F.array_join(F.regexp_extract_all("w", F.lit("."), 0), " "),
+        F.lit(" "),
+    )
+    for pair, merged in rules:
+        seq = F.replace(seq, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    enc = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).select("doc_id", "w", seq.alias("seq"))
+    n_tok = F.size(F.split(F.trim("seq"), " "))
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(n_tok).cast("long").alias("n_tokens_bpe"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.round(
+                F.sum(F.length("w")).cast("double") / F.sum(n_tok), 4
+            ).alias("chars_per_token"),
         )
         .orderBy("doc_id")
     )
