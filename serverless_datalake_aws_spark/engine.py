@@ -40,6 +40,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from serverless_datalake_aws_spark.streaming.pipeline import drain
+
 META_SCHEMA = T.StructType(
     [
         T.StructField("id", T.StringType(), False),
@@ -524,11 +526,28 @@ class DataLakeEngine:
         result is rewritten wholesale via tmp+swap; the scale win is
         that the INPUT per batch is the change set, never the lake."""
         out = f"{self.zone('curated')}/daily_summary"
+        # crash recovery: the swap is rmtree(out) → move(tmp, out). A
+        # death between the two leaves out missing and the COMPLETE
+        # merged copy (its _absorbed_epoch marker is written last) in
+        # tmp — finish the move; without this, the next batch's read
+        # of `out` looks like "first batch" and resets all history.
+        _tmp = Path(out + ".curate.tmp")
+        if not Path(out).exists() and (_tmp / "_absorbed_epoch").exists():
+            shutil.move(str(_tmp), out)
         stream = self.spark.readStream.schema(META_SCHEMA).parquet(
             self.changelog_path
         )
 
         def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+            # foreachBatch side effects are at-least-once: a batch
+            # retry re-invokes _merge with the same epoch_id. The
+            # absorbed high-water mark rides INSIDE the summary dir
+            # (underscore-prefixed, so Spark readers ignore it) and is
+            # swapped atomically with the data, so replaying an
+            # absorbed epoch is a no-op instead of a double count.
+            marker = Path(out) / "_absorbed_epoch"
+            if marker.exists() and epoch_id <= int(marker.read_text()):
+                return
             delta = batch_df.groupBy(
                 "data_type",
                 F.date_format("timestamp", "yyyy-MM-dd").alias("ingest_date"),
@@ -564,12 +583,17 @@ class DataLakeEngine:
                 "data_type", "ingest_date", "n_records", "total_bytes"
             )
             if self.is_remote:
+                # no atomic dir swap on object stores: exactly-once
+                # there routes through sources/versioning.py's
+                # versioned publish; the plain dynamic overwrite is
+                # at-least-once under batch retry (documented)
                 merged.write.mode("overwrite").partitionBy("data_type").option(
                     "partitionOverwriteMode", "dynamic"
                 ).parquet(out)
                 return
             tmp = out + ".curate.tmp"
             merged.write.mode("overwrite").partitionBy("data_type").parquet(tmp)
+            (Path(tmp) / "_absorbed_epoch").write_text(str(epoch_id))
             if Path(out).exists():
                 shutil.rmtree(out)
             shutil.move(tmp, out)
@@ -580,7 +604,7 @@ class DataLakeEngine:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_s)
+        drain(q, timeout_s)
         return self.spark.read.parquet(out)
 
     def process_stream(self, transform=None) -> None:
@@ -601,7 +625,7 @@ class DataLakeEngine:
             fmt="parquet",
             transform=transform,
         )
-        q.awaitTermination(600)
+        drain(q, 600)
 
     def lake_report(self) -> DataFrame:
         """Lake-wide health summary — the ops view the reference's
@@ -1067,6 +1091,25 @@ class DataLakeEngine:
 
         def _handle(batch_df: DataFrame, epoch_id: int) -> None:
             ids = batch_df.select("id").distinct()
+            # content-keyed idempotence: foreachBatch side effects are
+            # at-least-once, and a retried batch (or a crash between
+            # the index append and the indexed-stamp) must not append
+            # the same ids' token rows twice — drop every id already
+            # present in the index before appending. Column-pruned
+            # scan of the index's id column only; _mark_indexed is
+            # idempotent by construction (stamping a stamped id).
+            from pyspark.errors import AnalysisException
+
+            try:
+                already = self.spark.read.parquet(
+                    self.search_index_path
+                ).select("id").distinct()
+                ids = ids.join(already, "id", "left_anti")
+            except AnalysisException as e:
+                if "PATH_NOT_FOUND" not in str(e) and (
+                    "Path does not exist" not in str(e)
+                ):
+                    raise
             new_recs = self.records("raw").join(F.broadcast(ids), "id", "left_semi")
             self._tokenize(new_recs).write.mode("append").partitionBy(
                 "data_type"
@@ -1079,7 +1122,7 @@ class DataLakeEngine:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_s)
+        drain(q, timeout_s)
 
     def search_index(self) -> DataFrame:
         return self.spark.read.parquet(self.search_index_path)

@@ -114,35 +114,126 @@ def finalize_rollup(
     return out
 
 
-def _read_partials(spark, path: str) -> DataFrame | None:
-    """Stored partial state, or None ONLY when never published. Any
-    other read failure (corrupt footer, permission, transient IO)
-    propagates — treating it as "first batch" would overwrite all
-    accumulated history with one delta's partials."""
-    from pyspark.errors import AnalysisException
+class _EpochStateStore:
+    """Versioned state directory with an atomic pointer — the storage
+    contract every Maintained* sink shares.
 
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException as e:
-        msg = str(e)
-        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+    foreachBatch side effects are AT-LEAST-ONCE: Spark's checkpoint
+    makes batch *delivery* exactly-once, but a task/driver retry
+    re-invokes the sink function with the same epoch_id, so a sink
+    that blindly merges double-absorbs the batch (the round-6 driver
+    red row: same groups, same schema, wrong sums). Exactly-once must
+    therefore come from the sink being IDEMPOTENT PER EPOCH — the
+    same contract Delta Lake implements with txnAppId/txnVersion,
+    re-expressed here on plain parquet:
+
+      {path}/_LATEST               json {"state": <dirname>, "epoch": N}
+      {path}/state-<seq>-<uid>/    immutable parquet state snapshots
+
+    Publish writes a FRESH state dir, verifies it reads back, then
+    commits (state dir, absorbed-epoch high-water mark) together in
+    one atomic os.replace of the pointer. Crash before the replace:
+    the pointer still names the old state, so the retry re-merges
+    against the OLD snapshot — correct. Crash after: the retry sees
+    epoch <= high-water and returns without touching state — correct.
+    There is no interleaving that absorbs a batch twice. Stream epoch
+    ids are monotonic per query, so a high-water mark (not an id set)
+    suffices and stays O(1) for always-on streams.
+
+    Legacy layout (parquet files directly under `path`, no pointer)
+    is read as the current state with high-water -1; the first
+    publish migrates it. On object stores the os.replace becomes
+    sources/versioning.py's versioned publish (same shape: immutable
+    version dirs + atomic pointer)."""
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- pointer ----------------------------------------------------
+    def _pointer(self) -> dict | None:
+        import json
+        import os
+
+        p = os.path.join(self.path, "_LATEST")
+        if not os.path.exists(p):
             return None
-        raise
+        with open(p) as fh:
+            return json.load(fh)
+
+    def absorbed_epoch(self) -> int:
+        ptr = self._pointer()
+        return int(ptr["epoch"]) if ptr is not None else -1
+
+    def already_absorbed(self, epoch_id: int | None) -> bool:
+        return epoch_id is not None and epoch_id <= self.absorbed_epoch()
+
+    # -- read -------------------------------------------------------
+    def read(self) -> DataFrame | None:
+        """Committed state, or None ONLY when never published. Any
+        other read failure (corrupt footer, permission, transient IO)
+        propagates — treating it as "first batch" would overwrite all
+        accumulated history with one delta's partials."""
+        import os
+
+        from pyspark.errors import AnalysisException
+
+        ptr = self._pointer()
+        target = (
+            os.path.join(self.path, ptr["state"]) if ptr is not None else self.path
+        )
+        try:
+            return self.spark.read.parquet(target)
+        except AnalysisException as e:
+            msg = str(e)
+            if ptr is None and (
+                "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+            ):
+                return None
+            raise
+
+    # -- publish ----------------------------------------------------
+    def publish(self, df: DataFrame, epoch_id: int | None) -> None:
+        import json
+        import os
+        import shutil
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        ptr = self._pointer()
+        seq = 0 if ptr is None else int(ptr["state"].split("-")[1]) + 1
+        new_high = max(
+            self.absorbed_epoch(), epoch_id if epoch_id is not None else -1
+        )
+        state_name = f"state-{seq:06d}-{uuid.uuid4().hex[:8]}"
+        state_dir = os.path.join(self.path, state_name)
+        df.write.mode("overwrite").parquet(state_dir)
+        self.spark.read.parquet(state_dir).count()  # verified read-back
+        tmp = os.path.join(self.path, f"._LATEST.{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            json.dump({"state": state_name, "epoch": new_high}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self.path, "_LATEST"))
+        # GC: anything that is neither the live state nor the pointer
+        # is an orphan (superseded snapshot, crashed publish, legacy
+        # flat layout) — best-effort, correctness never depends on it
+        for entry in os.listdir(self.path):
+            if entry in (state_name, "_LATEST"):
+                continue
+            full = os.path.join(self.path, entry)
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                try:
+                    os.remove(full)
+                except OSError:
+                    pass
 
 
-def _publish_partials(spark, df: DataFrame, path: str) -> None:
-    """tmp+swap publish with verified read-back: a crash (or partial
-    write) mid-publish leaves the _tmp copy as the recovery point
-    instead of a corrupt, unrecoverable state table. Local-FS cleanup;
-    object stores route through sources/versioning.py's atomic
-    publish."""
-    tmp = path + "._tmp"
-    df.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
-    spark.read.parquet(path).count()
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+def _read_partials(spark, path: str) -> DataFrame | None:
+    """Stored partial state via the epoch store (legacy-layout aware)."""
+    return _EpochStateStore(spark, path).read()
 
 
 class MaintainedRollup:
@@ -150,9 +241,12 @@ class MaintainedRollup:
 
     `apply(delta)` reads the stored partials (|groups| rows), merges
     the delta's partial state, and rewrites the rollup — history is
-    never re-scanned. Parquet swap matches the lake's other
-    maintenance ops; on object stores the swap becomes a versioned
-    publish (sources/versioning.py)."""
+    never re-scanned. State lives in an _EpochStateStore, so when the
+    caller is a foreachBatch sink and passes the stream's `epoch_id`,
+    absorption is IDEMPOTENT PER EPOCH: a Spark batch retry (foreach-
+    Batch side effects are at-least-once) re-invokes apply with the
+    same id and is skipped instead of double-merged. Callers outside
+    a stream omit epoch_id and get plain merge semantics."""
 
     def __init__(
         self,
@@ -169,11 +263,14 @@ class MaintainedRollup:
         self.measures = measures
         self.distinct_cols = distinct_cols or []
         self.with_moments = with_moments
+        self._store = _EpochStateStore(spark, path)
 
     def _read_current(self) -> DataFrame | None:
-        return _read_partials(self.spark, self.path)
+        return self._store.read()
 
-    def apply(self, delta: DataFrame) -> None:
+    def apply(self, delta: DataFrame, epoch_id: int | None = None) -> None:
+        if self._store.already_absorbed(epoch_id):
+            return  # batch retry — the merge already committed
         batch = partial_rollup(
             delta,
             self.keys,
@@ -192,11 +289,14 @@ class MaintainedRollup:
                 self.distinct_cols,
                 self.with_moments,
             )
-        _publish_partials(self.spark, merged, self.path)
+        self._store.publish(merged, epoch_id)
 
     def read(self) -> DataFrame:
+        state = self._store.read()
+        if state is None:
+            raise FileNotFoundError(f"no rollup state at {self.path}")
         return finalize_rollup(
-            self.spark.read.parquet(self.path),
+            state,
             self.measures,
             self.distinct_cols,
             self.with_moments,
@@ -291,8 +391,17 @@ class MaintainedJoin:
 
     Scale: the two delta-vs-snapshot joins are |Δ|-driven — with the
     snapshots hive-partitioned/bucketed on the join key the old-side
-    scan prunes to matching partitions; ΔL ⋈ ΔR is delta-sized. The
-    view append is blind (no read-modify-write)."""
+    scan prunes to matching partitions; ΔL ⋈ ΔR is delta-sized.
+
+    Idempotence: every absorb lands in hive partitions epoch=<n>
+    under view/left/right (mode=overwrite on exactly that epoch dir),
+    and a single atomic pointer commits the epoch high-water mark
+    AFTER all three writes. Readers filter epoch <= committed, so a
+    crash anywhere mid-absorb leaves the uncommitted epoch invisible
+    and a foreachBatch retry simply overwrites it — exactly-once
+    semantics from an at-least-once sink callback, with no blind
+    appends (the pre-r7 design appended on every invocation, so one
+    Spark batch retry duplicated view rows)."""
 
     def __init__(self, spark, path: str, on: str, how: str = "inner"):
         if how != "inner":
@@ -301,22 +410,52 @@ class MaintainedJoin:
         self.path = path
         self.on = on
 
-    def _read(self, sub: str) -> DataFrame | None:
+    def _committed(self) -> int:
+        import json
+        import os
+
+        p = os.path.join(self.path, "_LATEST")
+        if not os.path.exists(p):
+            return -1
+        with open(p) as fh:
+            return int(json.load(fh)["epoch"])
+
+    def _commit(self, epoch: int) -> None:
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"._LATEST.{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            json.dump({"epoch": epoch}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self.path, "_LATEST"))
+
+    def _read(self, sub: str, upto: int) -> DataFrame | None:
         from pyspark.errors import AnalysisException
 
         try:
-            return self.spark.read.parquet(f"{self.path}/{sub}")
+            df = self.spark.read.parquet(f"{self.path}/{sub}")
         except AnalysisException as e:
             if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
                 return None
             raise
+        return df.filter(F.col("epoch") <= F.lit(upto)).drop("epoch")
 
     def apply(
         self,
         delta_left: DataFrame | None = None,
         delta_right: DataFrame | None = None,
+        epoch_id: int | None = None,
     ) -> None:
-        left_old, right_old = self._read("left"), self._read("right")
+        high = self._committed()
+        if epoch_id is not None and epoch_id <= high:
+            return  # batch retry — this epoch already committed
+        eid = epoch_id if epoch_id is not None else high + 1
+        left_old = self._read("left", upto=high)
+        right_old = self._read("right", upto=high)
         parts = []
         if delta_left is not None and right_old is not None:
             parts.append(delta_left.join(right_old, self.on))
@@ -326,14 +465,19 @@ class MaintainedJoin:
             parts.append(delta_left.join(delta_right, self.on))
         if parts:
             dv = reduce(lambda a, b: a.unionByName(b), parts)
-            dv.write.mode("append").parquet(f"{self.path}/view")
+            dv.write.mode("overwrite").parquet(f"{self.path}/view/epoch={eid}")
         if delta_left is not None:
-            delta_left.write.mode("append").parquet(f"{self.path}/left")
+            delta_left.write.mode("overwrite").parquet(
+                f"{self.path}/left/epoch={eid}"
+            )
         if delta_right is not None:
-            delta_right.write.mode("append").parquet(f"{self.path}/right")
+            delta_right.write.mode("overwrite").parquet(
+                f"{self.path}/right/epoch={eid}"
+            )
+        self._commit(eid)
 
     def read(self) -> DataFrame:
-        view = self._read("view")
+        view = self._read("view", upto=self._committed())
         if view is None:
             raise FileNotFoundError(f"no view materialized at {self.path}")
         return view
@@ -449,8 +593,8 @@ def qh_quantiles(
 class MaintainedQuantiles:
     """A persisted long-form quantile sketch absorbing delta batches —
     the qh_* trio behind the MaintainedRollup maintenance contract
-    (explicit first-batch detection, tmp+swap publish with the _tmp
-    copy as crash-recovery point). Because qh_merge is exact bucket
+    (explicit first-batch detection, _EpochStateStore versioned
+    publish, per-epoch idempotent absorb). Because qh_merge is exact bucket
     addition, the maintained sketch equals the from-scratch sketch
     bit-for-bit no matter how deltas were batched or ordered — counts
     are integers, so there is no DECIMAL image to carry (unlike
@@ -469,15 +613,21 @@ class MaintainedQuantiles:
         self.value_col = value_col
         self.keys = keys or []
         self.gamma = gamma
+        self._store = _EpochStateStore(spark, path)
 
-    def apply(self, delta: DataFrame) -> None:
+    def apply(self, delta: DataFrame, epoch_id: int | None = None) -> None:
+        if self._store.already_absorbed(epoch_id):
+            return  # batch retry — the merge already committed
         batch = qh_partial(delta, self.value_col, self.keys, self.gamma)
-        current = _read_partials(self.spark, self.path)
+        current = self._store.read()
         merged = batch if current is None else qh_merge([current, batch], self.keys)
-        _publish_partials(self.spark, merged, self.path)
+        self._store.publish(merged, epoch_id)
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        state = self._store.read()
+        if state is None:
+            raise FileNotFoundError(f"no sketch state at {self.path}")
+        return state
 
     def quantiles(self, qs: list[float]) -> DataFrame:
         return qh_quantiles(self.read(), qs, self.keys, self.gamma)

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from serverless_datalake_aws_spark.plans import query
+from serverless_datalake_aws_spark.streaming.pipeline import drain as _drain
 
 try:  # stateful-UDF closures must survive worker-side import (see
     # functions/semistructured.py for the cwd≠repo-root trap)
@@ -91,7 +92,7 @@ def st01_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     return spark.table(name)
 
 
@@ -123,7 +124,7 @@ def st03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     return spark.table(name)
 
 
@@ -177,7 +178,7 @@ def st04_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     return spark.table(name)
 
 
@@ -241,7 +242,7 @@ def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     return spark.table(name)
 
 
@@ -294,7 +295,7 @@ def st02_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     return spark.table(name)
 
 
@@ -342,7 +343,7 @@ def st06_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     return spark.table(name)
 
 
@@ -382,7 +383,7 @@ def st07_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     return spark.table(name)
 
 
@@ -432,7 +433,7 @@ def st08_stream_left_enrich_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     return spark.table(name)
 
 
@@ -470,7 +471,7 @@ def st09_stream_complete_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     return spark.table(name)
 
 
@@ -479,7 +480,10 @@ def st09_stream_complete_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            count(*) AS n_rows,
-           sum(CAST(value AS DECIMAL(18,6))) AS sum_value,
+           -- explicit cast: the maintained rollup carries its sums in
+           -- DECIMAL(18,6); the oracle documents the same image rather
+           -- than leaning on the harness normalizer's 6dp rounding
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value,
            round(min(value), 6) AS min_value,
            round(max(value), 6) AS max_value
     FROM events
@@ -533,14 +537,17 @@ def st10_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFram
             .load(src)
         )
         q = (
+            # the epoch id makes absorption idempotent: foreachBatch
+            # side effects are at-least-once, and a batch retry must
+            # not double-merge (the round-6 driver hash mismatch)
             stream.writeStream.foreachBatch(
-                lambda batch, _eid: rollup.apply(batch)
+                lambda batch, eid: rollup.apply(batch, epoch_id=eid)
             )
             .option("checkpointLocation", f"{work}/ckpt")
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q, 300)
         out = (
             rollup.read()
             .select(
@@ -636,7 +643,7 @@ def st11_stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ]
 
-        def _monitor(batch: DataFrame, _eid: int) -> None:
+        def _monitor(batch: DataFrame, eid: int) -> None:
             if batch.isEmpty():
                 return
             shard = batch.agg(F.min("shard")).collect()[0][0]
@@ -644,8 +651,11 @@ def st11_stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
                 quality_report(batch, checks)
                 .withColumn("shard", F.lit(shard).cast("long"))
                 .select("shard", "check_name", "value", "passed")
-                .write.mode("append")
-                .parquet(metrics_path)
+                # per-epoch dir + overwrite makes the sink idempotent:
+                # a batch retry rewrites ITS verdicts instead of
+                # appending them twice (foreachBatch is at-least-once)
+                .write.mode("overwrite")
+                .parquet(f"{metrics_path}/epoch={eid}")
             )
 
         q = (
@@ -654,9 +664,10 @@ def st11_stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q, 300)
         out = (
             spark.read.parquet(metrics_path)
+            .select("shard", "check_name", "value", "passed")
             .orderBy("shard", "check_name")
         )
         rows = out.collect()
@@ -736,12 +747,14 @@ def st12_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .load(src)
         )
         q = (
-            stream.writeStream.foreachBatch(lambda batch, _eid: mq.apply(batch))
+            stream.writeStream.foreachBatch(
+                lambda batch, eid: mq.apply(batch, epoch_id=eid)
+            )
             .option("checkpointLocation", f"{work}/ckpt")
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q, 300)
         out = (
             mq.quantiles([0.5, 0.95])
             .select("event_type", "q", F.round("est", 4).alias("est"))
@@ -785,8 +798,11 @@ def st13_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     index is bit-identical however the stream was sharded, and the
     from-scratch SQL GROUP BY is the oracle (equality IS the
     maintenance-correctness proof). The input is split into 4 shards
-    drained one per trigger to force multi-batch merging; exactly-once
-    comes from the checkpoint, like every stream here.
+    drained one per trigger to force multi-batch merging. Exactly-once
+    does NOT come from the checkpoint — checkpointing makes batch
+    *delivery* exactly-once while foreachBatch side effects stay
+    at-least-once — it comes from the sink absorbing idempotently per
+    epoch_id (operators/incremental._EpochStateStore).
 
     Scale: per batch one map-side-combined pass over the BATCH plus a
     |distinct fingerprints|-row merge; fingerprints are 32-char
@@ -821,13 +837,13 @@ def st13_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q = (
             stream.writeStream.foreachBatch(
-                lambda batch, _eid: index.apply(batch)
+                lambda batch, eid: index.apply(batch, epoch_id=eid)
             )
             .option("checkpointLocation", f"{work}/ckpt")
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q, 300)
         out = (
             index.read()
             .select(

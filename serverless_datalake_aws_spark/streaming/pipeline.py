@@ -38,9 +38,14 @@ def stream_promote(
     """File-arrival stream (S10): watch raw/, promote each new file's
     rows to processed/ (K5) with a processed_timestamp stamp (T1).
 
-    foreachBatch gives exactly-once appends to the processed zone; the
-    checkpoint directory is the replacement for the reference's
-    'which files fired the Lambda' implicit state.
+    The sink is Spark's NATIVE parquet file sink, not foreachBatch:
+    the file sink records each batch's output files in the sink-side
+    `_spark_metadata` commit log, so a retried batch re-commits the
+    same batch id and readers see each row exactly once. (A
+    foreachBatch blind append — the pre-r7 design — is only
+    at-least-once: the sink callback re-runs on retry and duplicates
+    the batch.) The checkpoint directory remains the replacement for
+    the reference's 'which files fired the Lambda' implicit state.
 
     `trigger` defaults to `{"availableNow": True}` — drain-then-stop,
     the deterministic shape every oracle-checked twin uses. Pass
@@ -63,15 +68,31 @@ def stream_promote(
     if transform is not None:
         stream = transform(stream)
 
-    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.write.mode("append").parquet(processed_path)
-
     return (
-        stream.writeStream.foreachBatch(_sink)
+        stream.writeStream.format("parquet")
+        .option("path", processed_path)
         .option("checkpointLocation", checkpoint)
         .trigger(**trigger)
         .start()
     )
+
+
+def drain(query: StreamingQuery, timeout_s: int = 300) -> None:
+    """Block until an availableNow drain COMPLETES, raising on timeout.
+
+    `q.awaitTermination(t)` returns False silently when the stream is
+    still running at the deadline — a caller that then reads the sink
+    sees a PARTIAL result with no error (one of the two paths behind
+    the round-6 a08_st10 hash mismatch). A drain that didn't finish
+    is a failure and must say so."""
+    if not query.awaitTermination(timeout_s):
+        try:
+            query.stop()
+        finally:
+            raise TimeoutError(
+                f"streaming drain did not complete within {timeout_s}s "
+                f"(query id {query.id}); sink state is partial"
+            )
 
 
 def stream_windowed_counts(
