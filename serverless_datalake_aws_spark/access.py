@@ -85,7 +85,20 @@ class AccessController:
         if self.is_remote:
             # local JSON file semantics don't exist on an object store;
             # keep grants session-scoped and document the S3 analogue
-            # (conditional-PUT of the policy doc) rather than fake it
+            # (conditional-PUT of the policy doc) rather than fake it.
+            # Warn LOUDLY: a caller who expects the persisted-policy
+            # contract would otherwise believe the grant applies to
+            # other engine instances/processes (it does not — reads
+            # stay fail-closed there).
+            import warnings
+
+            warnings.warn(
+                "object-store engine root: grants/revokes are "
+                "session-scoped (in-memory only) and do not persist "
+                "or propagate to other engine instances; reads in "
+                "other processes remain fail-closed",
+                stacklevel=3,
+            )
             self._mem = doc
             return
         self.path.parent.mkdir(parents=True, exist_ok=True)
@@ -201,22 +214,62 @@ class PrincipalSession:
         child session whose temp-view catalog contains nothing else and
         which refuses direct-file queries.
 
-        Defence in depth: `newSession()` isolates SESSION temp views,
-        but the external catalog and global_temp database live in
-        SharedState and stay resolvable — so after analysis the plan is
-        walked and any relation that resolved through a QUALIFIED name
-        (spark_catalog.db.table, global_temp.view) is rejected. The
-        principal's own secured views resolve as unqualified session
-        views and pass; there is no ungoverned path left: files are
-        blocked by runSQLOnFiles, catalog/global-temp by the plan walk,
-        and unknown names by resolution failure."""
+        Defence in depth, in execution order:
+        1. The statement is PARSED FIRST and anything that is not a
+           plain query — any Command or ParsedStatement node (CTAS,
+           INSERT/MERGE/DELETE/UPDATE, CREATE/DROP anything, SET,
+           CACHE, EXPLAIN, SHOW/DESCRIBE) — is rejected BEFORE
+           `s.sql()` runs. This matters because Spark executes command
+           nodes EAGERLY inside sql(): a post-hoc check fires only
+           after an ungranted CTAS has already written data to disk
+           (the round-6 ADVICE finding).
+        2. `newSession()` isolates SESSION temp views, but the external
+           catalog and global_temp database live in SharedState and
+           stay resolvable — so the analyzed (lazy, unexecuted) query
+           plan is walked and any relation that resolved through a
+           QUALIFIED name (spark_catalog.db.table, global_temp.view)
+           is rejected.
+        The principal's own secured views resolve as unqualified
+        session views and pass; files are blocked by runSQLOnFiles,
+        mutation/DDL by the parse gate, catalog/global-temp by the
+        plan walk, and unknown names by resolution failure."""
         s = self.engine.spark.newSession()
         s.conf.set("spark.sql.runSQLOnFiles", "false")
+        self._assert_plain_query(s, sql_query)
         for ds in self._grants():
             self._secured(ds, spark=s).createOrReplaceTempView(ds)
         df = s.sql(sql_query)
         self._assert_session_views_only(df)
         return df
+
+    def _assert_plain_query(self, s, sql_query: str) -> None:
+        """Parse-time gate: reject any statement whose UNRESOLVED plan
+        is a Command or ParsedStatement — the two Catalyst roots every
+        DDL/DML/utility statement parses to (probed exhaustively on
+        pyspark 4.1: CTAS/DROP/CREATE VIEW/CACHE AS/SET/EXPLAIN/SHOW/
+        DESCRIBE/MERGE/DELETE/UPDATE are Commands; INSERT is a
+        ParsedStatement; multi-statement strings fail the parser).
+        Runs BEFORE s.sql(), which executes commands eagerly."""
+        parser = s._jsparkSession.sessionState().sqlParser()
+        plan = parser.parsePlan(sql_query)
+        jvm = self.engine.spark.sparkContext._jvm
+        for root in (
+            "org.apache.spark.sql.catalyst.plans.logical.Command",
+            "org.apache.spark.sql.catalyst.plans.logical.ParsedStatement",
+        ):
+            if jvm.java.lang.Class.forName(root).isInstance(plan):
+                raise PermissionError(
+                    f"principal {self.principal!r} may only run plain "
+                    f"queries: statement parses to "
+                    f"{plan.getClass().getSimpleName()} (command/DDL/DML)"
+                )
+        # SQL-scripting compound bodies could smuggle commands past the
+        # single-statement check
+        if "CompoundBody" in plan.getClass().getSimpleName():
+            raise PermissionError(
+                f"principal {self.principal!r} may only run a single "
+                "plain query statement"
+            )
 
     def _assert_session_views_only(self, df: DataFrame) -> None:
         """Reject any relation in the ANALYZED plan that carries a

@@ -1003,15 +1003,12 @@ def d18_simhash56_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus refine must reproduce it exactly."""
     docs = table(spark, sf_dir, "documents")
     n_part = spark.sparkContext.defaultParallelism
-    hashed = (
-        docs.repartition(n_part, "doc_id")
-        .select(
-            "doc_id",
-            F.transform(TX.distinct_tokens("text"), TX.token_hash).alias(
-                "hashes"
-            ),
-        )
-        .cache()
+    # no cache on `hashed`: it feeds exactly one consumer (s, itself
+    # cached+counted) — pinning the corpus-sized token-hash arrays in
+    # executor memory bought nothing (ADVICE r6)
+    hashed = docs.repartition(n_part, "doc_id").select(
+        "doc_id",
+        F.transform(TX.distinct_tokens("text"), TX.token_hash).alias("hashes"),
     )
     s = hashed.select(
         "doc_id", _simhash_col_from("hashes", bits=_D18_BITS).alias("simhash")

@@ -140,21 +140,46 @@ class FileLock:
                 time.sleep(0.05)
 
     def release(self) -> None:
+        # Atomic-for-one-contender release (ADVICE r6): rename the lock
+        # to a unique name FIRST — exactly one party can move the path,
+        # so the read-token/delete pair below cannot interleave with a
+        # steal the way a check-then-act on the live path could (a
+        # steal landing between token read and unlink used to delete
+        # the THIEF's lock). Verify the moved file carries OUR token:
+        # ours → delete it; a thief's (we stalled past ttl and were
+        # stolen) → put it back. The heartbeat keeps running until the
+        # rename so our mtime never goes stale mid-release. Residual
+        # window: restoring a thief's lock could overwrite a THIRD
+        # contender's — strictly narrower than the old unlink race and
+        # requires two stales in microseconds.
+        if self._held:
+            self._held = False
+            moved: Path | None = self.path.with_suffix(
+                f".rel.{uuid.uuid4().hex}"
+            )
+            try:
+                self.path.rename(moved)
+            except FileNotFoundError:
+                moved = None  # stolen after we went stale — nothing left
+            if moved is not None:
+                try:
+                    parts = moved.read_text().split()
+                    tok = parts[-1] if parts else None
+                except OSError:
+                    tok = None
+                if tok == self._token:
+                    moved.unlink(missing_ok=True)
+                else:
+                    try:  # we moved a thief's live lock — restore it
+                        moved.rename(self.path)
+                    except OSError:
+                        moved.unlink(missing_ok=True)
+            self._token = None
         if self._hb_stop is not None:
             self._hb_stop.set()
             if self._hb_thread is not None:
                 self._hb_thread.join(timeout=5.0)
             self._hb_stop = self._hb_thread = None
-        if self._held:
-            self._held = False
-            # Unlink only OUR lock: if it was stolen while we stalled,
-            # the file now carries the thief's token — leave it alone.
-            if self._owner_token() == self._token:
-                try:
-                    self.path.unlink()
-                except FileNotFoundError:
-                    pass  # stolen after we went stale — nothing to release
-            self._token = None
 
     def __enter__(self) -> "FileLock":
         self.acquire()

@@ -44,6 +44,7 @@ _CLAIM = ".claim"  # sibling claim file: survives SaveMode.Overwrite's
 # was round 6's first attempt — Spark's overwrite committer deletes an
 # existing target path, which would have handed the number to a racer)
 _CLAIM_TTL = 3600.0  # vacuum grace for uncommitted-but-claimed versions
+_CLAIM_HEARTBEAT = 30.0  # claim mtime refresh interval during the write
 
 
 def _versions(root: Path) -> list[int]:
@@ -73,6 +74,17 @@ def current_version(root: str | Path) -> int | None:
     if not ptr.exists():
         return None
     return int(ptr.read_text().strip())
+
+
+def _write_data(df: DataFrame, vdir: Path, fmt: str) -> None:
+    """The version-dir data write, factored out so crash/starvation
+    interleavings can be injected by tests."""
+    if fmt == "parquet":
+        df.write.mode("overwrite").parquet(str(vdir))
+    elif fmt in ("json", "ndjson"):
+        df.write.mode("overwrite").json(str(vdir))
+    else:
+        raise ValueError(f"unsupported versioned format: {fmt}")
 
 
 def write_versioned(
@@ -117,13 +129,43 @@ def write_versioned(
             break
         except FileExistsError:
             v += 1
-    if fmt == "parquet":
-        df.write.mode("overwrite").parquet(str(vdir))
-    elif fmt in ("json", "ndjson"):
-        df.write.mode("overwrite").json(str(vdir))
-    else:
-        raise ValueError(f"unsupported versioned format: {fmt}")
-    (vdir / _FLAG).write_text("ok\n")
+    # Claim HEARTBEAT (ADVICE r6): a data write that outlives
+    # claim_grace would otherwise let a concurrent vacuum() reclaim
+    # this claimed-but-uncommitted dir mid-write — the exact stall
+    # class the FileLock heartbeat closes for the commit lock.
+    # Refreshing the claim's mtime while the job runs means staleness
+    # really implies "the writer died".
+    import threading
+
+    stop = threading.Event()
+
+    def _beat() -> None:
+        while not stop.wait(_CLAIM_HEARTBEAT):
+            try:
+                os.utime(claim)
+            except OSError:
+                return  # claim reclaimed — the pre-commit check aborts
+
+    hb = threading.Thread(target=_beat, daemon=True)
+    hb.start()
+    try:
+        _write_data(df, vdir, fmt)
+        # Re-verify the claim immediately before committing: if a
+        # vacuum reclaimed it anyway (e.g. the whole process was
+        # SIGSTOPped past the grace, freezing the heartbeat too),
+        # committing would publish a dir a concurrent vacuum may have
+        # half-deleted — abort instead, leaving debris for vacuum.
+        if not claim.exists():
+            shutil.rmtree(vdir, ignore_errors=True)
+            raise RuntimeError(
+                f"version claim {claim.name} was reclaimed mid-write "
+                "(writer presumed dead past the vacuum grace); "
+                "aborting the commit"
+            )
+        (vdir / _FLAG).write_text("ok\n")
+    finally:
+        stop.set()
+        hb.join(timeout=5.0)
     claim.unlink(missing_ok=True)  # committed: the dir itself marks v taken
     with FileLock(root / f"{_POINTER}.lock", ttl=30.0):
         cur = current_version(root)

@@ -179,3 +179,63 @@ def test_concurrent_grants_no_lost_update(lake):
         t.join(timeout=60)
     for i in range(8):
         assert set(lake.acl.grants_for(f"u{i}")) == {"meta"}, i
+
+
+def test_commands_rejected_before_execution(lake, spark, tmp_path):
+    """ADVICE r6 (high): Spark executes command nodes EAGERLY inside
+    sql(), so a post-hoc plan check fires only after the side effect.
+    The parse gate must reject every command/DDL/DML shape BEFORE
+    execution — verified by the absence of the side effect, not just
+    the exception."""
+    lake.grant("mallory", "processed")
+    mallory = lake.as_principal("mallory")
+
+    # a secret sits in global_temp, the round-6 exfiltration vector
+    spark.createDataFrame([("classified",)], "secret string").createOrReplaceGlobalTempView(
+        "r7_secret"
+    )
+    target = tmp_path / "exfil"
+    spark.sql("DROP TABLE IF EXISTS r7_victim")
+    spark.sql(
+        f"CREATE TABLE r7_victim USING parquet LOCATION '{tmp_path / 'victim'}' "
+        "AS SELECT 1 AS x"
+    )
+    try:
+        for stmt in (
+            f"CREATE TABLE exfil USING parquet LOCATION '{target}' "
+            "AS SELECT * FROM global_temp.r7_secret",
+            "DROP TABLE r7_victim",
+            "CREATE OR REPLACE TEMP VIEW v AS SELECT 1",
+            "INSERT INTO r7_victim VALUES (2)",
+            "SET spark.sql.shuffle.partitions=1",
+            "CACHE TABLE c AS SELECT 1",
+            "MERGE INTO r7_victim USING r7_victim s ON 1=1 WHEN MATCHED THEN DELETE",
+            "DELETE FROM r7_victim WHERE 1=1",
+            "UPDATE r7_victim SET x = 0",
+            "SHOW TABLES",
+        ):
+            with pytest.raises(PermissionError, match="plain quer"):
+                mallory.sql(stmt)
+        # side effects did NOT happen
+        assert not target.exists()  # CTAS never wrote the secret
+        assert spark.sql("SELECT * FROM r7_victim").count() == 1  # no drop/insert/delete
+        # plain queries on the granted view still work
+        assert mallory.sql("SELECT count(*) AS n FROM processed").first()["n"] == 7
+    finally:
+        spark.sql("DROP TABLE IF EXISTS r7_victim")
+        spark.catalog.dropGlobalTempView("r7_secret")
+
+
+def test_remote_root_grants_warn_session_scoped(spark):
+    """ADVICE r6 (low): on object-store roots, grants are in-memory
+    only — callers must be told instead of silently believing the
+    persisted-policy contract."""
+    import warnings
+
+    from serverless_datalake_aws_spark.access import AccessController
+
+    acl = AccessController("s3a://bucket/lake")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        acl.grant("p", "raw")
+    assert any("session-scoped" in str(w.message) for w in caught)

@@ -186,3 +186,28 @@ def test_concurrent_dedup_and_process_zone_lock(spark, tmp_path):
     assert len(proc_ids) == processed  # no duplicated ids from a torn write
     if processed == 10:
         assert proc_ids == raw_ids
+
+
+def test_filelock_release_is_atomic_against_steal(tmp_path):
+    """ADVICE r6 (low): release() must not delete a thief's lock via
+    the read-token/unlink window. The rename-first release moves the
+    path atomically, so whichever of (release, steal) runs first, the
+    thief's lock survives a stalled owner's release."""
+    from serverless_datalake_aws_spark.sources.commitlog import FileLock
+
+    lock_path = tmp_path / "l.lock"
+    owner = FileLock(lock_path, ttl=0.2, heartbeat=0)  # frozen owner
+    owner.acquire()
+    import time
+
+    time.sleep(0.3)  # owner goes stale
+    thief = FileLock(lock_path, ttl=0.2)  # judges staleness by its ttl
+    thief.acquire(timeout=5.0)
+    # stalled owner wakes up and releases: must leave the thief's lock
+    owner.release()
+    assert lock_path.exists()
+    assert thief.still_held()
+    thief.release()
+    assert not lock_path.exists()
+    # no stray .rel debris left behind by the verified release
+    assert not list(tmp_path.glob("*.rel.*"))

@@ -186,3 +186,55 @@ def test_vacuum_spares_live_claims(spark, tmp_path):
     # claimless uncommitted dir (pre-OCC crash debris) reclaims at once
     (root / "_v=3").mkdir()
     assert vacuum(root, keep=2) == [3]
+
+
+def test_claim_heartbeat_refreshes_mtime_during_write(spark, tmp_path, monkeypatch):
+    """ADVICE r6 (medium): a live writer's claim must stay fresh while
+    the data write runs, so vacuum's claim-grace never reclaims a
+    slow-but-alive writer's uncommitted dir."""
+    import os
+    import time
+
+    from serverless_datalake_aws_spark.sources import versioning as V
+
+    root = tmp_path / "t"
+    monkeypatch.setattr(V, "_CLAIM_HEARTBEAT", 0.2)
+    seen = {}
+    real = V._write_data
+
+    def slow_write(df, vdir, fmt):
+        claim = vdir.parent / f"{vdir.name}.claim"
+        t0 = claim.stat().st_mtime
+        time.sleep(1.0)  # several heartbeat intervals
+        seen["advanced"] = claim.stat().st_mtime > t0
+        real(df, vdir, fmt)
+
+    monkeypatch.setattr(V, "_write_data", slow_write)
+    v = V.write_versioned(spark.range(3).toDF("id"), root)
+    assert seen["advanced"]  # heartbeat touched the claim mid-write
+    assert V.read_versioned(spark, root).count() == 3
+    assert not (root / f"_v={v}.claim").exists()
+
+
+def test_reclaimed_claim_aborts_commit(spark, tmp_path, monkeypatch):
+    """If the claim vanished mid-write (vacuum under a frozen writer),
+    the commit must abort instead of publishing into a dir a
+    concurrent vacuum may be half-deleting."""
+    import pytest as _pytest
+
+    from serverless_datalake_aws_spark.sources import versioning as V
+
+    root = tmp_path / "t"
+    V.write_versioned(spark.range(2).toDF("id"), root)  # v1 committed
+    real = V._write_data
+
+    def write_then_lose_claim(df, vdir, fmt):
+        real(df, vdir, fmt)
+        (vdir.parent / f"{vdir.name}.claim").unlink()  # vacuum took it
+
+    monkeypatch.setattr(V, "_write_data", write_then_lose_claim)
+    with _pytest.raises(RuntimeError, match="reclaimed mid-write"):
+        V.write_versioned(spark.range(5).toDF("id"), root)
+    # previous version untouched; the aborted version never committed
+    assert V.read_versioned(spark, root).count() == 2
+    assert V.current_version(root) == 1
