@@ -96,22 +96,24 @@ def _load() -> None:
 # in. The slate ROTATES each round to names the driver has never
 # verified, accumulating externally-green rows round over round instead
 # of re-verifying the same dozen (round-5 slate: q08/q21/q28/q51/s05/
-# s18/st01/st04/t14/t30/x03/x09 — all driver-green in
-# CORRECTNESS_r05.json; round-6 slate below = the round-5 additions the
-# driver has never sampled).
+# s18/st01/st04/t14/t30/x03/x09 — driver-green in CORRECTNESS_r05.json;
+# round-6 slate: e22/p07/q82-q84/s19/s20/st10-st12/t31/t34 — all green
+# in CORRECTNESS_r06.json EXCEPT a08_st10, whose hash-red exposed the
+# foreachBatch double-absorb fixed in round 7. Round-7 slate below, per
+# VERDICT r6 item 2: the round-6 additions the driver has never
+# sampled, plus st10 and st12 RE-PINNED — a red row must be re-proven
+# externally after the fix, not retired).
 DRIVER_SAMPLE_ALIASES: dict[str, str] = {
-    "a01_e22_funnel_pattern_regex": "e22_funnel_pattern_regex",
-    "a02_p07_dataset_datasheet": "p07_dataset_datasheet",
-    "a03_q82_dynamic_partition_pruning": "q82_dynamic_partition_pruning",
-    "a04_q83_reach_curve_sketch_rollup": "q83_reach_curve_sketch_rollup",
-    "a05_q84_bloom_runtime_filter": "q84_bloom_runtime_filter",
-    "a06_s19_pq_adc_ann": "s19_pq_adc_ann",
-    "a07_s20_pq_recall_audit": "s20_pq_recall_audit",
-    "a08_st10_stream_incremental_rollup": "st10_stream_incremental_rollup",
-    "a09_st11_stream_quality_monitor": "st11_stream_quality_monitor",
-    "a10_st12_stream_quantile_sketch": "st12_stream_quantile_sketch",
-    "a11_t31_sequence_packing": "t31_sequence_packing",
-    "a12_t34_bpe_merges": "t34_bpe_merges",
+    "a01_d18_simhash56_banded_pairs": "d18_simhash56_banded_pairs",
+    "a02_e21_incremental_quantiles": "e21_incremental_quantiles",
+    "a03_q80_running_distinct_approx": "q80_running_distinct_approx",
+    "a04_s21_ivf_pq_ann": "s21_ivf_pq_ann",
+    "a05_s22_ivfpq_residual_ann": "s22_ivfpq_residual_ann",
+    "a06_st10_stream_incremental_rollup": "st10_stream_incremental_rollup",
+    "a07_st12_stream_quantile_sketch": "st12_stream_quantile_sketch",
+    "a08_st13_stream_dedup_index": "st13_stream_dedup_index",
+    "a09_t35_boilerplate_span_dedup": "t35_boilerplate_span_dedup",
+    "a10_t36_bpe_encode": "t36_bpe_encode",
 }
 
 
