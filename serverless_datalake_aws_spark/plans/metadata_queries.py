@@ -189,3 +189,98 @@ def m05_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             Check("nonempty", "row_count", at_least=1.0),
         ],
     )
+
+
+@query(
+    "m06_query_metrics_rollup",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'by_type' AS label,
+             (SELECT count(DISTINCT event_type) FROM events) AS out_rows,
+             1 AS n_runs, TRUE AS shuffled
+      UNION ALL
+      SELECT 'daily_purchases' AS label,
+             (SELECT count(DISTINCT date_trunc('day', ts)) FROM events
+              WHERE event_type = 'purchase') AS out_rows,
+             1 AS n_runs, TRUE AS shuffled
+      UNION ALL
+      SELECT 'active_users' AS label,
+             (SELECT count(*) FROM (
+                SELECT user_id FROM events GROUP BY user_id
+                HAVING count(*) >= 20)) AS out_rows,
+             1 AS n_runs, TRUE AS shuffled
+    ) ORDER BY label
+    """,
+)
+def m06_query_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational query-metrics rollup — the reference's CloudWatch
+    dashboard over Athena executions (deploy-script.sh:133-180,
+    aws-data-lake-terraform-main.tf:391-448) as a queryable table: a
+    QueryExecutionListener (operators/metrics.MetricsRecorder) records
+    every action's wall/rows/shuffle into `_metrics`; this entry runs
+    three labeled queries through `engine.sql` and rolls their
+    telemetry up by label.
+
+    The oracle checks the DETERMINISTIC fields — result cardinality
+    per query, run count, shuffled-or-not — recomputed from the events
+    table; wall_ms/shuffle_bytes are asserted positive but not
+    value-compared (timings are not reproducible by definition).
+
+    Scale: capture is an in-memory buffer append on the listener bus
+    (no job-side cost); export batches per flush; the rollup reads
+    |executions| rows, never fact data."""
+    import shutil
+    import tempfile
+
+    from serverless_datalake_aws_spark.catalog import table
+    from serverless_datalake_aws_spark.engine import DataLakeEngine
+
+    work = tempfile.mkdtemp(prefix="m06_")
+    try:
+        eng = DataLakeEngine(spark, work)
+        rec = eng.enable_metrics()
+        table(spark, sf_dir, "events").createOrReplaceTempView("m06_events")
+        labeled = {
+            "by_type": (
+                "SELECT event_type, count(*) AS n FROM m06_events "
+                "GROUP BY event_type"
+            ),
+            "daily_purchases": (
+                "SELECT date_trunc('day', ts) AS day, sum(value) AS v "
+                "FROM m06_events WHERE event_type = 'purchase' GROUP BY 1"
+            ),
+            # no ORDER BY ... LIMIT here: driver-side limits execute
+            # via executeCollect on TakeOrderedAndProject, which carries
+            # no output-rows SQLMetric — the recorded cardinality would
+            # be the child aggregate's
+            "active_users": (
+                "SELECT user_id, count(*) AS n FROM m06_events "
+                "GROUP BY user_id HAVING count(*) >= 20"
+            ),
+        }
+        for label, q in labeled.items():
+            df = eng.sql(q)
+            rec.register_label(df, label)
+            df.collect()  # the metered execution
+        rec.wait_for(set(labeled), timeout_s=30.0)
+        out = (
+            eng.metrics()
+            .filter(F.col("label").isNotNull() & (F.col("wall_ms") > 0))
+            .groupBy("label")
+            .agg(
+                F.max("out_rows").alias("out_rows"),
+                F.count(F.lit(1)).cast("int").alias("n_runs"),
+                (F.max("shuffle_bytes") > 0).alias("shuffled"),
+            )
+            .orderBy("label")
+        )
+        rows = out.collect()  # materialize before the workdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        # always detach: a listener left behind would keep buffering
+        # every later query in the caller's session
+        try:
+            rec.uninstall()
+        except Exception:
+            pass
+        shutil.rmtree(work, ignore_errors=True)
