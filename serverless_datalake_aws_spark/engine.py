@@ -288,7 +288,43 @@ class DataLakeEngine:
             self._recover_meta_swap()
         return self.spark.read.schema(META_SCHEMA).parquet(self.meta_path)
 
+    def _recover_zone_swap(self, zone: str) -> None:
+        """Heal a zone whose records dir vanished mid-swap (VERDICT r6
+        item 5): dedup_zone's publish is rename(path→old) →
+        rename(tmp→path) → rmtree(old); death between the renames
+        leaves no records dir but a COMPLETE staged copy in `.dedup.tmp`
+        (staging always finishes before the swap starts) — roll
+        forward; with only `.dedup.old` present, roll back. Runs at
+        every records() read and at dedup_zone() entry, under the zone
+        lock so it cannot race a live swap. No-op when the dir exists."""
+        if self.is_remote:
+            return
+        path = Path(f"{self.zone(zone)}/records")
+        if path.exists():
+            return
+        tmp, old = Path(str(path) + ".dedup.tmp"), Path(str(path) + ".dedup.old")
+        if not (tmp.exists() or old.exists()):
+            return  # nothing staged: genuinely empty zone, not a crash
+        with self._zone_lock(zone):
+            self._recover_zone_swap_locked(zone)
+
+    def _recover_zone_swap_locked(self, zone: str) -> None:
+        """The roll-forward/back itself; caller MUST hold the zone
+        lock (FileLock is not reentrant)."""
+        path = Path(f"{self.zone(zone)}/records")
+        tmp, old = Path(str(path) + ".dedup.tmp"), Path(str(path) + ".dedup.old")
+        if not path.exists() and (tmp.exists() or old.exists()):
+            # tmp is always COMPLETE when the records dir is missing
+            # (staging finishes before the first rename), so forward
+            # beats back; old is the fallback for a pre-publish death
+            (tmp if tmp.exists() else old).rename(path)
+        if old.exists():
+            shutil.rmtree(old)  # completed swap that died before reclaim
+        if tmp.exists():
+            shutil.rmtree(tmp)  # stale staging from a pre-swap crash
+
     def records(self, zone: str = "raw") -> DataFrame:
+        self._recover_zone_swap(zone)
         return self.spark.read.parquet(f"{self.zone(zone)}/records")
 
     # -- query dispatch (reference entry point 2, SURVEY §3.2) ---------------
@@ -726,14 +762,7 @@ class DataLakeEngine:
         with self._zone_lock(zone):
             path = f"{self.zone(zone)}/records"
             tmp, old = Path(path + ".dedup.tmp"), Path(path + ".dedup.old")
-            if not Path(path).exists() and (tmp.exists() or old.exists()):
-                # crashed mid-swap: tmp was fully staged before the swap
-                # began, so roll FORWARD if present, else back to old
-                (tmp if tmp.exists() else old).rename(path)
-            if old.exists():
-                shutil.rmtree(old)  # completed swap that died before reclaim
-            if tmp.exists():
-                shutil.rmtree(tmp)  # stale staging from a pre-swap crash
+            self._recover_zone_swap_locked(zone)
             df = self.spark.read.parquet(path)
             w = W.partitionBy("data_type", F.md5("payload")).orderBy("id")
             deduped = (

@@ -215,3 +215,85 @@ def test_no_partition_ever_mixes_generations(engine, monkeypatch, fail_call):
         )
     # after recovery (any meta() read), converged fully-new
     assert _meta_state(engine) == NEW
+
+
+# ---------------------------------------------------------------------------
+# dedup_zone staged swap (VERDICT r6 item 5): kill between the renames
+# ---------------------------------------------------------------------------
+
+
+def _dup_engine(spark, tmp_path):
+    eng = DataLakeEngine(spark, tmp_path / "dlake")
+    payloads = [{"product": "Laptop"}, {"product": "Laptop"}, {"product": "Mouse"}]
+    eng.ingest_batch(payloads, data_type="sales")
+    return eng
+
+
+def _crash_dedup(eng, monkeypatch, fail_call: int, method: str):
+    calls = {"n": 0}
+    if method == "rename":
+        real = Path.rename
+
+        def boom(self, target):
+            calls["n"] += 1
+            if calls["n"] == fail_call:
+                raise OSError("injected crash mid-swap")
+            return real(self, target)
+
+        monkeypatch.setattr(Path, "rename", boom)
+    else:
+        real_rmtree = shutil.rmtree
+
+        def boom(path, *a, **kw):
+            if str(path).endswith(".dedup.old"):
+                raise OSError("injected crash before old reclaim")
+            return real_rmtree(path, *a, **kw)
+
+        monkeypatch.setattr(shutil, "rmtree", boom)
+    with pytest.raises(OSError, match="injected crash"):
+        eng.dedup_zone("raw")
+    monkeypatch.undo()
+
+
+def test_dedup_zone_crash_between_renames_heals_on_read(spark, tmp_path, monkeypatch):
+    """Death between rename(path→old) and rename(tmp→path) leaves NO
+    records dir; the next records() read must roll the staged deduped
+    copy forward instead of failing with path-not-found."""
+    eng = _dup_engine(spark, tmp_path)
+    _crash_dedup(eng, monkeypatch, fail_call=2, method="rename")
+    raw = Path(eng.zone("raw")) / "records"
+    assert not raw.exists()  # the crash window VERDICT r6 describes
+    # a FRESH engine (new process) reads the zone: auto-heals forward
+    eng2 = DataLakeEngine(spark, eng.root)
+    rows = eng2.records("raw").select("payload").collect()
+    assert len(rows) == 2  # deduped state (3 ingested, 1 dup dropped)
+    assert raw.exists()
+    assert not Path(str(raw) + ".dedup.tmp").exists()
+    assert not Path(str(raw) + ".dedup.old").exists()
+
+
+def test_dedup_zone_crash_before_publish_rolls_back(spark, tmp_path, monkeypatch):
+    """Death on the FIRST rename (hide-current failed): zone unchanged,
+    staging garbage-collected on the next dedup_zone entry, and the
+    rerun converges to the deduped state."""
+    eng = _dup_engine(spark, tmp_path)
+    _crash_dedup(eng, monkeypatch, fail_call=1, method="rename")
+    assert eng.records("raw").count() == 3  # old state intact
+    dropped = eng.dedup_zone("raw")  # rerun: cleans stage, converges
+    assert dropped == 1
+    assert eng.records("raw").count() == 2
+
+
+def test_dedup_zone_crash_before_old_reclaim(spark, tmp_path, monkeypatch):
+    """Death after publish but before rmtree(.dedup.old): readers see
+    the new state immediately (debris never blocks or pollutes reads —
+    reclaiming at read time would put a lock acquisition on every
+    read), and the next MAINTENANCE entry reclaims the stale copy."""
+    eng = _dup_engine(spark, tmp_path)
+    _crash_dedup(eng, monkeypatch, fail_call=0, method="rmtree")
+    raw = Path(eng.zone("raw")) / "records"
+    assert Path(str(raw) + ".dedup.old").exists()  # the crash debris
+    eng2 = DataLakeEngine(spark, eng.root)
+    assert eng2.records("raw").count() == 2  # published deduped state
+    assert eng2.dedup_zone("raw") == 0  # next maintenance entry...
+    assert not Path(str(raw) + ".dedup.old").exists()  # ...reclaims it
