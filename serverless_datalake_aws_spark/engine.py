@@ -585,7 +585,9 @@ class DataLakeEngine:
         )
         return self.spark.read.parquet(f"{self.zone('curated')}/daily_summary")
 
-    def curate_incremental(self, timeout_s: int = 600) -> DataFrame:
+    def curate_incremental(
+        self, timeout_s: int = 600, trigger: dict | None = None
+    ):
         """Incremental gold-zone maintenance: fold ONLY the new
         change-feed rows into the curated daily summary instead of
         re-aggregating the record store (curate() rescans processed/;
@@ -595,7 +597,12 @@ class DataLakeEngine:
         own checkpoint — independent consumers of one change feed. The
         curated table itself is small (types × days), so the merged
         result is rewritten wholesale via tmp+swap; the scale win is
-        that the INPUT per batch is the change set, never the lake."""
+        that the INPUT per batch is the change set, never the lake.
+
+        `trigger` defaults to availableNow (drain, return the summary
+        DataFrame). `{"processingTime": "1 second"}` runs ALWAYS-ON:
+        the summary keeps absorbing as ingests land; returns the
+        StreamingQuery (caller owns stop())."""
         out = f"{self.zone('curated')}/daily_summary"
         # crash recovery: the swap is rmtree(out) → move(tmp, out). A
         # death between the two leaves out missing and the COMPLETE
@@ -669,14 +676,18 @@ class DataLakeEngine:
                 shutil.rmtree(out)
             shutil.move(tmp, out)
 
+        if trigger is None:
+            trigger = {"availableNow": True}
         q = (
             stream.writeStream.foreachBatch(_merge)
             .option("checkpointLocation", f"{self.root}/_checkpoints/curate")
-            .trigger(availableNow=True)
+            .trigger(**trigger)
             .start()
         )
-        drain(q, timeout_s)
-        return self.spark.read.parquet(out)
+        if "availableNow" in trigger:
+            drain(q, timeout_s)
+            return self.spark.read.parquet(out)
+        return q  # always-on: caller owns stop(); summary keeps updating
 
     def process_stream(self, transform=None) -> None:
         """Streaming zone promotion (S10): checkpointed file-arrival
@@ -1138,7 +1149,7 @@ class DataLakeEngine:
         self._mark_indexed(pending)
         return n
 
-    def index_cdc(self, timeout_s: int = 600) -> None:
+    def index_cdc(self, timeout_s: int = 600, trigger: dict | None = None):
         """True CDC indexing (S11): a checkpointed file stream over the
         `_changelog` append feed drives incremental index updates — the
         Spark twin of the reference's DynamoDB-stream→reindex Lambda
@@ -1148,7 +1159,16 @@ class DataLakeEngine:
         Each micro-batch carries only the metadata rows appended since
         the last run (checkpoint tracks consumed files); their records
         are tokenized and appended to the index and exactly those ids
-        are stamped — no full rebuild, no full-meta scan."""
+        are stamped — no full rebuild, no full-meta scan.
+
+        `trigger` defaults to `{"availableNow": True}`: drain-then-stop
+        (returns None after the drain completes). Pass
+        `{"processingTime": "1 second"}` for the ALWAYS-ON mode
+        matching the reference's continuous DynamoDB-stream fabric:
+        the query keeps polling the changelog and indexes changes as
+        they land until .stop(); the StreamingQuery is returned so the
+        caller owns its lifecycle. Checkpoint and idempotence contract
+        are identical in both modes."""
         stream = self.spark.readStream.schema(META_SCHEMA).parquet(
             self.changelog_path
         )
@@ -1180,13 +1200,18 @@ class DataLakeEngine:
             ).parquet(self.search_index_path)
             self._mark_indexed(ids)
 
+        if trigger is None:
+            trigger = {"availableNow": True}
         q = (
             stream.writeStream.foreachBatch(_handle)
             .option("checkpointLocation", f"{self.root}/_checkpoints/cdc_index")
-            .trigger(availableNow=True)
+            .trigger(**trigger)
             .start()
         )
-        drain(q, timeout_s)
+        if "availableNow" in trigger:
+            drain(q, timeout_s)
+            return None
+        return q  # always-on: caller owns stop()
 
     def search_index(self) -> DataFrame:
         return self.spark.read.parquet(self.search_index_path)

