@@ -465,137 +465,20 @@ def s21_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     All distances round to 6 dp before every argmin/sum boundary so
     DuckDB replays cells, codes, probes, distances, and rank order
     bit-identically (cf. similarity5 module docstring)."""
-    import numpy as np
-    import pandas as pd
-
-    from serverless_datalake_aws_spark.functions import vector as VX
+    from serverless_datalake_aws_spark.operators.ann import ivf_pq_search
 
     emb = table(spark, sf_dir, "embeddings")
-    coarse_rows = sorted(
-        (r["vec_id"], r["embedding"])
-        for r in emb.filter(F.col("vec_id") < _IVFPQ_C)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    pq_rows = sorted(
-        (r["vec_id"], r["embedding"])
-        for r in emb.filter(F.col("vec_id") % _PQ_STRIDE == 0)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(_PQ_K)
-        .collect()
-    )
-    qrows = sorted(
-        (r["vec_id"], r["embedding"])
-        for r in emb.filter(F.col("vec_id") < _PQ_NQ)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    ccids = np.array([c[0] for c in coarse_rows], dtype=np.int64)
-    CC = np.stack([np.asarray(c[1], dtype=np.float64) for c in coarse_rows])
-    K_eff, M, S = len(pq_rows), _PQ_M, _PQ_SUB
-    Cm = np.stack(
-        [np.asarray(c[1], dtype=np.float64) for c in pq_rows]
-    ).reshape(K_eff, M, S)
-
-    def _encode(it):
-        for pdf in it:
-            if not len(pdf):
-                continue
-            V = np.stack(pdf["embedding"].values).astype(np.float64)
-            cd2 = np.round(((V[:, None, :] - CC[None, :, :]) ** 2).sum(2), 6)
-            cid = ccids[np.argmin(cd2, axis=1)]  # ties → smallest ccid
-            Vm = V.reshape(len(pdf), M, S)
-            d2 = np.round(
-                (
-                    (Vm[:, :, None, :] - Cm.transpose(1, 0, 2)[None, :, :, :])
-                    ** 2
-                ).sum(axis=3),
-                6,
-            )
-            codes = d2.argmin(axis=2).astype(np.int32)  # positional, ties → smallest k
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].values,
-                    "cid": cid,
-                    "codes": list(codes),
-                }
-            )
-
-    enc = emb.select("vec_id", "embedding").mapInPandas(
-        _encode, schema="vec_id long, cid long, codes array<int>"
-    )
-
-    # driver-side probe table: per query, its nprobe nearest cells and
-    # its flattened M x K ADC table (same rounding as the encode pass)
-    Q = np.stack([np.asarray(q[1], dtype=np.float64) for q in qrows])
-    qd2c = np.round(((Q[:, None, :] - CC[None, :, :]) ** 2).sum(2), 6)
-    Qm = Q.reshape(len(qrows), M, S)
-    dtab = np.round(
-        ((Qm[:, None, :, :] - Cm[None, :, :, :]) ** 2).sum(axis=3), 6
-    )  # (NQ, K, M)
-    probe_rows = []
-    for qi, (qid, _) in enumerate(qrows):
-        order = sorted(range(len(ccids)), key=lambda j: (qd2c[qi, j], ccids[j]))
-        flat = dtab[qi].T.ravel().tolist()  # flat[m * K_eff + k]
-        for j in order[:_IVFPQ_NPROBE]:
-            probe_rows.append((int(qid), int(ccids[j]), flat))
-    probe = spark.createDataFrame(
-        probe_rows, "query_id long, cid long, dtab array<double>"
-    )
-
-    adc = F.round(
-        F.aggregate(
-            F.sequence(F.lit(0), F.lit(M - 1)),
-            F.lit(0.0),
-            lambda acc, m: acc
-            + F.element_at(
-                F.col("dtab"),
-                (m * K_eff + F.element_at(F.col("codes"), m + 1) + 1).cast(
-                    "int"
-                ),
-            ),
-        ),
-        6,
-    )
-    w = W.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
-    topk = (
-        enc.join(F.broadcast(probe), "cid")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            adc.alias("approx_d2"),
-        )
-        .withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= _PQ_TOPK)
-    )
-
-    exact = (
-        VX.brute_scores(emb, qrows, metric="l2")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.round("d2", 6).alias("d2"))
-    )
-    we = W.partitionBy("query_id").orderBy("d2", "neighbor_id")
-    exact_top = (
-        exact.withColumn("erk", F.row_number().over(we))
-        .filter(F.col("erk") <= _PQ_TOPK)
-        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
-    )
-    recall = (
-        topk.select("query_id", "neighbor_id")
-        .join(exact_top, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.round(
-                F.count("hit").cast("double") / F.lit(float(_PQ_TOPK)), 2
-            ).alias("recall_at_k")
-        )
-    )
-    return (
-        topk.join(recall, "query_id")
-        .select("query_id", "neighbor_id", "approx_d2", "rk", "recall_at_k")
-        .orderBy("query_id", "rk")
+    return ivf_pq_search(
+        spark,
+        emb,
+        n_cells=_IVFPQ_C,
+        nprobe=_IVFPQ_NPROBE,
+        n_queries=_PQ_NQ,
+        topk=_PQ_TOPK,
+        m=_PQ_M,
+        sub=_PQ_SUB,
+        k_codes=_PQ_K,
+        stride=_PQ_STRIDE,
     )
 
 
