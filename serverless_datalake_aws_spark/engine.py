@@ -232,13 +232,26 @@ class DataLakeEngine:
         owner: str = "system",
         tags: list[str] | None = None,
         description: str | None = None,
+        validate: list[tuple[str, str]] | None = None,
     ) -> list[str]:
         """Batched ingest: records → raw zone (partitioned by data_type,
         ingest_date) + one `_meta` row each (ingest-data-lambda.py:65-97).
 
         Defaults mirror the reference (T8: dataType='unknown',
         source='api', owner='system' at ingest-data-lambda.py:54-56).
-        """
+
+        `validate` adds the contract gate the reference's
+        accept-any-JSON ingest lacks: a list of (rule_name,
+        sql_predicate) pairs evaluated PER ROW against the payload
+        (`payload` is the JSON string column — use
+        get_json_object(payload, '$.field') in predicates). Rows
+        failing any rule are QUARANTINED instead of ingested: they
+        land under quarantine/records with a failed_rules column, get
+        a `_meta` row with status='quarantined' (audit trail), and are
+        excluded from the raw zone, the change feed, and therefore the
+        search index and downstream curation. Returns the ids of the
+        ACCEPTED records only. All rules ride one filter pass over the
+        batch — no extra scans."""
         now = datetime.now(timezone.utc)
         ingest_date = now.strftime("%Y-%m-%d")
         rows = [
@@ -247,6 +260,69 @@ class DataLakeEngine:
         ]
         df = self.spark.createDataFrame(rows, RECORD_SCHEMA)
         raw_root = self.zone("raw")
+        quarantined_ids: list[str] = []
+        if validate:
+            failed_rules = F.filter(
+                F.array(
+                    *[
+                        F.when(
+                            ~F.coalesce(F.expr(pred), F.lit(False)),
+                            F.lit(name),
+                        )
+                        for name, pred in validate
+                    ]
+                ),
+                lambda x: x.isNotNull(),
+            )
+            tagged = df.withColumn("failed_rules", failed_rules)
+            bad = tagged.filter(F.size("failed_rules") > 0)
+            # quarantine write first so a crash between the two writes
+            # can only lose bad rows to re-ingest, never double-accept
+            bad.write.mode("append").partitionBy(
+                "data_type", "ingest_date"
+            ).parquet(f"{self.root}/quarantine/records")
+            bad_rows = bad.select("id").collect()
+            quarantined_ids = [r["id"] for r in bad_rows]
+            df = tagged.filter(F.size("failed_rules") == 0).drop("failed_rules")
+            if quarantined_ids:
+                qmeta = bad.select(
+                    "id",
+                    F.lit(now).alias("timestamp"),
+                    "data_type",
+                    F.lit(source).alias("source"),
+                    F.lit(owner).alias("owner"),
+                    F.concat(
+                        F.lit(f"{self.root}/quarantine/records/data_type="),
+                        "data_type",
+                        F.lit("/ingest_date="),
+                        "ingest_date",
+                    ).alias("location"),
+                    F.octet_length("payload").cast("long").alias("size_bytes"),
+                    F.lit("quarantined").alias("status"),
+                    F.array_join("failed_rules", ",").alias("_fr"),
+                ).select(
+                    "id",
+                    "timestamp",
+                    "data_type",
+                    "source",
+                    "owner",
+                    "location",
+                    "size_bytes",
+                    "status",
+                    F.split("_fr", ",").alias("tags"),  # failed rules ride tags
+                    F.lit("failed ingest validation").alias("description"),
+                    F.lit(False).alias("indexed"),
+                    F.lit(None).cast("timestamp").alias("indexed_at"),
+                )
+                qmeta.write.mode("append").partitionBy("data_type").parquet(
+                    self.meta_path
+                )
+                self._log_lineage(
+                    "quarantine",
+                    source,
+                    f"{self.root}/quarantine/records",
+                    len(quarantined_ids),
+                )
         df.write.mode("append").partitionBy("data_type", "ingest_date").parquet(
             f"{raw_root}/records"
         )
@@ -279,8 +355,17 @@ class DataLakeEngine:
         # reference's DynamoDB stream (index-data-lambda.py:51-65).
         # index_cdc() consumes it as a checkpointed file stream.
         meta_rows.write.mode("append").parquet(self.changelog_path)
-        self._log_lineage("ingest", source, f"{raw_root}/records", len(rows))
-        return [r[0] for r in rows]
+        accepted = [
+            r[0] for r in rows if r[0] not in set(quarantined_ids)
+        ]
+        self._log_lineage("ingest", source, f"{raw_root}/records", len(accepted))
+        return accepted
+
+    def quarantine(self) -> DataFrame:
+        """Rows rejected by ingest validation, with their failed_rules —
+        the DLQ the reference's fabric implies but never materializes
+        (failed Lambda invocations vanish into retries)."""
+        return self.spark.read.parquet(f"{self.root}/quarantine/records")
 
     # -- metadata table ------------------------------------------------------
     def meta(self) -> DataFrame:

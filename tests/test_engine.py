@@ -565,3 +565,65 @@ def test_dedup_zone_recovers_interrupted_swap(engine, spark):
     assert dropped == 1  # tmp had the pre-dedup copy; dedup then ran
     assert path.exists() and not tmp.exists() and not old.exists()
     assert engine.records("raw").count() == 2
+
+
+def test_ingest_validation_quarantines_bad_rows(spark, tmp_path):
+    """Contract-gated ingest: rows failing a (name, predicate) rule are
+    quarantined — excluded from the raw zone, change feed, and search
+    index, but auditable in _meta (status='quarantined', failed rules
+    riding tags) and readable via engine.quarantine()."""
+    from serverless_datalake_aws_spark.engine import DataLakeEngine
+
+    eng = DataLakeEngine(spark, tmp_path / "lake")
+    ids = eng.ingest_batch(
+        [
+            {"product": "Laptop", "price": 999.5},
+            {"product": "Mouse"},  # no price -> fails has_price
+            {"product": "", "price": 5.0},  # empty name -> fails nonempty
+            {"product": "Desk", "price": -1.0},  # fails price_positive twice? no: one rule
+        ],
+        data_type="sales",
+        validate=[
+            ("has_price", "get_json_object(payload, '$.price') IS NOT NULL"),
+            (
+                "nonempty_product",
+                "length(get_json_object(payload, '$.product')) > 0",
+            ),
+            (
+                "price_positive",
+                "CAST(get_json_object(payload, '$.price') AS DOUBLE) > 0",
+            ),
+        ],
+    )
+    assert len(ids) == 1  # only the Laptop row passes every rule
+    assert eng.records("raw").count() == 1
+    q = eng.quarantine()
+    assert q.count() == 3
+    failed = {
+        tuple(sorted(r["failed_rules"])) for r in q.collect()
+    }
+    assert ("has_price", "price_positive") in failed  # no price fails both
+    assert ("nonempty_product",) in failed
+    assert ("price_positive",) in failed
+    # _meta audit: 1 ingested + 3 quarantined, rules on tags
+    st = {r["status"]: 0 for r in eng.meta().collect()}
+    for r in eng.meta().collect():
+        st[r["status"]] += 1
+    assert st == {"ingested": 1, "quarantined": 3}
+    # quarantined rows never reach the index via CDC
+    eng.index_cdc()
+    idx_ids = {r["id"] for r in eng.search_index().select("id").collect()}
+    assert idx_ids == set(ids)
+
+
+def test_ingest_validation_noop_without_rules(spark, tmp_path):
+    """No validate arg -> byte-identical legacy behavior, no quarantine
+    dir created."""
+    from pathlib import Path as _P
+
+    from serverless_datalake_aws_spark.engine import DataLakeEngine
+
+    eng = DataLakeEngine(spark, tmp_path / "lake")
+    ids = eng.ingest_batch([{"a": 1}, {"a": 2}], data_type="t")
+    assert len(ids) == 2
+    assert not (_P(eng.root) / "quarantine").exists()

@@ -98,9 +98,10 @@ def main() -> None:
     # ---- index build (once; amortized in production) ----------------
     t0 = time.time()
     cb = pq_codebooks(emb, N_CELLS, k_codes=16, stride=37, m=8, sub=8)
-    ivf_pq_encode(emb, cb).repartition(64).write.mode("overwrite").parquet(
-        f"{OUT}/index"
-    )
+    if not os.path.exists(f"{OUT}/index/_SUCCESS"):
+        ivf_pq_encode(emb, cb).repartition(64).write.mode("overwrite").parquet(
+            f"{OUT}/index"
+        )
     enc = spark.read.parquet(f"{OUT}/index")
     n = enc.count()
     cells = {r["cid"]: r["n"] for r in enc.groupBy("cid").agg(F.count("*").alias("n")).collect()}
@@ -138,18 +139,46 @@ def main() -> None:
     log({"stage": "brute_force_truth", "sec": round(time.time() - t0, 1)})
 
     # ---- the experiment: query cost vs probed cells ------------------
+    import numpy as np
+
+    qvec = {qid: np.asarray(v, dtype=np.float64) for qid, v in qrows}
+    RERANK = 100  # exact-rerank depth (s20's recovery stage)
     for nprobe in (1, 2, 4, 8, 16, 64):
         probe = ivf_pq_probe(spark, qrows, cb, nprobe)
         probed = [(r["query_id"], r["cid"]) for r in probe.select("query_id", "cid").collect()]
         candidates = sum(cells.get(cid, 0) for _, cid in probed)
         t0 = time.time()
-        rows = ivf_pq_topk(enc, probe, cb, TOPK).collect()
+        # ADC shortlist of RERANK per query (the scan the cell
+        # restriction bounds), then exact-L2 rerank of the shortlist —
+        # NQ × RERANK exact distances, corpus-size-independent. Raw
+        # ADC top-5 is also scored: with 100 near-identical replicas
+        # per cluster sharing PQ codes, ADC ties make it ~random
+        # within-cluster — the measured case FOR the rerank stage.
+        shortlist = ivf_pq_topk(enc, probe, cb, RERANK).collect()
+        cand_ids = list({r["neighbor_id"] for r in shortlist})
+        cand_vecs = {
+            r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.filter(F.col("vec_id").isin(cand_ids)).collect()
+        }
+        by_q: dict[int, list] = {}
+        for r in sorted(shortlist, key=lambda r: (r["query_id"], r["rk"])):
+            by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        got5: dict[int, set[int]] = {}
+        got5_rr: dict[int, set[int]] = {}
+        for q, nbrs in by_q.items():
+            got5[q] = set(nbrs[:TOPK])  # raw ADC order
+            exact_d = sorted(
+                (float(((qvec[q] - cand_vecs[nb]) ** 2).sum()), nb)
+                for nb in nbrs
+            )
+            got5_rr[q] = {nb for _, nb in exact_d[:TOPK]}
         wall = time.time() - t0
-        got: dict[int, set[int]] = {}
-        for r in rows:
-            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         recall = sum(
-            len(got.get(q, set()) & truth.get(q, set())) / TOPK for q in truth
+            len(got5.get(q, set()) & truth.get(q, set())) / TOPK for q in truth
+        ) / len(truth)
+        recall_rr = sum(
+            len(got5_rr.get(q, set()) & truth.get(q, set())) / TOPK
+            for q in truth
         ) / len(truth)
         log(
             {
@@ -160,7 +189,8 @@ def main() -> None:
                 # per-query average fraction of the corpus scanned
                 "candidate_fraction": round(candidates / (len(qrows) * n), 4),
                 "sec": round(wall, 2),
-                "recall_at_5": round(recall, 3),
+                "recall_at_5_adc": round(recall, 3),
+                "recall_at_5_reranked": round(recall_rr, 3),
             }
         )
 
