@@ -884,3 +884,59 @@ def e22_funnel_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_conv.cast("long").alias("conversions"),
         (n_conv > 0).alias("converted"),
     ).orderBy("user_id")
+
+
+@query(
+    "e23_asof_join",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, ts, max(value) AS view_value
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ), l AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.event_id, l.user_id, l.ts,
+           round(l.value, 4) AS purchase_value,
+           r.ts AS viewed_at,
+           round(r.view_value, 4) AS view_value,
+           epoch_us(l.ts) - epoch_us(r.ts) AS staleness_us
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY l.event_id
+    """,
+)
+def e23_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join: every purchase annotated with the
+    user's most recent view at-or-before it — the feature-store /
+    market-data operator Spark lacks natively, via operators/asof.py's
+    union + last-non-null-window plan (ONE shuffle of |L|+|R| rows,
+    per-key linear — never the naive range join's per-key cross
+    product). DuckDB ships ASOF JOIN natively, so the oracle is the
+    engine-native implementation, not a SQL re-derivation: agreement
+    cross-checks two independent as-of algorithms, including the
+    at-or-before tie rule (>=) and no-match NULLs.
+
+    The right side is pre-aggregated to one row per (user_id, ts)
+    (max value) so equal-timestamp ties are deterministic in both
+    engines. staleness_us is exact integer microseconds."""
+    from serverless_datalake_aws_spark.operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(purchases, views, on="user_id", left_ts="ts", right_ts="ts")
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 4).alias("purchase_value"),
+        F.col("ts_right").alias("viewed_at"),
+        F.round("view_value", 4).alias("view_value"),
+        (F.unix_micros("ts") - F.unix_micros("ts_right")).alias("staleness_us"),
+    ).orderBy("event_id")

@@ -600,3 +600,59 @@ def test_quantile_sketch_ignores_nulls(spark):
     est = {r["q"]: r["est"] for r in qh_quantiles(qh_partial(df, "v"), [0.5]).collect()}
     alpha = 0.02 / 2.02
     assert abs(est[0.5] - 100.0) <= alpha * 100.0, est
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right row at-or-before each left ts per
+    key; same-instant right rows visible; no-match rows null; right
+    rows never duplicate left rows."""
+    from serverless_datalake_aws_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "a"),
+            (1, "2024-01-01 12:00:00", "b"),
+            (2, "2024-01-01 08:00:00", "c"),  # before any right row
+        ],
+        "k long, ts string, tag string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00", 5.0),
+            (1, "2024-01-01 10:00:00", 7.0),  # same instant as left #1
+            (1, "2024-01-01 11:00:00", 9.0),
+            (2, "2024-01-01 09:00:00", 1.0),
+        ],
+        "k long, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["tag"]: (r["v"], r["ts_right"].isoformat() if r["ts_right"] else None)
+        for r in asof_join(left, right, on="k").collect()
+    }
+    assert out["a"] == (7.0, "2024-01-01T10:00:00")  # ties: at-or-before
+    assert out["b"] == (9.0, "2024-01-01T11:00:00")
+    assert out["c"] == (None, None)
+    assert len(out) == 3  # exactly one output row per left row
+
+
+def test_asof_join_tolerance_and_plan(spark):
+    """Stale matches beyond tolerance_s null out, and the plan is the
+    linear union+window shape — one hash exchange on the key, no
+    cartesian/range-join blowup."""
+    from serverless_datalake_aws_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "k long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 08:00:00", 5.0)], "k long, ts string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    loose = asof_join(left, right, on="k", tolerance_s=3 * 3600)
+    tight = asof_join(left, right, on="k", tolerance_s=3600)
+    assert loose.first()["v"] == 5.0
+    assert tight.first()["v"] is None  # 2h-old match > 1h tolerance
+
+    plan = loose._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1  # one key shuffle
