@@ -55,6 +55,10 @@ HEADLINE = (
     "s19_pq_adc_ann",
     # round-6: composed IVF-PQ (cell-restricted ADC scan + recall audit)
     "s21_ivf_pq_ann",
+    # round-7: as-of join (union+window linear plan) + 56-bit corpus
+    # simhash (the d-family's scale path, previously unbenched)
+    "e23_asof_join",
+    "d18_simhash56_banded_pairs",
 )
 
 

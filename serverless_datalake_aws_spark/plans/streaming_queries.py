@@ -858,3 +858,98 @@ def st13_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "st14_stream_maintained_join",
+    oracle="""
+    SELECT c.c_nationkey AS nation,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def st14_stream_maintained_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of a JOIN view — the 5th member of the
+    maintenance family (st10 rollup, st11 quality, st12 quantiles,
+    st13 dedup index): the customer dimension is seeded as the right
+    snapshot, then the order feed streams in 4 shards (one per
+    trigger) and each micro-batch absorbs via the delta-join identity
+    (operators/incremental.MaintainedJoin) — only ΔL ⋈ R work per
+    batch, the full join NEVER recomputed. Absorption is idempotent
+    per epoch_id (epoch-partitioned overwrites + atomic pointer):
+    a Spark batch retry overwrites its own epoch instead of appending
+    duplicate view rows. The oracle is the from-scratch join,
+    aggregated per nation — equality proves the maintained view holds
+    exactly the join's content after multi-batch absorption.
+
+    Scale: per batch one |Δorders|-driven join against the snapshot
+    (broadcast/DPP-prunable at scale); the view append is
+    epoch-partitioned, no read-modify-write. DECIMAL sums keep the
+    aggregate bit-stable under any batch order."""
+    import shutil
+    import tempfile
+
+    from serverless_datalake_aws_spark.catalog import table
+    from serverless_datalake_aws_spark.operators.incremental import (
+        MaintainedJoin,
+    )
+
+    work = tempfile.mkdtemp(prefix="st14_")
+    try:
+        src = f"{work}/order_shards"
+        (
+            table(spark, sf_dir, "orders")
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+            )
+            .repartition(4)
+            .write.parquet(src)
+        )
+        cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        mj = MaintainedJoin(spark, f"{work}/mj", on="__jk")
+        # seed the dimension snapshot as epoch -1... epochs are the
+        # STREAM's ids (0..3), so the seed uses the manual path first
+        mj.apply(
+            delta_right=cust.withColumnRenamed("c_custkey", "__jk"),
+            epoch_id=None,
+        )
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch, eid: mj.apply(
+                    delta_left=batch.withColumnRenamed("o_custkey", "__jk"),
+                    # offset past the seed epoch: stream epochs start
+                    # at 0 and the seed consumed 0 via the manual path
+                    epoch_id=eid + 1,
+                )
+            )
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, 300)
+        out = (
+            mj.read()
+            .groupBy(F.col("c_nationkey").alias("nation"))
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("o_totalprice")
+                .cast("decimal(38,2)")
+                .alias("total_price"),
+            )
+            .orderBy("nation")
+        )
+        rows = out.collect()  # materialize before the workdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
