@@ -59,6 +59,7 @@ _MODULES = (
     "packing",
     "graph",
     "text4",
+    "text5",
     "similarity4",
     "similarity5",
 )
