@@ -748,3 +748,135 @@ def s22_ivfpq_residual_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "approx_d2", "rk", "recall_at_k")
         .orderBy("query_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# s23: IVF-PQ + exact rerank — the full production serving shape
+# ---------------------------------------------------------------------------
+
+_S23_R = 20  # ADC shortlist depth fed to the exact rerank
+
+# Reuse s21's entire CTE chain up to the ADC scores (`approx`) and
+# replace the tail: shortlist by ADC order, exact-L2 rerank of the
+# shortlist, top-k by exact distance, recall vs the exact top-k.
+_S23_ORACLE = _S21_ORACLE[: _S21_ORACLE.index("    topk AS (")] + f"""    shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY approx_d2, neighbor_id) AS ark
+            FROM approx)
+        WHERE ark <= {_S23_R}),
+    qfull AS (SELECT vec_id AS query_id, v AS qv FROM evec
+              WHERE vec_id < {_PQ_NQ}),
+    exact AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {_D2.format(a="e.v", b="q.qv")} AS d2
+        FROM evec e CROSS JOIN qfull q
+        WHERE e.vec_id <> q.query_id),
+    rerank AS (
+        SELECT s.query_id, s.neighbor_id, x.d2 AS exact_d2
+        FROM shortlist s
+        JOIN exact x ON x.query_id = s.query_id
+                    AND x.neighbor_id = s.neighbor_id),
+    topr AS (
+        SELECT query_id, neighbor_id, exact_d2, CAST(rk AS BIGINT) AS rk
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY exact_d2, neighbor_id) AS rk
+              FROM rerank)
+        WHERE rk <= {_PQ_TOPK}),
+    exact_top AS (
+        SELECT query_id, neighbor_id FROM exact
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY d2, neighbor_id) <= {_PQ_TOPK}),
+    recall AS (
+        SELECT t.query_id,
+               round(count(e.neighbor_id) / {_PQ_TOPK}.0, 2) AS recall_at_k
+        FROM topr t
+        LEFT JOIN exact_top e
+          ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+        GROUP BY t.query_id)
+    SELECT t.query_id, t.neighbor_id, t.exact_d2, t.rk, r.recall_at_k
+    FROM topr t JOIN recall r ON t.query_id = r.query_id
+    ORDER BY t.query_id, t.rk
+"""
+
+
+@query("s23_ivfpq_rerank", oracle=_S23_ORACLE)
+def s23_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact rerank — the complete FAISS serving shape, each
+    stage earning its place (measured at 2M vectors in SCALE.md r7:
+    raw ADC recall@5 = 0.05 because 16 codewords/subspace cannot
+    separate near-identical cluster members; exact rerank of the ADC
+    top-{_S23_R} recovers 1.00 for NQ × {_S23_R} exact distances —
+    corpus-size-independent):
+
+    1. s21's cell-restricted ADC scan produces a top-{_S23_R}
+       SHORTLIST per query (IVF bounds the scan, PQ bounds memory).
+    2. The shortlist joins back to true embeddings for exact L2 —
+       |shortlist| lookups, never a corpus rescan at serving time
+       (here the exact leg reuses the recall audit's brute pass, so
+       one plan serves rerank and truth; the probe measured the
+       candidates-only variant).
+    3. Final order and recall@{_PQ_TOPK} come from EXACT distances —
+       PQ quantization error cannot reorder the returned page.
+
+    Oracle: s21's replayed CTE chain (cells, codes, probes, ADC) with
+    the rerank tail — shortlist by ADC order, exact-L2 re-sort,
+    recall vs exact top-k; bit-identical through the 6-dp rounding
+    convention."""
+    from pyspark.sql import Window as W
+
+    from serverless_datalake_aws_spark.functions import vector as VX
+    from serverless_datalake_aws_spark.operators.ann import (
+        ivf_pq_encode,
+        ivf_pq_probe,
+        ivf_pq_topk,
+        pq_codebooks,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(
+        emb, _IVFPQ_C, k_codes=_PQ_K, stride=_PQ_STRIDE, m=_PQ_M, sub=_PQ_SUB
+    )
+    qrows = sorted(
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < _PQ_NQ)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    enc = ivf_pq_encode(emb, cb)
+    probe = ivf_pq_probe(spark, qrows, cb, _IVFPQ_NPROBE)
+    shortlist = ivf_pq_topk(enc, probe, cb, _S23_R).select(
+        "query_id", "neighbor_id"
+    )
+    exact = (
+        VX.brute_scores(emb, qrows, metric="l2")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round("d2", 6).alias("exact_d2"))
+    )
+    rerank = shortlist.join(exact, ["query_id", "neighbor_id"])
+    wr = W.partitionBy("query_id").orderBy("exact_d2", "neighbor_id")
+    topr = (
+        rerank.withColumn("rk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rk") <= _PQ_TOPK)
+    )
+    we = W.partitionBy("query_id").orderBy("exact_d2", "neighbor_id")
+    exact_top = (
+        exact.withColumn("erk", F.row_number().over(we))
+        .filter(F.col("erk") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    recall = (
+        topr.select("query_id", "neighbor_id")
+        .join(exact_top, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.count("hit").cast("double") / F.lit(float(_PQ_TOPK)), 2
+            ).alias("recall_at_k")
+        )
+    )
+    return (
+        topr.join(recall, "query_id")
+        .select("query_id", "neighbor_id", "exact_d2", "rk", "recall_at_k")
+        .orderBy("query_id", "rk")
+    )
