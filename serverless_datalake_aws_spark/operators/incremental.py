@@ -144,7 +144,14 @@ class _EpochStateStore:
     is read as the current state with high-water -1; the first
     publish migrates it. On object stores the os.replace becomes
     sources/versioning.py's versioned publish (same shape: immutable
-    version dirs + atomic pointer)."""
+    version dirs + atomic pointer).
+
+    Reader contract: read() resolves the pointer at CALL time and the
+    superseded snapshot is GC'd by the next publish — materialize (or
+    re-call read()) before interleaving another apply(); a lazy
+    DataFrame held across a publish may lose its underlying files.
+    The Maintained* sinks and every st1x entry follow this (absorb
+    fully, then read)."""
 
     def __init__(self, spark, path: str):
         self.spark = spark

@@ -101,6 +101,7 @@ class MetricsRecorder:
         self._labels: dict[int, str] = {}
         self._lock = threading.Lock()
         self._installed = False
+        self._ever_registered = False  # JVM-side registration is one-way
 
     # -- labeling ----------------------------------------------------
     def register_label(self, df, label: str) -> None:
@@ -115,17 +116,31 @@ class MetricsRecorder:
         implements = ["org.apache.spark.sql.util.QueryExecutionListener"]
 
     def onSuccess(self, funcName, qe, durationNs):  # noqa: N802 (Java iface)
+        if not self._installed:
+            return  # detached: py4j may still route a straggler here
         try:
-            shuffle = 0
-            out_rows = -1
-            for node in _walk_final_plan(qe.executedPlan()):
-                for name, value in _metric_values(node):
-                    if "shuffle bytes written" in name:
-                        shuffle += int(value)
-                    elif out_rows < 0 and "number of output rows" in name:
-                        # first node carrying the metric on the walk
-                        # from the root = the result cardinality
-                        out_rows = int(value)
+
+            def _read_metrics():
+                sh, rows = 0, -1
+                for node in _walk_final_plan(qe.executedPlan()):
+                    for name, value in _metric_values(node):
+                        if "shuffle bytes written" in name:
+                            sh += int(value)
+                        elif rows < 0 and "number of output rows" in name:
+                            # first node carrying the metric on the
+                            # walk from the root = result cardinality
+                            rows = int(value)
+                return sh, rows
+
+            shuffle, out_rows = _read_metrics()
+            if out_rows == 0:
+                # SQLMetric accumulator values can lag the listener
+                # callback for a plan's FIRST execution (observed:
+                # root agg reads 0 at callback time, correct value
+                # ~100ms later). 0 is ambiguous (legit empty result
+                # vs lag) — one short bounded re-read disambiguates.
+                time.sleep(0.2)
+                shuffle, out_rows = _read_metrics()
             fp = int(qe.analyzed().semanticHash())
             with self._lock:
                 self._buffer.append(
@@ -144,6 +159,8 @@ class MetricsRecorder:
             pass  # telemetry must never fail a query
 
     def onFailure(self, funcName, qe, exception):  # noqa: N802
+        if not self._installed:
+            return
         try:
             with self._lock:
                 self._buffer.append(
@@ -164,17 +181,33 @@ class MetricsRecorder:
     def install(self) -> "MetricsRecorder":
         if self._installed:
             return self
-        from pyspark.java_gateway import ensure_callback_server_started
+        # register the JVM proxy at most ONCE per recorder: unregister
+        # cannot remove it (see uninstall), so a re-install that
+        # registered again would stack proxies and double every row —
+        # re-enabling just flips the flag back on
+        if not self._ever_registered:
+            from pyspark.java_gateway import ensure_callback_server_started
 
-        ensure_callback_server_started(self.spark.sparkContext._gateway)
-        self.spark._jsparkSession.listenerManager().register(self)
+            ensure_callback_server_started(self.spark.sparkContext._gateway)
+            self.spark._jsparkSession.listenerManager().register(self)
+            self._ever_registered = True
         self._installed = True
         return self
 
     def uninstall(self) -> None:
+        """Detach. py4j wraps a Python callback object in a FRESH Java
+        proxy per conversion, so `unregister(self)` passes a proxy the
+        listener bus never saw and removes nothing (verified live) —
+        the flag is the real off-switch: callbacks still arrive but
+        record nothing. The unregister attempt stays for the day py4j
+        interns proxies; `clear()` is not used because it would strip
+        listeners this module does not own."""
         if self._installed:
-            self.spark._jsparkSession.listenerManager().unregister(self)
-            self._installed = False
+            self._installed = False  # off-switch FIRST (callbacks async)
+            try:
+                self.spark._jsparkSession.listenerManager().unregister(self)
+            except Exception:
+                pass
 
     # -- export ------------------------------------------------------
     def wait_for(

@@ -262,7 +262,14 @@ def m06_query_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             df = eng.sql(q)
             rec.register_label(df, label)
             df.collect()  # the metered execution
-        rec.wait_for(set(labeled), timeout_s=30.0)
+        # loud, not silent: a slow listener bus yielding a PARTIAL
+        # metrics buffer must fail the entry, not hash-mismatch it
+        # (same contract as streaming drains this round)
+        if not rec.wait_for(set(labeled), timeout_s=60.0):
+            raise TimeoutError(
+                "query-execution listener did not deliver all metric "
+                "rows within 60s; metrics table would be partial"
+            )
         out = (
             eng.metrics()
             .filter(F.col("label").isNotNull() & (F.col("wall_ms") > 0))

@@ -105,3 +105,36 @@ def test_metrics_flush_batches_and_listener_survives_errors(spark, tmp_path):
     df.collect()
     assert rec.wait_for({"after_failure"}, timeout_s=30.0)
     rec.uninstall()
+
+
+def test_uninstall_stops_recording_and_reinstall_is_single(spark, tmp_path):
+    """py4j cannot actually unregister a Python callback proxy (a
+    fresh proxy is created per conversion, so unregister never
+    matches) — the off-switch is the flag, and re-install must NOT
+    stack a second proxy (which would double every row)."""
+    import time
+
+    from serverless_datalake_aws_spark.operators.metrics import MetricsRecorder
+
+    rec = MetricsRecorder(spark, str(tmp_path / "m")).install()
+    spark.range(3).collect()
+    deadline = time.time() + 20
+    while time.time() < deadline and not rec._buffer:
+        time.sleep(0.05)
+    n1 = len(rec._buffer)
+    assert n1 >= 1
+
+    rec.uninstall()
+    spark.range(4).collect()
+    time.sleep(2)
+    assert len(rec._buffer) == n1  # detached: nothing recorded
+
+    rec.install()  # re-enable
+    df = spark.range(6).groupBy((F.col("id") % 2).alias("k")).count()
+    rec.register_label(df, "reinstalled")
+    df.collect()
+    assert rec.wait_for({"reinstalled"}, timeout_s=20.0)
+    time.sleep(2)  # allow any (wrong) duplicate delivery to land
+    labeled = [r for r in rec._buffer if r["label"] == "reinstalled"]
+    assert len(labeled) == 1  # exactly once — no stacked proxies
+    rec.uninstall()
