@@ -355,9 +355,8 @@ class DataLakeEngine:
         # reference's DynamoDB stream (index-data-lambda.py:51-65).
         # index_cdc() consumes it as a checkpointed file stream.
         meta_rows.write.mode("append").parquet(self.changelog_path)
-        accepted = [
-            r[0] for r in rows if r[0] not in set(quarantined_ids)
-        ]
+        quarantined = set(quarantined_ids)
+        accepted = [r[0] for r in rows if r[0] not in quarantined]
         self._log_lineage("ingest", source, f"{raw_root}/records", len(accepted))
         return accepted
 

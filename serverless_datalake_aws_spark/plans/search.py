@@ -445,3 +445,111 @@ def x09_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(10)
     )
+
+
+@query(
+    "x10_fuzzy_term_search",
+    oracle="""
+    WITH vocab AS (
+        SELECT w AS tok, count(DISTINCT doc_id) AS n_docs
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        WHERE w <> '' GROUP BY w),
+    vkeys AS (
+        SELECT tok, n_docs, unnest(list_append(
+            list_transform(generate_series(1, length(tok)),
+                i -> substring(tok, 1, i - 1) ||
+                     substring(tok, i + 1, length(tok))),
+            tok)) AS dkey
+        FROM vocab),
+    queries AS (SELECT unnest(['tabel', 'strem', 'custmer', 'windoow'])
+                    AS query_term),
+    qkeys AS (
+        SELECT query_term, unnest(list_append(
+            list_transform(generate_series(1, length(query_term)),
+                i -> substring(query_term, 1, i - 1) ||
+                     substring(query_term, i + 1, length(query_term))),
+            query_term)) AS dkey
+        FROM queries),
+    cand AS (
+        SELECT DISTINCT q.query_term, v.tok, v.n_docs
+        FROM qkeys q JOIN vkeys v ON q.dkey = v.dkey AND v.dkey <> '')
+    SELECT query_term, tok AS match_token,
+           CAST(levenshtein(query_term, tok) AS BIGINT) AS lev_dist, n_docs
+    FROM cand
+    WHERE levenshtein(query_term, tok) <= 2
+    ORDER BY query_term, lev_dist, match_token
+    """,
+)
+def x10_fuzzy_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy ("did-you-mean") term search via the SymSpell deletion
+    neighborhood — the typo tolerance OpenSearch fuzziness=AUTO gives
+    the reference's search API, Spark-first and index-shaped:
+
+    1. INDEX SIDE: each vocabulary token emits its ≤1-deletion keys
+       (token + every drop-one-char variant) — |tok|+1 short keys per
+       term, computed once at index build.
+    2. QUERY SIDE: the query term expands the same way (a handful of
+       keys — the request is driver-bounded).
+    3. The equi-join on deletion keys IS the fuzzy candidate match:
+       one-substitution, one-insert/delete AND adjacent-transposition
+       pairs provably share a deletion key, so no scan ever evaluates
+       edit distance against the whole vocabulary (the naive fuzzy
+       scan is |vocab| × |queries| distance calls; this is
+       |candidates|, orders of magnitude smaller on a real corpus).
+    4. VERIFY: surviving candidates are confirmed with exact
+       levenshtein ≤ 2 and ranked (distance, then term), carrying
+       document frequency for did-you-mean ordering.
+
+    At 100 TB the deletion-key index is ~(avg_len+1)× the vocabulary —
+    vocabulary grows sub-linearly in corpus size, and the query-side
+    expansion broadcasts. The oracle replays index build, expansion,
+    join, and verification in SQL."""
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+    deletions = (
+        "array_union(transform(sequence(1, length({c})), i -> "
+        "concat(substring({c}, 1, i - 1), "
+        "substring({c}, i + 1, length({c})))), array({c}))"
+    )
+    vkeys = vocab.select(
+        "tok",
+        "n_docs",
+        F.explode(F.expr(deletions.format(c="tok"))).alias("dkey"),
+    )
+    queries = spark.createDataFrame(
+        [("tabel",), ("strem",), ("custmer",), ("windoow",)],
+        "query_term string",
+    )
+    qkeys = queries.select(
+        "query_term",
+        F.explode(F.expr(deletions.format(c="query_term"))).alias("dkey"),
+    )
+    cand = (
+        qkeys.filter(F.col("dkey") != "")
+        .hint("broadcast")
+        .join(vkeys, "dkey")
+        .select("query_term", "tok", "n_docs")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "lev_dist", F.levenshtein("query_term", "tok").cast("long")
+        )
+        .filter(F.col("lev_dist") <= 2)
+        .select(
+            "query_term",
+            F.col("tok").alias("match_token"),
+            "lev_dist",
+            "n_docs",
+        )
+        .orderBy("query_term", "lev_dist", "match_token")
+    )
