@@ -504,3 +504,54 @@ def test_d18_band_join_is_hash_with_slim_payload(spark):
         if "Exchange hashpartitioning" in line:
             assert "hashes" not in line, line
             assert "text" not in line.split("hashpartitioning")[1][:200], line
+
+
+def test_e23_asof_is_linear_union_window(spark):
+    """The as-of join must be the union+window plan — ONE hash exchange
+    on the key and a single Window, never a range-join cross product
+    (the per-key |L|x|R| blowup that kills hot keys at scale)."""
+    plan = _plan(spark, "e23_asof_join")
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert plan.count("Window") >= 1
+    # exactly one key exchange for the as-of itself (the second
+    # hashpartitioning in the plan is the entry's right-side dedup agg)
+    assert plan.count("hashpartitioning(__k") == 1, plan[:2000]
+
+
+def test_t37_acceptance_is_scan_local(spark):
+    """Mixture sampling must broadcast the |domains|-row threshold
+    table onto the document scan — acceptance is a scan-local
+    predicate; the documents themselves never shuffle."""
+    plan = _plan(spark, "t37_mixture_sampling")
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            # only tiny aggregates shuffle; never doc ids/hashes
+            assert "doc_id" not in line.split("hashpartitioning")[1][:200], line
+
+
+def test_x10_fuzzy_candidates_via_broadcast_key_join(spark):
+    """Fuzzy search must match candidates through the deletion-key
+    equi-join with the query side broadcast — never a vocabulary-wide
+    distance evaluation (nested loop against the query set)."""
+    plan = _plan(spark, "x10_fuzzy_term_search")
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    blocks = plan.split("\n\n")
+    assert any(
+        "BroadcastHashJoin" in b and "dkey" in b for b in blocks
+    ), plan[:2000]
+
+
+def test_s23_rerank_joins_shortlist_not_corpus(spark):
+    """The rerank stage must keep the cell-restricted probe join (cid)
+    of s21 AND join the exact leg on (query_id, neighbor_id) — no
+    cartesian, no nested loop anywhere in the serving plan."""
+    plan = _plan(spark, "s23_ivfpq_rerank")
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    blocks = plan.split("\n\n")
+    assert any(
+        "BroadcastHashJoin" in b and "cid" in b for b in blocks
+    ), plan[:2000]
