@@ -940,3 +940,65 @@ def e23_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("view_value", 4).alias("view_value"),
         (F.unix_micros("ts") - F.unix_micros("ts_right")).alias("staleness_us"),
     ).orderBy("event_id")
+
+
+@query(
+    "e24_resample_locf",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, ts, max(value) AS value
+        FROM events GROUP BY user_id, ts),
+    b AS (SELECT date_trunc('day', min(ts)) AS lo,
+                 date_trunc('day', max(ts)) AS hi FROM events),
+    days AS (SELECT unnest(generate_series((SELECT lo FROM b),
+                                           (SELECT hi FROM b),
+                                           INTERVAL 1 DAY)) AS day),
+    users AS (SELECT DISTINCT user_id FROM events),
+    grid AS (SELECT u.user_id, d.day FROM users u CROSS JOIN days d)
+    SELECT g.user_id, g.day, o.ts AS obs_ts,
+           round(o.value, 4) AS locf_value,
+           epoch_us(g.day) - epoch_us(o.ts) AS staleness_us
+    FROM grid g ASOF LEFT JOIN obs o
+      ON g.user_id = o.user_id AND g.day >= o.ts
+    ORDER BY g.user_id, g.day
+    """,
+)
+def e24_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample-to-grid with last-observation-carried-forward: every
+    user sampled on a regular daily grid, each grid point carrying the
+    user's most recent event value at-or-before it plus exact
+    staleness — the time-series regularization step every feature
+    pipeline runs before models that need aligned inputs (the gap-fill
+    complement to e07's interpolation: LOCF is causal, usable online;
+    interpolation is not).
+
+    Composes operators/asof.asof_join: grid rows are the as-of LEFT
+    side, deduped observations the right — ONE key-partitioned window
+    over |grid|+|obs| rows, no per-day range scans. Pre-grid users
+    resolve to NULL (no lookahead). Oracle: DuckDB's native ASOF JOIN
+    over the identical grid — two independent as-of algorithms
+    agreeing on every grid point, tie rule, and NULL.
+
+    Scale: the grid is |users| × |days| (metadata-sized relative to
+    events); the window parallelizes per user. Statically-known grids
+    broadcast; the observation side never replicates."""
+    from serverless_datalake_aws_spark.operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    obs = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    grid = ev.select("user_id").distinct().crossJoin(F.broadcast(days))
+    j = asof_join(grid, obs, on="user_id", left_ts="day", right_ts="ts")
+    return j.select(
+        "user_id",
+        "day",
+        F.col("ts").alias("obs_ts"),
+        F.round("value", 4).alias("locf_value"),
+        (F.unix_micros("day") - F.unix_micros("ts")).alias("staleness_us"),
+    ).orderBy("user_id", "day")
