@@ -1048,3 +1048,76 @@ def d18_simhash56_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hamming"),
     ).dropDuplicates(["doc1", "doc2"])
+
+
+@query(
+    "d19_benchmark_decontamination",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(w[i:i+7], ' ')) AS g
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, len(w) - 7)) AS i
+              FROM toks)),
+    bench AS (
+        SELECT doc_id AS bench_id, g FROM grams WHERE doc_id % 50 = 0),
+    corpus AS (
+        SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0),
+    hits AS (
+        SELECT c.doc_id, c.g, b.bench_id
+        FROM corpus c JOIN bench b ON c.g = b.g)
+    SELECT doc_id,
+           count(DISTINCT g) AS n_shared_ngrams,
+           count(DISTINCT bench_id) AS n_benchmark_docs_hit
+    FROM hits GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def d19_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the eval-set overlap check every
+    LLM training pipeline must run (GPT-3 appendix C / PaLM: drop or
+    flag training docs sharing long n-grams with evaluation data):
+    docs with doc_id % 50 == 0 stand in for the benchmark set; every
+    OTHER doc sharing at least one 8-gram with any benchmark doc is
+    reported with its shared-gram and benchmark-doc counts.
+
+    Plan: both sides explode to DISTINCT (doc, md5(8-gram)) rows — the
+    gram TEXT dies in the map stage, 32-char hashes shuffle — and the
+    equi-join on gram hash is the contamination probe. The benchmark
+    side is eval-set-sized (broadcastable at any corpus scale), so at
+    100 TB this is one map-side-hashed pass over the corpus grams:
+    cost ∝ corpus tokens, never corpus × benchmark.
+
+    Deterministic by construction (hash set ops, no thresholds); the
+    oracle replays shingling, hashing, join, and both counts."""
+    docs = table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id",
+            F.split("text", " ").alias("w"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(w) - 7, 0)), "
+                    "i -> md5(array_join(slice(w, i, 8), ' ')))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    bench = grams.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    corpus = grams.filter(F.col("doc_id") % 50 != 0)
+    hits = corpus.join(F.broadcast(bench), "g")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_ngrams"),
+            F.countDistinct("bench_id").alias("n_benchmark_docs_hit"),
+        )
+        .orderBy("doc_id")
+    )
