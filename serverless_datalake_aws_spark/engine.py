@@ -366,6 +366,124 @@ class DataLakeEngine:
         (failed Lambda invocations vanish into retries)."""
         return self.spark.read.parquet(f"{self.root}/quarantine/records")
 
+    def requeue_quarantined(
+        self, validate: list[tuple[str, str]] | None = None
+    ) -> dict[str, int]:
+        """DLQ redrive: re-evaluate quarantined rows against `validate`
+        (None = accept all — the operator fixed the data or retired the
+        rule) and re-ingest the passers as NEW ingest events; failures
+        stay quarantined. The quarantined `_meta` row REMAINS as the
+        audit trail (append-only metadata, like the reference's
+        DynamoDB history) — the requeued record gets a fresh id whose
+        description links the original.
+
+        Idempotent per original id (the index_cdc pattern): a crash
+        between the raw append and the quarantine rewrite redelivers
+        the same rows, but any original id already linked from `_meta`
+        is skipped, so retries never double-ingest. The quarantine
+        rewrite itself is tmp+swap (crash leaves the old DLQ intact).
+        Returns {"requeued": n, "still_quarantined": m}."""
+        if self.is_remote:
+            raise NotImplementedError(
+                "requeue swaps the local quarantine dir; object stores "
+                "route through versioned publish"
+            )
+        qpath = Path(self.root) / "quarantine" / "records"
+        if not qpath.exists():
+            return {"requeued": 0, "still_quarantined": 0}
+        q = self.spark.read.parquet(str(qpath))
+        if validate:
+            failed = F.filter(
+                F.array(
+                    *[
+                        F.when(
+                            ~F.coalesce(F.expr(pred), F.lit(False)),
+                            F.lit(name),
+                        )
+                        for name, pred in validate
+                    ]
+                ),
+                lambda x: x.isNotNull(),
+            )
+            q = q.drop("failed_rules").withColumn("failed_rules", failed)
+            passing = q.filter(F.size("failed_rules") == 0)
+            staying = q.filter(F.size("failed_rules") > 0)
+        else:
+            passing = q
+            staying = q.limit(0)
+        # idempotence guard: original ids already requeued (linked from
+        # a _meta description) are skipped on redelivery
+        already = (
+            self.meta()
+            .filter(F.col("description").startswith("requeued from "))
+            .select(
+                F.substring_index("description", "requeued from ", -1).alias(
+                    "id"
+                )
+            )
+            .distinct()
+        )
+        passing = passing.join(F.broadcast(already), "id", "left_anti")
+        now = datetime.now(timezone.utc)
+        ingest_date = now.strftime("%Y-%m-%d")
+        fresh = passing.select(
+            F.expr("uuid()").alias("id"),
+            "payload",
+            "data_type",
+            F.lit(ingest_date).alias("ingest_date"),
+            F.col("id").alias("orig_id"),
+        ).localCheckpoint(eager=True)  # pin uuid() before multi-write
+        n = fresh.count()
+        if n:
+            raw_root = self.zone("raw")
+            fresh.drop("orig_id").write.mode("append").partitionBy(
+                "data_type", "ingest_date"
+            ).parquet(f"{raw_root}/records")
+            meta_rows = fresh.select(
+                "id",
+                F.lit(now).alias("timestamp"),
+                "data_type",
+                F.lit("requeue").alias("source"),
+                F.lit("system").alias("owner"),
+                F.concat(
+                    F.lit(f"{raw_root}/records/data_type="),
+                    "data_type",
+                    F.lit("/ingest_date="),
+                    "ingest_date",
+                ).alias("location"),
+                F.octet_length("payload").cast("long").alias("size_bytes"),
+                F.lit("ingested").alias("status"),
+                F.lit(None).cast("array<string>").alias("tags"),
+                F.concat(F.lit("requeued from "), "orig_id").alias(
+                    "description"
+                ),
+                F.lit(False).alias("indexed"),
+                F.lit(None).cast("timestamp").alias("indexed_at"),
+            )
+            meta_rows.write.mode("append").partitionBy("data_type").parquet(
+                self.meta_path
+            )
+            meta_rows.write.mode("append").parquet(self.changelog_path)
+            self._log_lineage(
+                "requeue", str(qpath), f"{raw_root}/records", n
+            )
+        # rewrite the DLQ without the requeued rows (tmp+swap). Gate on
+        # rows REMOVED, not rows requeued now: a retry after a crash
+        # mid-requeue has n == 0 (idempotence guard skipped them) but
+        # must still clear the already-redriven rows from the DLQ.
+        m = staying.count()
+        removed = q.count() - m
+        tmp = str(qpath) + ".requeue.tmp"
+        if removed and m:
+            staying.write.mode("overwrite").partitionBy(
+                "data_type", "ingest_date"
+            ).parquet(tmp)
+            shutil.rmtree(qpath)
+            shutil.move(tmp, qpath)
+        elif removed:
+            shutil.rmtree(qpath, ignore_errors=True)
+        return {"requeued": n, "still_quarantined": m}
+
     # -- metadata table ------------------------------------------------------
     def meta(self) -> DataFrame:
         if not self.is_remote:
