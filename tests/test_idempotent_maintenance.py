@@ -288,3 +288,54 @@ def test_index_cdc_append_is_idempotent_per_id(spark, tmp_path):
     idx2 = spark.read.parquet(eng.search_index_path)
     assert idx2.count() == n1
     assert idx2.groupBy("id", "token").count().filter("count > 1").count() == 0
+
+
+def test_randomized_retry_schedules_equal_from_scratch(spark, tmp_path):
+    """Adversarial schedules (seeded): rows split into random batches,
+    delivered with random duplicate re-deliveries interleaved — the
+    final rollup must ALWAYS equal the from-scratch aggregate. This is
+    the at-least-once delivery space the r6 red row came from,
+    explored beyond the single-retry case."""
+    import random
+
+    from serverless_datalake_aws_spark.operators.incremental import MaintainedRollup
+
+    rng = random.Random(1207)
+    rows = [(f"k{i % 7}", float(i % 23) + 0.5) for i in range(200)]
+    for trial in range(4):
+        rng.shuffle(rows)
+        n_batches = rng.randint(2, 5)
+        cuts = sorted(rng.sample(range(1, len(rows)), n_batches - 1))
+        batches = [
+            rows[a:b] for a, b in zip([0, *cuts], [*cuts, len(rows)])
+        ]
+        # delivery: each epoch delivered once, then 0-2 duplicate
+        # re-deliveries of it (and occasionally an OLDER epoch replay)
+        schedule: list[int] = []
+        for e in range(n_batches):
+            schedule.append(e)
+            for _ in range(rng.randint(0, 2)):
+                schedule.append(e)
+            if e and rng.random() < 0.5:
+                schedule.append(rng.randrange(e))  # stale replay
+        rollup = MaintainedRollup(
+            spark,
+            str(tmp_path / f"r{trial}"),
+            keys=["k"],
+            measures=["v"],
+        )
+        for e in schedule:
+            rollup.apply(
+                spark.createDataFrame(batches[e], "k string, v double"),
+                epoch_id=e,
+            )
+        got = {
+            r["k"]: (r["n_rows"], round(r["sum_v"], 6))
+            for r in rollup.read().collect()
+        }
+        want: dict[str, tuple[int, float]] = {}
+        for k, v in rows:
+            n, s = want.get(k, (0, 0.0))
+            want[k] = (n + 1, s + v)
+        want = {k: (n, round(s, 6)) for k, (n, s) in want.items()}
+        assert got == want, f"trial {trial} schedule {schedule}"
