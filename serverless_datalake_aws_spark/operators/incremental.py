@@ -243,6 +243,62 @@ def _read_partials(spark, path: str) -> DataFrame | None:
     return _EpochStateStore(spark, path).read()
 
 
+class EpochPartitionedTable:
+    """Append-shaped maintained state with epoch-idempotent writes —
+    the second storage contract (the _EpochStateStore sibling for
+    sinks that ACCUMULATE rows instead of rewriting a small state):
+    every absorb lands in hive partitions epoch=<n> under named
+    subtables (mode=overwrite on exactly that epoch dir), and a single
+    atomic pointer commits the epoch high-water mark AFTER all writes.
+    Readers filter epoch <= committed, so a crash mid-absorb leaves
+    the uncommitted epoch invisible and a foreachBatch retry simply
+    overwrites it. Used by MaintainedJoin (view/left/right) and the
+    streaming near-dup index (pairs/bands/toks)."""
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    def committed(self) -> int:
+        import json
+        import os
+
+        p = os.path.join(self.path, "_LATEST")
+        if not os.path.exists(p):
+            return -1
+        with open(p) as fh:
+            return int(json.load(fh)["epoch"])
+
+    def commit(self, epoch: int) -> None:
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"._LATEST.{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            json.dump({"epoch": epoch}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self.path, "_LATEST"))
+
+    def write(self, df: DataFrame, sub: str, epoch: int) -> None:
+        df.write.mode("overwrite").parquet(
+            f"{self.path}/{sub}/epoch={epoch}"
+        )
+
+    def read(self, sub: str, upto: int) -> DataFrame | None:
+        from pyspark.errors import AnalysisException
+
+        try:
+            df = self.spark.read.parquet(f"{self.path}/{sub}")
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return None
+            raise
+        return df.filter(F.col("epoch") <= F.lit(upto)).drop("epoch")
+
+
 class MaintainedRollup:
     """A persisted rollup table absorbing delta batches incrementally.
 
@@ -416,40 +472,7 @@ class MaintainedJoin:
         self.spark = spark
         self.path = path
         self.on = on
-
-    def _committed(self) -> int:
-        import json
-        import os
-
-        p = os.path.join(self.path, "_LATEST")
-        if not os.path.exists(p):
-            return -1
-        with open(p) as fh:
-            return int(json.load(fh)["epoch"])
-
-    def _commit(self, epoch: int) -> None:
-        import json
-        import os
-        import uuid
-
-        os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f"._LATEST.{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as fh:
-            json.dump({"epoch": epoch}, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, os.path.join(self.path, "_LATEST"))
-
-    def _read(self, sub: str, upto: int) -> DataFrame | None:
-        from pyspark.errors import AnalysisException
-
-        try:
-            df = self.spark.read.parquet(f"{self.path}/{sub}")
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-                return None
-            raise
-        return df.filter(F.col("epoch") <= F.lit(upto)).drop("epoch")
+        self._t = EpochPartitionedTable(spark, path)
 
     def apply(
         self,
@@ -457,12 +480,12 @@ class MaintainedJoin:
         delta_right: DataFrame | None = None,
         epoch_id: int | None = None,
     ) -> None:
-        high = self._committed()
+        high = self._t.committed()
         if epoch_id is not None and epoch_id <= high:
             return  # batch retry — this epoch already committed
         eid = epoch_id if epoch_id is not None else high + 1
-        left_old = self._read("left", upto=high)
-        right_old = self._read("right", upto=high)
+        left_old = self._t.read("left", upto=high)
+        right_old = self._t.read("right", upto=high)
         parts = []
         if delta_left is not None and right_old is not None:
             parts.append(delta_left.join(right_old, self.on))
@@ -472,19 +495,15 @@ class MaintainedJoin:
             parts.append(delta_left.join(delta_right, self.on))
         if parts:
             dv = reduce(lambda a, b: a.unionByName(b), parts)
-            dv.write.mode("overwrite").parquet(f"{self.path}/view/epoch={eid}")
+            self._t.write(dv, "view", eid)
         if delta_left is not None:
-            delta_left.write.mode("overwrite").parquet(
-                f"{self.path}/left/epoch={eid}"
-            )
+            self._t.write(delta_left, "left", eid)
         if delta_right is not None:
-            delta_right.write.mode("overwrite").parquet(
-                f"{self.path}/right/epoch={eid}"
-            )
-        self._commit(eid)
+            self._t.write(delta_right, "right", eid)
+        self._t.commit(eid)
 
     def read(self) -> DataFrame:
-        view = self._read("view", upto=self._committed())
+        view = self._t.read("view", upto=self._t.committed())
         if view is None:
             raise FileNotFoundError(f"no view materialized at {self.path}")
         return view

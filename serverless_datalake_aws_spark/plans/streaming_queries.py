@@ -953,3 +953,153 @@ def st14_stream_maintained_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _st15_prepare(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(bands, toks) for one micro-batch — d04's exact sketch pipeline
+    (3-gram shingles, md5 minhash, LSH band keys) over the batch."""
+    from serverless_datalake_aws_spark.functions import text as TX
+
+    d = batch.select(
+        "doc_id",
+        F.array_distinct(TX.word_ngrams("text", n=3)).alias("toks"),
+    ).withColumn(
+        "hs", F.transform("toks", lambda t: TX.token_hash(t) % TX.MINHASH_P)
+    )
+    bands = d.select(
+        "doc_id",
+        F.explode(TX.lsh_band_keys(TX.minhash_mins(F.col("hs")))).alias(
+            "band_key"
+        ),
+    )
+    return bands, d.select("doc_id", "toks")
+
+
+@query(
+    "st15_stream_minhash_index",
+    oracle=__import__(
+        "serverless_datalake_aws_spark.plans.dedup", fromlist=["_MINHASH_ORACLE"]
+    )._MINHASH_ORACLE,
+)
+def st15_stream_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-on-ingest: the MinHash LSH index maintained AS THE
+    DOCUMENT STREAM LANDS — each micro-batch sketches ITS docs (d04's
+    exact shingle→minhash→band pipeline), probes the persisted band
+    index for cross-batch candidates, self-joins within the batch,
+    verifies with exact Jaccard ≥ 0.6, and appends its bands/shingles
+    to the index — so every near-dup pair is known the moment its
+    SECOND member arrives, without ever re-sketching history. This is
+    st13's exact-dedup front door upgraded to NEAR-dup, the shape a
+    crawl-ingest pipeline actually needs (new shards continuously
+    deduped against the whole accumulated corpus).
+
+    State rides EpochPartitionedTable (epoch-partitioned overwrites +
+    atomic pointer), so absorption is idempotent per epoch — a Spark
+    batch retry overwrites its own epoch's pairs/bands/toks instead of
+    duplicating them; a crash mid-absorb leaves the uncommitted epoch
+    invisible.
+
+    Maintenance-correctness proof: each unordered pair surfaces
+    exactly once (when its later shard arrives), so the union of
+    per-epoch pair sets must equal d04's from-scratch result — the
+    oracle IS d04's oracle string (the same SQL replay of the whole
+    sketch pipeline), so the driver value-checks the maintained index
+    against the batch ground truth.
+
+    Scale: per batch the sketch pass is |batch|-local; the index probe
+    shuffles (doc_id, band_key) rows only (shingles re-attach to
+    SURVIVING candidates); index growth is |docs| × bands rows."""
+    import shutil
+    import tempfile
+
+    from serverless_datalake_aws_spark.catalog import table
+    from serverless_datalake_aws_spark.operators.banding import (
+        capped_band_self_join,
+    )
+    from serverless_datalake_aws_spark.operators.incremental import (
+        EpochPartitionedTable,
+    )
+
+    work = tempfile.mkdtemp(prefix="st15_")
+    try:
+        src = f"{work}/doc_shards"
+        (
+            table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .repartition(4)
+            .write.parquet(src)
+        )
+        ept = EpochPartitionedTable(spark, f"{work}/state")
+
+        def _absorb(batch: DataFrame, eid: int) -> None:
+            if eid <= ept.committed():
+                return  # retry of an absorbed epoch
+            bands_b, toks_b = _st15_prepare(batch)
+            bands_b = bands_b.cache()
+            high = ept.committed()
+            old_bands = ept.read("bands", upto=high)
+            old_toks = ept.read("toks", upto=high)
+            within = capped_band_self_join(bands_b, "band_key", "doc_id")
+            if old_bands is not None:
+                cross = (
+                    bands_b.join(
+                        old_bands.withColumnRenamed("doc_id", "old_id"),
+                        "band_key",
+                    )
+                    .select(
+                        F.least("doc_id", "old_id").alias("doc1"),
+                        F.greatest("doc_id", "old_id").alias("doc2"),
+                    )
+                )
+                cand = within.select("doc1", "doc2").unionByName(cross)
+            else:
+                cand = within.select("doc1", "doc2")
+            cand = cand.dropDuplicates(["doc1", "doc2"])
+            all_toks = (
+                toks_b if old_toks is None
+                else toks_b.unionByName(old_toks)
+            )
+            t1 = all_toks.select(
+                F.col("doc_id").alias("doc1"), F.col("toks").alias("t1")
+            )
+            t2 = all_toks.select(
+                F.col("doc_id").alias("doc2"), F.col("toks").alias("t2")
+            )
+            inter = F.size(F.array_intersect("t1", "t2")).cast("double")
+            jac = inter / (F.size("t1") + F.size("t2") - inter)
+            pairs = (
+                cand.join(t1, "doc1")
+                .join(t2, "doc2")
+                .withColumn("_jac_raw", jac)
+                .filter(F.col("_jac_raw") >= 0.6)
+                .select("doc1", "doc2", F.round("_jac_raw", 4).alias("jac"))
+            )
+            ept.write(pairs, "pairs", eid)
+            ept.write(bands_b, "bands", eid)
+            ept.write(toks_b, "toks", eid)
+            ept.commit(eid)
+            bands_b.unpersist()
+
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(_absorb)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, 300)
+        out = ept.read("pairs", upto=ept.committed())
+        if out is None:
+            return spark.createDataFrame(
+                [], "doc1 long, doc2 long, jac double"
+            )
+        out = out.orderBy("doc1", "doc2")
+        rows = out.collect()  # materialize before the workdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -174,10 +174,10 @@ def test_maintained_join_uncommitted_epoch_invisible(spark, tmp_path):
     mj.apply(delta_left=left, epoch_id=0)
 
     # simulate the crash: write epoch 1's dirs but skip the commit
-    commit = mj._commit
-    mj._commit = lambda e: None
+    commit = mj._t.commit
+    mj._t.commit = lambda e: None
     mj.apply(delta_right=right, epoch_id=1)
-    mj._commit = commit
+    mj._t.commit = commit
     assert mj.read().count() == 0  # epoch 1 invisible: no committed join rows
     mj.apply(delta_right=right, epoch_id=1)  # retry overwrites + commits
     got = sorted(map(tuple, mj.read().select("k", "lv", "rv").collect()))
