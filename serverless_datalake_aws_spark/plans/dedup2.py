@@ -1075,12 +1075,16 @@ def d18_simhash56_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d19_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination — the eval-set overlap check every
-    LLM training pipeline must run (GPT-3 appendix C / PaLM: drop or
-    flag training docs sharing long n-grams with evaluation data):
-    docs with doc_id % 50 == 0 stand in for the benchmark set; every
-    OTHER doc sharing at least one 8-gram with any benchmark doc is
-    reported with its shared-gram and benchmark-doc counts.
+    """Benchmark decontamination, HARD-MATCH variant — the exact
+    long-n-gram hit rule (GPT-3 appendix C: a training doc is
+    contaminated if it shares ANY 13-gram with eval data; 8-grams at
+    this synthetic vocabulary). Complements d12's SOFT variant (3-gram
+    overlap RATIO against a benchmark source) on three axes: hit
+    semantics (any-single-long-gram vs 10% short-gram ratio — a doc
+    quoting one eval question verbatim passes d12 but must be caught),
+    benchmark granularity (a doc SET, doc_id % 50 == 0, vs one
+    source), and output (per-benchmark-doc attribution — which eval
+    docs leaked where — the forensics d12's boolean can't answer).
 
     Plan: both sides explode to DISTINCT (doc, md5(8-gram)) rows — the
     gram TEXT dies in the map stage, 32-char hashes shuffle — and the
