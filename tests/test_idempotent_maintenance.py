@@ -339,3 +339,32 @@ def test_randomized_retry_schedules_equal_from_scratch(spark, tmp_path):
             want[k] = (n + 1, s + v)
         want = {k: (n, round(s, 6)) for k, (n, s) in want.items()}
         assert got == want, f"trial {trial} schedule {schedule}"
+
+
+def test_epoch_partitioned_table_contract(spark, tmp_path):
+    """The shared append-shaped state contract (MaintainedJoin, st15):
+    uncommitted epochs invisible, replay overwrites its own epoch,
+    reads exclude epochs beyond `upto`."""
+    from serverless_datalake_aws_spark.operators.incremental import (
+        EpochPartitionedTable,
+    )
+
+    t = EpochPartitionedTable(spark, str(tmp_path / "ept"))
+    assert t.committed() == -1
+    assert t.read("rows", upto=t.committed()) is None
+
+    t.write(spark.createDataFrame([(1,)], "x long"), "rows", 0)
+    t.commit(0)
+    t.write(spark.createDataFrame([(2,), (3,)], "x long"), "rows", 1)
+    # epoch 1 not committed: invisible
+    assert sorted(
+        r["x"] for r in t.read("rows", upto=t.committed()).collect()
+    ) == [1]
+    # retry overwrites epoch 1 with different content, then commits
+    t.write(spark.createDataFrame([(9,)], "x long"), "rows", 1)
+    t.commit(1)
+    assert sorted(
+        r["x"] for r in t.read("rows", upto=t.committed()).collect()
+    ) == [1, 9]
+    # bounded reads exclude later epochs
+    assert sorted(r["x"] for r in t.read("rows", upto=0).collect()) == [1]
