@@ -100,10 +100,13 @@ def _load() -> None:
 # s18/st01/st04/t14/t30/x03/x09 — driver-green in CORRECTNESS_r05.json;
 # round-6 slate: e22/p07/q82-q84/s19/s20/st10-st12/t31/t34 — all green
 # in CORRECTNESS_r06.json EXCEPT a08_st10, whose hash-red exposed the
-# foreachBatch double-absorb fixed in round 7. Round-7 slate below, per
-# VERDICT r6 item 2: the round-6 additions the driver has never
-# sampled, plus st10 and st12 RE-PINNED — a red row must be re-proven
-# externally after the fix, not retired).
+# foreachBatch double-absorb fixed in round 7. The round-7 slate
+# (a01-a10 below: round-6 additions plus st10/st12 re-pinned per
+# VERDICT r6 item 2) was never externally recorded — no
+# CORRECTNESS_r07.json was produced — so round 8 KEEPS it verbatim
+# (an unverified slate is not rotated away) and APPENDS the round-7
+# additions as a11-a19 so the driver's 50-name sample covers both
+# rounds' new surface at once).
 DRIVER_SAMPLE_ALIASES: dict[str, str] = {
     "a01_d18_simhash56_banded_pairs": "d18_simhash56_banded_pairs",
     "a02_e21_incremental_quantiles": "e21_incremental_quantiles",
@@ -115,6 +118,15 @@ DRIVER_SAMPLE_ALIASES: dict[str, str] = {
     "a08_st13_stream_dedup_index": "st13_stream_dedup_index",
     "a09_t35_boilerplate_span_dedup": "t35_boilerplate_span_dedup",
     "a10_t36_bpe_encode": "t36_bpe_encode",
+    "a11_d19_benchmark_decontamination": "d19_benchmark_decontamination",
+    "a12_e23_asof_join": "e23_asof_join",
+    "a13_e24_resample_locf": "e24_resample_locf",
+    "a14_m06_query_metrics_rollup": "m06_query_metrics_rollup",
+    "a15_s23_ivfpq_rerank": "s23_ivfpq_rerank",
+    "a16_st14_stream_maintained_join": "st14_stream_maintained_join",
+    "a17_st15_stream_minhash_index": "st15_stream_minhash_index",
+    "a18_t37_mixture_sampling": "t37_mixture_sampling",
+    "a19_x10_fuzzy_term_search": "x10_fuzzy_term_search",
 }
 
 
