@@ -660,6 +660,104 @@ class DataLakeEngine:
 
         return vacuum(self._versioned_root(name), keep=keep)
 
+    # -- file-statistics index / data skipping (Delta stats parity) --------
+    @property
+    def stats_path(self) -> str:
+        return f"{self.root}/_stats"
+
+    def analyze(self, zone: str = "raw") -> int:
+        """Build (or rebuild) the per-file zone-map index for `zone`:
+        footer-only min/max/null-count stats for every top-level
+        column, written to `_stats/<zone>`. The reference has no
+        skipping layer — every Athena query scans the whole prefix
+        (SURVEY §4.3); this is the engine-native twin of Delta's
+        per-file stats. Cost is O(#files) footer reads, distributed —
+        no data pages. Derived + rebuildable, so a plain overwrite is
+        safe (a torn write is repaired by re-running analyze; readers
+        fall back to full scans on a missing/partial index via the
+        fail-open contract in sources/stats.py). Returns #files."""
+        if self.is_remote:
+            raise NotImplementedError(
+                "footer walk requires a local lake root in this build; on "
+                "an object store, collect stats from the FileStatus list "
+                "+ footer reads via the S3A client"
+            )
+        from serverless_datalake_aws_spark.sources.stats import (
+            collect_file_stats,
+            list_parquet_files,
+        )
+
+        files = list_parquet_files(self.zone(zone))
+        st = collect_file_stats(self.spark, self.zone(zone), files=files)
+        st.write.mode("overwrite").parquet(f"{self.stats_path}/{zone}")
+        return len(files)
+
+    def file_stats(self, zone: str = "raw") -> DataFrame:
+        return self.spark.read.parquet(f"{self.stats_path}/{zone}")
+
+    def scan_pruned(self, zone: str, column: str, lo=None, hi=None) -> DataFrame:
+        """Range scan of `zone` that opens only files whose min/max
+        can contain [lo, hi] (plus never-indexed files — fail-open),
+        with the predicate re-applied: skipping changes I/O, never
+        results. Combine with layout.zorder_write / compact so files
+        cover narrow ranges and the prune bites."""
+        from serverless_datalake_aws_spark.sources.stats import pruned_scan
+
+        return pruned_scan(
+            self.spark, self.zone(zone), self.file_stats(zone), column, lo, hi
+        )
+
+    def build_key_index(
+        self,
+        zone: str,
+        key: str,
+        num_bits: int = 1 << 20,
+        num_hashes: int = 5,
+    ) -> int:
+        """Per-file bloom index over `key` for equality skipping on
+        unclustered high-cardinality columns (the reference keeps a
+        DynamoDB copy of metadata for this; here the lake indexes
+        itself). Long-form (file, word, word_val) Parquet + the
+        sizing params on every row so probes self-configure. Returns
+        #index rows."""
+        if self.is_remote:
+            raise NotImplementedError(
+                "key index requires a local lake root in this build"
+            )
+        from pyspark.sql import functions as F
+
+        from serverless_datalake_aws_spark.sources.stats import build_bloom_index
+
+        idx = (
+            build_bloom_index(
+                self.spark, self.zone(zone), key, num_bits, num_hashes
+            )
+            .withColumn("num_bits", F.lit(num_bits))
+            .withColumn("num_hashes", F.lit(num_hashes))
+        )
+        out = f"{self.stats_path}/{zone}__bloom__{key}"
+        idx.write.mode("overwrite").parquet(out)
+        return self.spark.read.parquet(out).count()
+
+    def scan_by_key(self, zone: str, key: str, value) -> DataFrame:
+        """Point scan backed by the bloom index: opens ~fpp × #files
+        + the true file(s) instead of the whole zone."""
+        from serverless_datalake_aws_spark.sources.stats import bloom_point_scan
+
+        blooms = self.spark.read.parquet(
+            f"{self.stats_path}/{zone}__bloom__{key}"
+        )
+        first = blooms.select("num_bits", "num_hashes").first()
+        return bloom_point_scan(
+            self.spark,
+            self.zone(zone),
+            blooms.drop("num_bits", "num_hashes"),
+            key,
+            value,
+            num_bits=first["num_bits"],
+            num_hashes=first["num_hashes"],
+        )
+
     # -- operational metrics (CloudWatch parity, VERDICT r6 item 4) --------
     @property
     def metrics_path(self) -> str:

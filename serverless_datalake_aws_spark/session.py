@@ -108,6 +108,10 @@ def get_session(
         # Spark ≥4.x reads tz-less parquet timestamps as TIMESTAMP_NTZ by
         # default; keep the LTZ (UTC) read so unix_micros()/oracle parity hold
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # default INT96 timestamps carry NO parquet footer min/max stats,
+        # which silently disables sources/stats.py zone-map skipping on
+        # every timestamp column; MICROS is also what modern engines write
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", str(ui).lower())
