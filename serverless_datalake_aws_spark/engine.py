@@ -653,6 +653,36 @@ class DataLakeEngine:
 
         return read_versioned(self.spark, self._versioned_root(name), version)
 
+    def merge_versioned(
+        self,
+        name: str,
+        source: DataFrame,
+        key: str,
+        matched: str = "update",
+        not_matched: str = "insert",
+    ) -> int:
+        """MERGE INTO the versioned table `name` (Delta's
+        whenMatched/whenNotMatched trio) with file-level copy-on-write:
+        only files whose key zone map overlaps the source keys are
+        rewritten; the rest are hard-linked into the new version. See
+        sources/versioning.py merge_versioned for the protocol."""
+        from serverless_datalake_aws_spark.sources.versioning import (
+            merge_versioned,
+        )
+
+        return merge_versioned(
+            self.spark, self._versioned_root(name), source, key, matched, not_matched
+        )
+
+    def read_versioned_asof(self, name: str, ts: float) -> DataFrame:
+        """Time travel by timestamp (Delta TIMESTAMP AS OF): newest
+        version committed at or before unix-seconds `ts`."""
+        from serverless_datalake_aws_spark.sources.versioning import (
+            read_versioned_asof,
+        )
+
+        return read_versioned_asof(self.spark, self._versioned_root(name), ts)
+
     def vacuum_versioned(self, name: str, keep: int = 2) -> list[int]:
         """Expire old noncurrent versions (the lifecycle
         noncurrent_version_expiration rule); returns pruned versions."""

@@ -1125,3 +1125,106 @@ def d19_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("doc_id")
     )
+
+
+_D20_W = 10  # sliding-window width in words
+_D20_MIN = 2  # corpus-wide occurrences that make a window "repeated"
+
+
+@query(
+    "d20_repeated_substring_spans",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    pos AS (SELECT doc_id, ws,
+                   unnest(generate_series(0, len(ws) - {_D20_W})) AS p
+            FROM w WHERE len(ws) >= {_D20_W}),
+    win AS (SELECT doc_id, p,
+                   md5(array_to_string(
+                       list_slice(ws, p + 1, p + {_D20_W}), ' ')) AS h
+            FROM pos),
+    hot AS (SELECT h FROM win GROUP BY h HAVING count(*) >= {_D20_MIN}),
+    f AS (SELECT win.doc_id, win.p FROM win JOIN hot USING (h)),
+    g AS (SELECT doc_id, p,
+                 CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                           IS NULL
+                      OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                           > {_D20_W}
+                      THEN 1 ELSE 0 END AS brk
+          FROM f),
+    i AS (SELECT doc_id, p,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+          FROM g)
+    SELECT doc_id,
+           MIN(p) AS span_start,
+           MAX(p) + {_D20_W} AS span_end,
+           MAX(p) + {_D20_W} - MIN(p) AS width,
+           count(*) AS n_windows
+    FROM i GROUP BY doc_id, grp
+    ORDER BY doc_id, span_start
+    """,
+)
+def d20_repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal repeated-substring spans, the sliding-window form of
+    exact substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better": any 50-token substring that
+    appears twice in the corpus is a dup; {_D20_W} words here at test
+    scale). The complement of t35: t35 hashes FIXED non-overlapping
+    blocks, so a copied paragraph straddling a block boundary at a
+    different alignment escapes; a sliding window catches a repeat at
+    ANY alignment. Every {_D20_W}-word window occurring >= {_D20_MIN}
+    times corpus-wide flags its start position; flagged positions are
+    merged into MAXIMAL spans (gaps-and-islands: a new span starts
+    when the next flagged position is > {_D20_W} behind, i.e. the
+    windows neither overlap nor touch), the exact intervals a trainer
+    would cut. Output: one row per (doc, span) with start/end/width
+    and the window count that supports it.
+
+    Scale shape: window TEXT dies in the map stage — the exploded rows
+    carry (doc_id, pos, md5) only (~L rows per L-word doc, the price
+    of alignment-free matching; Lee et al. pay the same via suffix
+    arrays). The occurrence count shuffles 16-byte hashes; the flagged
+    set comes back as a left-semi join on the hash; island-merging
+    windows over (doc_id, pos) int pairs partitioned by doc_id. No
+    exchange ever carries document text."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    base = docs.select("doc_id", ws.alias("ws")).filter(
+        F.size("ws") >= _D20_W
+    )
+    # (doc_id, p, h): hash computed in the same projection, window
+    # text never leaves the stage
+    win = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - _D20_W),
+                lambda i: F.md5(F.array_join(F.slice("ws", i + 1, _D20_W), " ")),
+            )
+        ).alias("p", "h"),
+    )
+    hot = (
+        win.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= _D20_MIN)
+        .select("h")
+    )
+    flagged = win.join(hot, "h", "left_semi").select("doc_id", "p")
+    wnd = Window.partitionBy("doc_id").orderBy("p")
+    lagp = F.lag("p").over(wnd)
+    brk = F.when(lagp.isNull() | (F.col("p") - lagp > _D20_W), 1).otherwise(0)
+    grouped = flagged.select(
+        "doc_id", "p", F.sum(brk).over(wnd).alias("grp")
+    )
+    return (
+        grouped.groupBy("doc_id", "grp")
+        .agg(
+            F.min("p").cast("long").alias("span_start"),
+            (F.max("p") + _D20_W).cast("long").alias("span_end"),
+            (F.max("p") + _D20_W - F.min("p")).cast("long").alias("width"),
+            F.count("*").alias("n_windows"),
+        )
+        .drop("grp")
+        .orderBy("doc_id", "span_start")
+    )

@@ -113,67 +113,14 @@ def write_versioned(
     slower writer finishing later can't move `_CURRENT` backwards —
     the pointer is monotonic, matching S3 versioning's "latest PUT is
     current". Two-writer interleavings are tested in
-    tests/test_versioning.py::test_concurrent_writers_occ."""
-    from serverless_datalake_aws_spark.sources.commitlog import FileLock
+    tests/test_versioning.py::test_concurrent_writers_occ.
 
-    root = Path(root)
-    root.mkdir(parents=True, exist_ok=True)
-    seen = _versions(root)
-    v = (seen[-1] + 1) if seen else 1
-    while True:  # OCC claim: exactly one writer wins each number
-        claim = root / f"{_PREFIX}{v}{_CLAIM}"
-        try:
-            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-            vdir = root / f"{_PREFIX}{v}"
-            break
-        except FileExistsError:
-            v += 1
-    # Claim HEARTBEAT (ADVICE r6): a data write that outlives
-    # claim_grace would otherwise let a concurrent vacuum() reclaim
-    # this claimed-but-uncommitted dir mid-write — the exact stall
-    # class the FileLock heartbeat closes for the commit lock.
-    # Refreshing the claim's mtime while the job runs means staleness
-    # really implies "the writer died".
-    import threading
-
-    stop = threading.Event()
-
-    def _beat() -> None:
-        while not stop.wait(_CLAIM_HEARTBEAT):
-            try:
-                os.utime(claim)
-            except OSError:
-                return  # claim reclaimed — the pre-commit check aborts
-
-    hb = threading.Thread(target=_beat, daemon=True)
-    hb.start()
-    try:
-        _write_data(df, vdir, fmt)
-        # Re-verify the claim immediately before committing: if a
-        # vacuum reclaimed it anyway (e.g. the whole process was
-        # SIGSTOPped past the grace, freezing the heartbeat too),
-        # committing would publish a dir a concurrent vacuum may have
-        # half-deleted — abort instead, leaving debris for vacuum.
-        if not claim.exists():
-            shutil.rmtree(vdir, ignore_errors=True)
-            raise RuntimeError(
-                f"version claim {claim.name} was reclaimed mid-write "
-                "(writer presumed dead past the vacuum grace); "
-                "aborting the commit"
-            )
-        (vdir / _FLAG).write_text("ok\n")
-    finally:
-        stop.set()
-        hb.join(timeout=5.0)
-    claim.unlink(missing_ok=True)  # committed: the dir itself marks v taken
-    with FileLock(root / f"{_POINTER}.lock", ttl=30.0):
-        cur = current_version(root)
-        if cur is None or v > cur:  # never move the pointer backwards
-            tmp = root / f"{_POINTER}.tmp"
-            tmp.write_text(f"{v}\n")
-            tmp.replace(root / _POINTER)  # atomic pointer move
-    return v
+    The claim/heartbeat/commit-flag/pointer mechanics live in
+    `_publish_version` (shared with merge_versioned's file-level
+    copy-on-write); this function only supplies the data step."""
+    return _publish_version(
+        Path(root), lambda vdir: _write_data(df, vdir, fmt)
+    )
 
 
 def read_versioned(
@@ -270,3 +217,232 @@ def diff_versions(
         .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
         .alias("change"),
     ).filter(F.col("change").isNotNull())
+
+
+def version_history(root: str | Path) -> list[tuple[int, float]]:
+    """Committed versions with their commit timestamps (the commit
+    flag's mtime — written last, so it IS the commit instant). The
+    audit surface S3 versioning exposes as ListObjectVersions."""
+    root = Path(root)
+    out = []
+    for v in _versions(root):
+        flag = root / f"{_PREFIX}{v}" / _FLAG
+        try:
+            out.append((v, flag.stat().st_mtime))
+        except FileNotFoundError:
+            continue
+    return out
+
+
+def read_versioned_asof(
+    spark: SparkSession, root: str | Path, ts: float, fmt: str = "parquet"
+) -> DataFrame:
+    """Time travel by timestamp (Delta's TIMESTAMP AS OF): the newest
+    version committed at or before `ts` (unix seconds)."""
+    eligible = [v for v, t in version_history(root) if t <= ts]
+    if not eligible:
+        raise FileNotFoundError(f"no version at or before {ts} at {root}")
+    return read_versioned(spark, root, max(eligible), fmt)
+
+
+def merge_versioned(
+    spark: SparkSession,
+    root: str | Path,
+    source: DataFrame,
+    key: str,
+    matched: str = "update",
+    not_matched: str = "insert",
+) -> int:
+    """MERGE INTO for versioned parquet tables — Delta's
+    whenMatched/whenNotMatched trio with FILE-LEVEL copy-on-write:
+
+        matched ∈ {update, delete, keep}; not_matched ∈ {insert, ignore}
+
+    A naive merge rewrites the whole table per commit — a non-starter
+    at 100 TB when a batch touches 0.1% of keys. Delta instead rewrites
+    only the files that contain matched keys; this does the same with
+    the machinery already in the repo: the footer-only stats index
+    (sources/stats.py) marks a file AFFECTED iff its [min, max] range
+    of `key` overlaps some source key (a superset of truly-matched
+    files — false positives rewrite a file unnecessarily, never
+    incorrectly). Unaffected files are HARD-LINKED into the new
+    version directory (zero data movement; the object-store analogue
+    is a server-side copy, and an Iceberg-style manifest would make
+    even that free), so the write cost is
+    O(affected files + source rows), not O(table). The join that
+    classifies files runs on the stats table — metadata scale.
+
+    Safety: matched keys can only live in affected files (zone maps
+    have no false negatives), so the rewrite set is always sufficient.
+    The new version publishes through the same OCC claim + commit-flag
+    + monotonic-pointer protocol as write_versioned — concurrent
+    mergers each produce a complete self-consistent version, and the
+    pointer names exactly one winner (Delta's OCC without conflict
+    detection: last-writer-wins at table granularity, documented).
+
+    `source` must carry the target's schema (update-all semantics).
+    On an unborn table, merge degrades to inserting `source`."""
+    if matched not in ("update", "delete", "keep"):
+        raise ValueError(f"bad matched action: {matched}")
+    if not_matched not in ("insert", "ignore"):
+        raise ValueError(f"bad not_matched action: {not_matched}")
+    from serverless_datalake_aws_spark.sources.stats import (
+        collect_file_stats,
+        list_parquet_files,
+    )
+
+    root = Path(root)
+    cur = current_version(root)
+    if cur is None:
+        if not_matched == "ignore":
+            raise FileNotFoundError(f"no current version at {root}")
+        return write_versioned(source, root)
+    vdir = root / f"{_PREFIX}{cur}"
+    files = [f for f in list_parquet_files(vdir)]
+    stats = collect_file_stats(spark, vdir, files=files)
+    src_keys = source.select(F.col(key).alias("_mk")).distinct()
+    # overlap = files whose key zone map intersects some source key —
+    # computed for EVERY action (even matched="keep" needs it to know
+    # which target keys exist, so not-matched inserts don't duplicate
+    # matched rows); only update/delete use it as the REWRITE set
+    kstats = stats.filter(
+        (F.col("column") == key)
+        & F.col("min_v").isNotNull()
+        & F.col("max_v").isNotNull()
+    )
+    # file overlaps iff any source key falls in [min, max]; the
+    # numeric image compares at double precision (monotonic — can
+    # only over-mark, never under-mark), strings lexically
+    hit = kstats.join(
+        src_keys,
+        F.when(
+            F.col("kind") == "str",
+            F.col("_mk").cast("string").between(F.col("min_v"), F.col("max_v")),
+        ).otherwise(
+            F.col("_mk").cast("double").between(
+                F.col("min_v").cast("double"), F.col("max_v").cast("double")
+            )
+        ),
+        "inner",
+    ).select("file").distinct()
+    overlap = {r["file"] for r in hit.collect()}
+    # fail-open the other way: a file with NO usable key stats might
+    # contain matches — it must be treated as overlapping
+    statless = stats.filter(F.col("column") == key).filter(
+        F.col("min_v").isNull() | F.col("max_v").isNull()
+    )
+    overlap |= {r["file"] for r in statless.select("file").collect()}
+    overlap |= set(files) - {
+        r["file"] for r in stats.select("file").distinct().collect()
+    }
+    rewrite = overlap if matched in ("update", "delete") else set()
+    linked = [f for f in files if f not in rewrite]
+
+    parts = []
+    tgt_keys = None
+    if overlap:
+        ovl = spark.read.option("basePath", str(vdir)).parquet(*sorted(overlap))
+        # all matched keys live in overlapping files (zone maps have
+        # no false negatives), so this IS the matched-key set
+        tgt_keys = ovl.select(F.col(key).alias("_tk")).distinct()
+    if rewrite:
+        parts.append(ovl.join(src_keys, ovl[key] == F.col("_mk"), "left_anti"))
+    if matched == "update" and tgt_keys is not None:
+        parts.append(
+            source.join(tgt_keys, source[key] == F.col("_tk"), "left_semi")
+        )
+    if not_matched == "insert":
+        if tgt_keys is not None:
+            parts.append(
+                source.join(tgt_keys, source[key] == F.col("_tk"), "left_anti")
+            )
+        else:
+            parts.append(source)
+    rewritten = None
+    for p in parts:
+        rewritten = p if rewritten is None else rewritten.unionByName(p)
+
+    def _materialize(new_vdir: Path) -> None:
+        if rewritten is not None:
+            _write_data(rewritten, new_vdir, "parquet")
+        else:
+            new_vdir.mkdir(parents=True, exist_ok=True)
+        for i, f in enumerate(sorted(linked)):
+            dst = new_vdir / f"reused-{i:05d}-{Path(f).name}"
+            try:
+                os.link(f, dst)  # zero-copy; COW at the file level
+            except OSError:
+                shutil.copy2(f, dst)  # cross-device fallback
+        if not any(new_vdir.glob("*.parquet")):
+            # fully-deleted table: write an explicit zero-row file so
+            # the version stays readable with its schema
+            empty = spark.createDataFrame([], source.schema)
+            empty.write.mode("append").parquet(str(new_vdir))
+            if not any(new_vdir.glob("*.parquet")):
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                from pyspark.sql.pandas.types import to_arrow_schema
+
+                pq.write_table(
+                    pa.table(
+                        {f.name: [] for f in source.schema},
+                        schema=to_arrow_schema(source.schema),
+                    ),
+                    str(new_vdir / "part-empty.parquet"),
+                )
+
+    return _publish_version(root, _materialize)
+
+
+def _publish_version(root: Path, materialize) -> int:
+    """The OCC claim → materialize → commit-flag → pointer protocol of
+    write_versioned, with the data step pluggable (merge_versioned
+    links + rewrites instead of writing one DataFrame)."""
+    from serverless_datalake_aws_spark.sources.commitlog import FileLock
+
+    root.mkdir(parents=True, exist_ok=True)
+    seen = _versions(root)
+    v = (seen[-1] + 1) if seen else 1
+    while True:
+        claim = root / f"{_PREFIX}{v}{_CLAIM}"
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            vdir = root / f"{_PREFIX}{v}"
+            break
+        except FileExistsError:
+            v += 1
+    import threading
+
+    stop = threading.Event()
+
+    def _beat() -> None:
+        while not stop.wait(_CLAIM_HEARTBEAT):
+            try:
+                os.utime(claim)
+            except OSError:
+                return
+
+    hb = threading.Thread(target=_beat, daemon=True)
+    hb.start()
+    try:
+        materialize(vdir)
+        if not claim.exists():
+            shutil.rmtree(vdir, ignore_errors=True)
+            raise RuntimeError(
+                f"version claim {claim.name} was reclaimed mid-write; "
+                "aborting the commit"
+            )
+        (vdir / _FLAG).write_text("ok\n")
+    finally:
+        stop.set()
+        hb.join(timeout=5.0)
+    claim.unlink(missing_ok=True)
+    with FileLock(root / f"{_POINTER}.lock", ttl=30.0):
+        cur = current_version(root)
+        if cur is None or v > cur:
+            tmp = root / f"{_POINTER}.tmp"
+            tmp.write_text(f"{v}\n")
+            tmp.replace(root / _POINTER)
+    return v
