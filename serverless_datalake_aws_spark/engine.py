@@ -1076,6 +1076,88 @@ class DataLakeEngine:
             status.select("kind", "name", "n_items", "bytes", "extra")
         )
 
+    def optimize_zone(
+        self,
+        zone: str = "raw",
+        zorder_by: tuple[str, ...] | None = None,
+        target_file_mb: int = 128,
+        bits: int = 10,
+        analyze: bool = True,
+        num_files: int | None = None,
+    ) -> dict:
+        """Delta's OPTIMIZE [ZORDER BY ...] for a zone's records:
+        bin-pack small files to ~target size and, with `zorder_by`,
+        cluster rows on the Morton z-value of those columns so the
+        footer zone maps (analyze → scan_pruned) turn selective
+        predicates into file skips. Hive partitioning is PRESERVED —
+        the range exchange keys on (partition cols, z-value) so each
+        task lands in one partition dir writing a contiguous z-range.
+        Streaming ingest + this maintenance op is the reference's
+        small-file story inverted: its per-record S3 objects
+        (lambda-function.py:210-234) are the #1 100 TB scaling flaw
+        (SURVEY §4.3); here the lake heals its own layout.
+
+        Publishes through the same staged rename swap + per-zone lock
+        + crash recovery as dedup_zone (the `.dedup.tmp/.old` staging
+        names are the shared zone-rewrite protocol — recovery at every
+        records() read rolls an interrupted optimize forward or back
+        identically). Returns {rows, files_before, files_after}."""
+        from serverless_datalake_aws_spark.sources.stats import (
+            list_parquet_files,
+        )
+
+        if self.is_remote:
+            raise NotImplementedError(
+                "optimize_zone() swaps local zone directories via rename; "
+                "object stores need Delta/Iceberg OPTIMIZE or copy + "
+                "prefix flip — matching dedup_zone()"
+            )
+        with self._zone_lock(zone):
+            self._recover_zone_swap_locked(zone)
+            path = Path(f"{self.zone(zone)}/records")
+            if not path.exists():
+                return {"rows": 0, "files_before": 0, "files_after": 0}
+            files_before = list_parquet_files(path)
+            total = sum(Path(f).stat().st_size for f in files_before)
+            n_files = num_files or max(
+                1, round(total / (target_file_mb * 1024 * 1024))
+            )
+            df = self.spark.read.parquet(str(path))
+            part_cols = [
+                c for c in ("data_type", "ingest_date") if c in df.columns
+            ]
+            tmp = Path(str(path) + ".dedup.tmp")
+            old = Path(str(path) + ".dedup.old")
+            if zorder_by:
+                from serverless_datalake_aws_spark.operators.layout import (
+                    attach_zvalue,
+                )
+
+                out = (
+                    attach_zvalue(df, tuple(zorder_by), bits=bits)
+                    .repartitionByRange(n_files, *part_cols, "_zv")
+                    .sortWithinPartitions(*part_cols, "_zv")
+                    .drop("_zv")
+                )
+            else:
+                out = df.repartitionByRange(n_files, *part_cols) if part_cols else df.coalesce(n_files)
+            writer = out.write.mode("overwrite")
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.parquet(str(tmp))
+            rows = df.count()
+            path.rename(old)  # hide current (atomic)
+            tmp.rename(path)  # publish staged (atomic)
+            shutil.rmtree(old)  # reclaim — recoverable if we die first
+            self._log_lineage("optimize", str(path), str(path), rows)
+        if analyze:
+            self.analyze(zone)
+        return {
+            "rows": rows,
+            "files_before": len(files_before),
+            "files_after": len(list_parquet_files(path)),
+        }
+
     def dedup_zone(self, zone: str = "raw") -> int:
         """Exact payload deduplication for a zone's records: within each
         data_type keep the first-ingested copy of every distinct

@@ -142,6 +142,27 @@ def zorder_write(
     FIRST — they co-locate with the lowest values) identically under
     both quantizers; an all-NULL / empty column still fails fast in the
     bounds pass."""
+    df = attach_zvalue(df, cols, bits=bits, quantizer=quantizer)
+    (
+        df.repartitionByRange(num_files, "_zv")
+        .sortWithinPartitions("_zv")
+        .drop("_zv")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def attach_zvalue(
+    df: DataFrame,
+    cols: tuple[str, ...],
+    bits: int = 12,
+    quantizer: str = "rank",
+) -> DataFrame:
+    """Quantize `cols` and attach the Morton z-value as `_zv` (helper
+    columns removed). Factored out of `zorder_write` so callers that
+    must control the write themselves — engine.optimize_zone preserves
+    hive partitioning with partitionBy — reuse the exact same
+    quantization/NULL semantics."""
     if len(cols) < 2:
         raise ValueError("zorder needs at least 2 cluster columns")
     dtypes = dict(df.dtypes)
@@ -192,12 +213,6 @@ def zorder_write(
             )
     else:
         raise ValueError(f"unknown quantizer: {quantizer!r}")
-    (
-        df.withColumn("_zv", interleave_bits_n(cells, bits))
-        .drop(*tmp_cols, *extra)
-        .repartitionByRange(num_files, "_zv")
-        .sortWithinPartitions("_zv")
-        .drop("_zv")
-        .write.mode("overwrite")
-        .parquet(path)
+    return df.withColumn("_zv", interleave_bits_n(cells, bits)).drop(
+        *tmp_cols, *extra
     )

@@ -62,6 +62,7 @@ _MODULES = (
     "text5",
     "similarity4",
     "similarity5",
+    "similarity6",
     "lakehouse",
 )
 
