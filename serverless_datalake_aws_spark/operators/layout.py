@@ -72,17 +72,30 @@ def quantize(col: Column, lo: Column, hi: Column, bits: int) -> Column:
 _INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
 
 
-def _as_long(name: str, dtype: str) -> Column:
+def _as_long(name: str, dtype: str, fractional_ok: bool = False) -> Column:
     if dtype in _INTEGRAL_TYPES:
         return F.col(name).cast("long")
     if dtype == "date":
         return F.datediff(F.col(name), F.to_date(F.lit("1970-01-01")))
     if dtype.startswith("timestamp"):
         return F.unix_timestamp(F.col(name))
+    if fractional_ok and (
+        dtype in ("float", "double") or dtype.startswith("decimal")
+    ):
+        # The rank quantizer bins by QUANTILES (approxQuantile +
+        # Bucketizer both operate on doubles), so fractional columns
+        # need no declared precision — only uniform min/max binning
+        # does. Matches Delta's OPTIMIZE ZORDER accepting doubles.
+        return F.col(name).cast("double")
     raise TypeError(
         f"zorder cluster column {name!r} has non-integral type {dtype}; "
-        "supported: tinyint/smallint/int/bigint/date/timestamp. "
-        "Pre-bucket fractional columns explicitly (e.g. round(c*100))."
+        "supported: tinyint/smallint/int/bigint/date/timestamp"
+        + (
+            "/float/double/decimal" if fractional_ok else
+            ". Pre-bucket fractional columns explicitly "
+            "(e.g. round(c*100)), or use the rank quantizer"
+        )
+        + "."
     )
 
 
@@ -168,7 +181,9 @@ def attach_zvalue(
     dtypes = dict(df.dtypes)
     tmp_cols = [f"_zl{i}" for i in range(len(cols))]
     for c, t in zip(cols, tmp_cols):
-        df = df.withColumn(t, _as_long(c, dtypes[c]))
+        df = df.withColumn(
+            t, _as_long(c, dtypes[c], fractional_ok=(quantizer == "rank"))
+        )
     bounds = df.agg(
         *[f(t).alias(f"{n}_{t}") for t in tmp_cols for f, n in ((F.min, "lo"), (F.max, "hi"))]
     ).collect()[0]

@@ -102,12 +102,15 @@ def test_zorder_date_and_timestamp_columns(spark, tmp_path):
     assert dict(back.dtypes)["d"] == "date"
 
 
-def test_zorder_rejects_fractional_column(spark, tmp_path):
+def test_zorder_uniform_rejects_fractional_column(spark, tmp_path):
+    # rank (default) bins fractional columns by quantiles (see
+    # test_zorder_rank_accepts_fractional_columns); uniform min/max
+    # binning still needs a declared precision and fails fast.
     df = spark.range(10).select(
         (F.col("id") * 1.5).alias("f"), F.col("id").alias("k")
     )
     with pytest.raises(TypeError, match="non-integral"):
-        zorder_write(df, str(tmp_path / "zf"), ("f", "k"))
+        zorder_write(df, str(tmp_path / "zf"), ("f", "k"), quantizer="uniform")
 
 
 def test_zorder_all_null_bounds_fail_fast(spark, tmp_path):
@@ -211,3 +214,22 @@ def test_zorder_partial_nulls_survive_both_quantizers(spark, tmp_path):
         back = spark.read.parquet(str(tmp_path / sub))
         assert back.count() == 300, quant
         assert back.filter("a is null").count() == n_nulls, quant
+
+
+def test_zorder_rank_accepts_fractional_columns(spark, tmp_path):
+    """The rank quantizer bins by quantiles, so double columns z-order
+    without pre-bucketing; the uniform quantizer still rejects them
+    (min/max binning needs a declared precision)."""
+    from serverless_datalake_aws_spark.operators.layout import zorder_write
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 4_000).select(
+        "id",
+        (F.col("id") % 211).alias("k"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(10_000)) / 100.0).alias("price"),
+    )
+    out = str(tmp_path / "zf")
+    zorder_write(df, out, ("k", "price"), bits=6, num_files=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 4_000
+    assert set(back.columns) == {"id", "k", "price"}

@@ -555,3 +555,37 @@ def test_s23_rerank_joins_shortlist_not_corpus(spark):
     assert any(
         "BroadcastHashJoin" in b and "cid" in b for b in blocks
     ), plan[:2000]
+
+
+def test_d20_span_exchanges_never_carry_text(spark):
+    """d20's repeated-window detection must find duplicate windows via
+    the hash-agg + broadcast semi-join (no cartesian / nested loop),
+    and every shuffle must carry window hashes or (doc_id, position)
+    ints — document text dies in the first map stage."""
+    plan = _plan(spark, "d20_repeated_substring_spans")
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "text" not in line.split("hashpartitioning")[1][:200], line
+
+
+def test_s24_scan_is_codegen_with_bounded_broadcast(spark):
+    """SQ8's approximate scan is a deliberate brute-force pass over
+    reconstructed vectors: the ONLY acceptable nested-loop is the
+    corpus x broadcast-queries cross join (build side bounded at NQ
+    rows by construction), quantize/decode/distance must stay
+    codegen expressions (no Python UDF stage), and the top-k shuffles
+    carry (query, neighbor, distance) triples — never vectors."""
+    plan = _plan(spark, "s24_sq8_ann_rerank")
+    # exactly one BNLJ node (formatted plans list each node twice:
+    # tree line + detail header)
+    assert plan.count("BroadcastNestedLoopJoin Cross BuildRight") == 1, plan[:1500]
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            seg = line.split("hashpartitioning")[1][:200]
+            assert "xhat" not in seg and " v#" not in seg, line
