@@ -64,6 +64,7 @@ _MODULES = (
     "similarity5",
     "similarity6",
     "lakehouse",
+    "api_queries",
 )
 
 
