@@ -59,6 +59,12 @@ HEADLINE = (
     # simhash (the d-family's scale path, previously unbenched)
     "e23_asof_join",
     "d18_simhash56_banded_pairs",
+    # round-8: SQ8 ANN with exact rerank, file-statistics pruned scan
+    # (zone-map skipping machinery incl. stats build), sliding-window
+    # repeated-substring spans
+    "s24_sq8_ann_rerank",
+    "m07_stats_pruned_scan",
+    "d20_repeated_substring_spans",
 )
 
 

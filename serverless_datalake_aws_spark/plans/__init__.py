@@ -109,7 +109,9 @@ def _load() -> None:
 # CORRECTNESS_r07.json was produced — so round 8 KEEPS it verbatim
 # (an unverified slate is not rotated away) and APPENDS the round-7
 # additions as a11-a19 so the driver's 50-name sample covers both
-# rounds' new surface at once).
+# rounds' new surface at once; a20-a26 extend the same slate to the
+# round-8 additions — file-skipping m07/m08, substring-span d20, SQ8
+# s24, Python-DataSource m09/st17, map-state st16).
 DRIVER_SAMPLE_ALIASES: dict[str, str] = {
     "a01_d18_simhash56_banded_pairs": "d18_simhash56_banded_pairs",
     "a02_e21_incremental_quantiles": "e21_incremental_quantiles",
@@ -130,6 +132,13 @@ DRIVER_SAMPLE_ALIASES: dict[str, str] = {
     "a17_st15_stream_minhash_index": "st15_stream_minhash_index",
     "a18_t37_mixture_sampling": "t37_mixture_sampling",
     "a19_x10_fuzzy_term_search": "x10_fuzzy_term_search",
+    "a20_d20_repeated_substring_spans": "d20_repeated_substring_spans",
+    "a21_s24_sq8_ann_rerank": "s24_sq8_ann_rerank",
+    "a22_m07_stats_pruned_scan": "m07_stats_pruned_scan",
+    "a23_m08_bloom_point_lookup": "m08_bloom_point_lookup",
+    "a24_m09_api_source_ingest": "m09_api_source_ingest",
+    "a25_st16_stream_top_user_state": "st16_stream_top_user_state",
+    "a26_st17_api_stream_ingest": "st17_api_stream_ingest",
 }
 
 
