@@ -53,9 +53,43 @@ class Grant:
     dataset: str  # raw | processed | curated | meta
     cols: list[str] | None = None  # None = all columns
     row_filter: str | None = None  # SQL predicate over the dataset
+    masks: dict[str, str] | None = None  # col -> MASK_KINDS name
 
 
 GOVERNED_DATASETS = ("raw", "processed", "curated", "meta")
+
+# Column-mask kinds (Unity Catalog / Lake Formation data-masking
+# parity). Each is a row-local projection — Catalyst folds it into the
+# scan-side project, so masking adds zero data movement at any scale.
+#   hash    -> sha2-256 of the value (stable: equality/joins on the
+#              masked value still work, the production pseudonymize)
+#   redact  -> the literal '***' (type becomes string, like Unity's
+#              default string mask)
+#   partial -> all but the last 4 characters replaced with '*'
+#              (credit-card / account-id convention)
+#   null    -> NULL of the ORIGINAL type (schema-preserving erasure)
+MASK_KINDS = ("hash", "redact", "partial", "null")
+
+
+def _mask_expr(kind: str, col: str, dtype: str):
+    c = F.col(col)
+    if kind == "hash":
+        return F.sha2(c.cast("string"), 256)
+    if kind == "redact":
+        return F.lit("***")
+    if kind == "partial":
+        s = c.cast("string")
+        return F.when(
+            F.length(s) <= 4, F.lit("****")
+        ).otherwise(
+            F.concat(
+                F.repeat(F.lit("*"), F.length(s) - F.lit(4)),
+                F.substring(s, -4, 4),
+            )
+        )
+    if kind == "null":
+        return F.lit(None).cast(dtype)
+    raise ValueError(f"unknown mask kind {kind!r}; known: {MASK_KINDS}")
 
 
 class AccessController:
@@ -122,12 +156,30 @@ class AccessController:
         dataset: str,
         cols: list[str] | None = None,
         row_filter: str | None = None,
+        masks: dict[str, str] | None = None,
     ) -> Grant:
         if dataset not in GOVERNED_DATASETS:
             raise ValueError(
                 f"unknown dataset {dataset!r}; governed: {GOVERNED_DATASETS}"
             )
-        g = Grant(principal, dataset, list(cols) if cols else None, row_filter)
+        for col, kind in (masks or {}).items():
+            if kind not in MASK_KINDS:
+                raise ValueError(
+                    f"unknown mask kind {kind!r} for column {col!r}; "
+                    f"known: {MASK_KINDS}"
+                )
+            if cols and col not in cols:
+                raise ValueError(
+                    f"mask on column {col!r} not in the granted column "
+                    f"list {cols}; a mask governs a VISIBLE column"
+                )
+        g = Grant(
+            principal,
+            dataset,
+            list(cols) if cols else None,
+            row_filter,
+            dict(masks) if masks else None,
+        )
         with self._mutate_lock():
             doc = self._load()
             doc.setdefault(principal, {})[dataset] = asdict(g)
@@ -197,8 +249,22 @@ class PrincipalSession:
         else:
             df = spark.read.parquet(f"{self.engine.zone(dataset)}/records")
         if g.row_filter:
+            # the filter sees RAW values (Lake Formation order: row
+            # filters evaluate before masking, so policy predicates can
+            # reference columns the principal only sees masked)
             df = df.filter(g.row_filter)
-        if g.cols:
+        visible = g.cols or df.columns
+        if g.masks:
+            dtypes = dict(df.dtypes)
+            df = df.select(
+                *[
+                    _mask_expr(g.masks[c], c, dtypes[c]).alias(c)
+                    if c in g.masks
+                    else F.col(c)
+                    for c in visible
+                ]
+            )
+        elif g.cols:
             df = df.select(*g.cols)
         return df
 

@@ -178,13 +178,16 @@ class DataLakeEngine:
         dataset: str,
         cols: list[str] | None = None,
         row_filter: str | None = None,
+        masks: dict[str, str] | None = None,
     ):
         """Grant `principal` read access to `dataset` (raw / processed /
-        curated / meta), optionally limited to `cols` and rows matching
-        `row_filter`. Resolves to column-pruned, row-filtered views at
-        query time — see access.py for the model and the SQL-session
+        curated / meta), optionally limited to `cols`, rows matching
+        `row_filter`, and with per-column `masks` (hash / redact /
+        partial / null — Unity Catalog data-masking parity). Resolves
+        to column-pruned, row-filtered, mask-projected views at query
+        time — see access.py for the model and the SQL-session
         isolation contract."""
-        return self.acl.grant(principal, dataset, cols, row_filter)
+        return self.acl.grant(principal, dataset, cols, row_filter, masks)
 
     def revoke(self, principal: str, dataset: str | None = None) -> int:
         return self.acl.revoke(principal, dataset)

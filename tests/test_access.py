@@ -239,3 +239,65 @@ def test_remote_root_grants_warn_session_scoped(spark):
         warnings.simplefilter("always")
         acl.grant("p", "raw")
     assert any("session-scoped" in str(w.message) for w in caught)
+
+
+def test_column_masks_applied(lake):
+    """Unity-Catalog-style data masking: masked columns are VISIBLE but
+    transformed — hash is a stable sha2 pseudonym, partial keeps the
+    last 4 chars, null erases preserving type, redact is '***'."""
+    import hashlib
+
+    lake.grant(
+        "mallory",
+        "processed",
+        masks={"payload": "hash", "id": "partial", "data_type": "redact"},
+    )
+    rows = lake.as_principal("mallory").records("processed").collect()
+    raw = {r["id"]: r for r in lake.records("processed").collect()}
+    assert len(rows) == len(raw) > 0
+    for r in rows:
+        assert set(r.asDict()) == set(next(iter(raw.values())).asDict())
+        assert r["data_type"] == "***"
+        assert r["id"].endswith(tuple(x[-4:] for x in raw)) and "*" in r["id"]
+        assert len(r["payload"]) == 64  # sha2-256 hex
+    # hash masks are STABLE pseudonyms: recompute one and match
+    some_raw = next(iter(raw.values()))
+    expect = hashlib.sha256(some_raw["payload"].encode()).hexdigest()
+    assert expect in {r["payload"] for r in rows}
+
+
+def test_mask_flows_through_sql_and_row_filter_sees_raw(lake):
+    lake.grant(
+        "carol",
+        "processed",
+        cols=["id", "data_type", "payload"],
+        row_filter="data_type = 'sales'",  # references the RAW value
+        masks={"data_type": "hash"},
+    )
+    carol = lake.as_principal("carol")
+    out = carol.sql(
+        "SELECT data_type, count(*) AS n FROM processed GROUP BY data_type"
+    ).collect()
+    # the filter matched 6 raw 'sales' rows even though carol only ever
+    # sees the hash; one distinct masked value survives
+    assert len(out) == 1 and out[0]["n"] == 6
+    assert out[0]["data_type"] != "sales" and len(out[0]["data_type"]) == 64
+
+
+def test_null_mask_preserves_type(lake):
+    lake.grant("dave", "meta", masks={"source": "null"})
+    df = lake.as_principal("dave").meta()
+    src = dict(df.dtypes)["source"]
+    assert src == "string"
+    assert all(r["source"] is None for r in df.select("source").collect())
+    assert df.count() > 0
+
+
+def test_mask_validation(lake):
+    with pytest.raises(ValueError, match="unknown mask kind"):
+        lake.grant("eve", "processed", masks={"payload": "rot13"})
+    with pytest.raises(ValueError, match="VISIBLE"):
+        lake.grant("eve", "processed", cols=["id"], masks={"payload": "hash"})
+    # old persisted grant docs (no masks key) still load
+    lake.grant("frank", "processed", cols=["id"])
+    assert lake.acl.grants_for("frank")["processed"].masks is None
