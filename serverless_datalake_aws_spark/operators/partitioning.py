@@ -1,0 +1,147 @@
+"""Hidden partitioning: Iceberg-style partition transforms on parquet.
+
+The engine's zones are hive-partitioned by DERIVED columns (engine.py
+writes (data_type, ingest_date)); plain Spark makes the reader aware of
+that derivation — filter on `ts` and nothing prunes unless the user
+also hand-writes the matching `ingest_date` predicate. Iceberg's fix is
+to record the TRANSFORM (`days(ts)`, `bucket(16, id)`) with the table
+so predicates on the SOURCE column prune partitions automatically and
+the partition scheme stays invisible to queries (Iceberg spec §Partition
+Transforms). This module is that contract on plain parquet:
+
+- `PartitionField(kind, source, n)` declares one transform
+  (identity / days / months / hours / truncate / bucket).
+- `hidden_write(df, path, spec)` derives the partition columns and
+  hive-partitions the write — the derived columns exist ONLY in the
+  directory layout.
+- `hidden_scan(spark, path, spec, eq=..., between=...)` reads the
+  table, injects BOTH the source predicate and the equivalent
+  partition-column predicate (computed by applying the transform to the
+  literal bounds — a foldable expression, so Catalyst prunes partitions
+  at plan time), and drops the partition columns: callers never see or
+  name them.
+
+Correctness rule: a transform may only be used for pruning where it is
+MONOTONE over the predicate (range transforms days/months/hours/
+truncate for BETWEEN; any transform for equality). Bucket is
+equality-only — a value range maps to arbitrary buckets. The source
+predicate is always re-applied, so pruning changes I/O, never results.
+
+Scale: predicate injection is plan-time metadata work; the scan reads
+only surviving hive directories. At 100 TB with days(ts) × bucket(id),
+a one-day-one-key query opens one directory out of days × buckets.
+
+Reference: the Glue crawler registers the reference lake's hive layout
+but Athena still requires explicit partition predicates
+(SURVEY §2.2 S9); this is the engine-native upgrade.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RANGE_KINDS = ("identity", "days", "months", "hours", "truncate")
+ALL_KINDS = RANGE_KINDS + ("bucket",)
+
+
+@dataclass(frozen=True)
+class PartitionField:
+    """One partition transform: `name = kind(source[, n])`."""
+
+    name: str  # partition column name (hidden from readers)
+    kind: str  # identity | days | months | hours | truncate | bucket
+    source: str  # source column in the data
+    n: int | None = None  # bucket modulus / truncate width
+
+    def __post_init__(self):
+        if self.kind not in ALL_KINDS:
+            raise ValueError(
+                f"unknown transform {self.kind!r}; known: {ALL_KINDS}"
+            )
+        if self.kind in ("bucket", "truncate") and not self.n:
+            raise ValueError(f"{self.kind} transform requires n")
+
+    def apply(self, col: Column) -> Column:
+        """The transform as a Spark expression — used identically on the
+        data column (write side) and on literal bounds (read side), so
+        write-side layout and read-side pruning can never disagree."""
+        if self.kind == "identity":
+            return col
+        if self.kind == "days":
+            return F.to_date(col)
+        if self.kind == "months":
+            return F.date_format(col, "yyyy-MM")
+        if self.kind == "hours":
+            return F.date_format(col, "yyyy-MM-dd-HH")
+        if self.kind == "truncate":
+            return F.substring(col.cast("string"), 1, self.n)
+        # bucket: xxhash64 of the value at its COLUMN type (hashes are
+        # type-sensitive — the literal side casts to match)
+        return F.pmod(F.xxhash64(col), F.lit(self.n))
+
+
+PartitionSpec = tuple[PartitionField, ...]
+
+
+def hidden_write(
+    df: DataFrame, path: str, spec: PartitionSpec, mode: str = "overwrite"
+) -> None:
+    """Derive the partition columns and hive-partition the write. The
+    derived columns live only in directory names; the data files carry
+    the original schema plus the partition columns Spark strips on
+    read — so a plain `spark.read.parquet(path)` sees original + the
+    spec'd names, and `hidden_scan` hides the spec'd names again."""
+    for f in spec:
+        if f.name in df.columns:
+            raise ValueError(
+                f"partition name {f.name!r} collides with a data column"
+            )
+    out = df
+    for f in spec:
+        out = out.withColumn(f.name, f.apply(F.col(f.source)))
+    out.write.mode(mode).partitionBy(*[f.name for f in spec]).parquet(path)
+
+
+def _typed_lit(v, dtype: str) -> Column:
+    return F.lit(v).cast(dtype)
+
+
+def hidden_scan(
+    spark: SparkSession,
+    path: str,
+    spec: PartitionSpec,
+    eq: dict | None = None,
+    between: dict | None = None,
+) -> DataFrame:
+    """Read a hidden-partitioned table with automatic partition pruning.
+
+    `eq={src: value}` / `between={src: (lo, hi)}` are predicates on
+    SOURCE columns (inclusive bounds). For every spec field whose
+    transform is usable for that predicate shape, the equivalent
+    partition predicate is injected as a foldable expression —
+    `PartitionFilters` in the explain output — alongside the source
+    predicate itself. Partition columns are dropped from the result:
+    the caller's view of the table is transform-free."""
+    df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
+    by_source: dict[str, list[PartitionField]] = {}
+    for f in spec:
+        by_source.setdefault(f.source, []).append(f)
+
+    for src, v in (eq or {}).items():
+        lit = _typed_lit(v, dtypes[src])
+        df = df.filter(F.col(src) == lit)
+        for f in by_source.get(src, ()):
+            df = df.filter(F.col(f.name) == f.apply(lit))
+
+    for src, (lo, hi) in (between or {}).items():
+        llo, lhi = _typed_lit(lo, dtypes[src]), _typed_lit(hi, dtypes[src])
+        df = df.filter(F.col(src).between(llo, lhi))
+        for f in by_source.get(src, ()):
+            if f.kind in RANGE_KINDS:  # monotone ⇒ range maps to range
+                df = df.filter(F.col(f.name).between(f.apply(llo), f.apply(lhi)))
+
+    return df.drop(*[f.name for f in spec])

@@ -139,6 +139,7 @@ DRIVER_SAMPLE_ALIASES: dict[str, str] = {
     "a24_m09_api_source_ingest": "m09_api_source_ingest",
     "a25_st16_stream_top_user_state": "st16_stream_top_user_state",
     "a26_st17_api_stream_ingest": "st17_api_stream_ingest",
+    "a27_m10_hidden_partition_scan": "m10_hidden_partition_scan",
 }
 
 

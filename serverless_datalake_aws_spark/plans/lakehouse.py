@@ -148,3 +148,80 @@ def m08_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "m10_hidden_partition_scan",
+    oracle="""
+    SELECT event_id, event_type, ROUND(value, 4) AS value
+    FROM events
+    WHERE user_id = (SELECT MIN(user_id) FROM events)
+      AND ts >= (SELECT MIN(ts) + INTERVAL 1 DAY FROM events)
+      AND ts <= (SELECT MIN(ts) + INTERVAL 3 DAY FROM events)
+    ORDER BY event_id
+    """,
+)
+def m10_hidden_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style hidden partitioning end-to-end: events is written
+    hive-partitioned by TWO derived transforms — event_date = days(ts)
+    and user_bucket = bucket(8, user_id) — then queried through
+    `hidden_scan` with predicates on the SOURCE columns only (a ts
+    range + a user_id equality). The scan injects the equivalent
+    partition predicates itself (foldable expressions, so Catalyst
+    prunes to ≤3 date dirs × 1 bucket dir at plan time) and drops the
+    partition columns: the caller never names the partition scheme,
+    which is the Iceberg partition-transform contract (spec §Partition
+    Transforms) that plain hive layouts lack. The full-scan oracle
+    proves pruning changes I/O, never results.
+
+    Scale: at days × 8-bucket layout a one-user three-day query opens
+    3/days × 1/8 of the table's directories; predicate injection is
+    plan-time metadata work. Pruning effectiveness is plan-gated in
+    tests/test_partitioning.py (this entry's contract is equality)."""
+    import datetime as dt
+
+    from serverless_datalake_aws_spark.operators.partitioning import (
+        PartitionField,
+        hidden_scan,
+        hidden_write,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    first = ev.agg(
+        F.min("ts").alias("t0"), F.min("user_id").alias("u0")
+    ).first()
+    lo = first["t0"] + dt.timedelta(days=1)
+    hi = first["t0"] + dt.timedelta(days=3)
+    spec = (
+        PartitionField("event_date", "days", "ts"),
+        PartitionField("user_bucket", "bucket", "user_id", 8),
+    )
+    work = tempfile.mkdtemp(prefix="m10_")
+    try:
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        hidden_write(
+            ev.select("event_id", "ts", "user_id", "event_type", "value"),
+            f"{work}/events",
+            spec,
+        )
+        out = (
+            hidden_scan(
+                spark,
+                f"{work}/events",
+                spec,
+                eq={"user_id": first["u0"]},
+                between={"ts": (lo, hi)},
+            )
+            .select(
+                "event_id",
+                "event_type",
+                F.round("value", 4).alias("value"),
+            )
+            .orderBy("event_id")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
