@@ -1161,6 +1161,88 @@ class DataLakeEngine:
             "files_after": len(list_parquet_files(path)),
         }
 
+    def maintain(
+        self,
+        zones: tuple[str, ...] = ("raw", "processed", "curated"),
+        small_file_mb: float = 8.0,
+        min_files_to_compact: int = 16,
+        target_file_mb: int = 128,
+        versioned_keep: int | None = None,
+    ) -> dict:
+        """The lake's self-maintenance loop — Databricks auto-OPTIMIZE /
+        Iceberg maintenance-procedures parity, composed from the
+        engine's own primitives. One call, policy-driven, idempotent:
+
+        1. COMPACT any zone whose records have degraded into the
+           streaming small-file shape (> `min_files_to_compact` files
+           AND mean file size < `small_file_mb` MB) via optimize_zone
+           (preserves hive partitioning, staged-swap + lock + crash
+           recovery). A healthy zone is left untouched — re-running
+           maintain() does nothing until ingest degrades layout again.
+        2. REFRESH each zone's file-stats index when it is STALE: the
+           indexed file set no longer equals the zone's current files
+           (compaction above, dedup_zone, expire, or plain ingest all
+           invalidate it). Fresh indexes keep scan_pruned honest;
+           stats.py's fail-open contract covers the window in between.
+        3. VACUUM noncurrent versions of every versioned table when
+           `versioned_keep` is given (lifecycle
+           noncurrent_version_expiration, engine.py vacuum_versioned).
+
+        The reference has no such loop — its per-record S3 objects
+        accumulate forever (SURVEY §4.3 flaw #1) and Athena rescans
+        them every query. Returns a report dict:
+        {zone: {files_before, files_after}} for compactions,
+        {zone: n_files} for stats refreshes, {table: [versions]} for
+        vacuums. Scale: the scan of zone layouts is pure metadata;
+        each compaction is one distributed rewrite of one zone."""
+        from serverless_datalake_aws_spark.sources.stats import (
+            list_parquet_files,
+        )
+
+        if self.is_remote:
+            raise NotImplementedError(
+                "maintain() composes local-FS zone swaps (optimize_zone) "
+                "and footer walks (analyze); object stores need the "
+                "store-native OPTIMIZE/expire procedures"
+            )
+        report: dict = {"compacted": {}, "stats_refreshed": {}, "vacuumed": {}}
+        for zone in zones:
+            path = Path(f"{self.zone(zone)}/records")
+            if not path.exists():
+                continue
+            files = list_parquet_files(path)
+            if files:
+                total_mb = sum(Path(f).stat().st_size for f in files) / 2**20
+                if (
+                    len(files) > min_files_to_compact
+                    and total_mb / len(files) < small_file_mb
+                ):
+                    r = self.optimize_zone(
+                        zone, target_file_mb=target_file_mb, analyze=False
+                    )
+                    report["compacted"][zone] = {
+                        "files_before": r["files_before"],
+                        "files_after": r["files_after"],
+                    }
+            # stats staleness: indexed file set != current file set
+            stats_dir = Path(self.stats_path) / zone
+            if stats_dir.exists():
+                indexed = {
+                    r["file"]
+                    for r in self.file_stats(zone).select("file").distinct().collect()
+                }
+                current = set(list_parquet_files(self.zone(zone)))
+                if indexed != current:
+                    report["stats_refreshed"][zone] = self.analyze(zone)
+        if versioned_keep is not None:
+            vroot = Path(self.root) / "versioned"
+            if vroot.exists():
+                for tdir in sorted(p for p in vroot.iterdir() if p.is_dir()):
+                    gone = self.vacuum_versioned(tdir.name, keep=versioned_keep)
+                    if gone:
+                        report["vacuumed"][tdir.name] = gone
+        return report
+
     def dedup_zone(self, zone: str = "raw") -> int:
         """Exact payload deduplication for a zone's records: within each
         data_type keep the first-ingested copy of every distinct
