@@ -826,6 +826,47 @@ class DataLakeEngine:
         rec.flush()
         return self.spark.read.parquet(self.metrics_path)
 
+    # -- streaming telemetry (per-micro-batch CloudWatch parity) -----------
+    @property
+    def stream_metrics_path(self) -> str:
+        return f"{self.root}/_stream_metrics"
+
+    def enable_stream_metrics(self):
+        """Install per-micro-batch streaming telemetry: a
+        StreamingQueryListener records (query, batch_id, input rows,
+        rates, trigger wall, observed quality counters) for every
+        progress event on the session's streams — the per-invocation
+        dashboard the reference gets from CloudWatch over its trigger
+        Lambdas. Pair with streaming.observability.observe_quality to
+        ride per-batch rule-violation counts in the same rows. Returns
+        the recorder; idempotent. `disable_stream_metrics()` detaches
+        cleanly (Python streaming listeners support removeListener)."""
+        from serverless_datalake_aws_spark.streaming.observability import (
+            StreamMetricsRecorder,
+        )
+
+        if getattr(self, "_stream_metrics_recorder", None) is None:
+            if self.is_remote:
+                raise NotImplementedError(
+                    "metrics export requires a local lake root in this build"
+                )
+            rec = StreamMetricsRecorder(self.stream_metrics_path)
+            self.spark.streams.addListener(rec)
+            self._stream_metrics_recorder = rec
+        return self._stream_metrics_recorder
+
+    def disable_stream_metrics(self) -> None:
+        rec = getattr(self, "_stream_metrics_recorder", None)
+        if rec is not None:
+            self.spark.streams.removeListener(rec)
+            self._stream_metrics_recorder = None
+
+    def stream_metrics(self) -> DataFrame:
+        """The per-batch streaming metrics table (flushes first)."""
+        rec = self.enable_stream_metrics()
+        rec.flush()
+        return self.spark.read.parquet(self.stream_metrics_path)
+
     # -- lineage (beyond-reference: provenance for every lake op) ----------
     @property
     def lineage_path(self) -> str:

@@ -1198,3 +1198,71 @@ def st16_stream_top_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain(q, 300)
     return spark.table(name)
+
+
+@query(
+    "st18_stream_observed_quality",
+    oracle="""
+    SELECT 'bad_props_json' AS metric,
+           CAST(SUM(CASE WHEN props LIKE '{%' THEN 0 ELSE 1 END) AS BIGINT) AS value
+    FROM events
+    UNION ALL
+    SELECT 'bad_value_range',
+           CAST(SUM(CASE WHEN value >= 0.0 AND value < 50.0 THEN 0 ELSE 1 END) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'rows_total', CAST(COUNT(*) AS BIGINT) FROM events
+    ORDER BY metric
+    """,
+)
+def st18_stream_observed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-stream quality counters via DataFrame.observe: every
+    micro-batch carries accumulator-backed counts (total rows + one
+    violation count per rule) inside its OWN execution — zero extra
+    passes over the data, unlike a foreachBatch monitor (st11) that
+    re-aggregates the batch. The counters surface in
+    StreamingQueryProgress.observedMetrics; this entry sums them
+    across the drain's batches and returns the long-form totals,
+    which must equal the oracle's from-scratch CASE-WHEN aggregate —
+    proving the per-batch counters partition the corpus exactly
+    (no row counted twice or dropped across batch boundaries).
+
+    Rule semantics: a row is BAD when the predicate is not TRUE
+    (violation or NULL) — `when(pred, 0).otherwise(1)` here, `CASE
+    WHEN pred THEN 0 ELSE 1 END` in the oracle; identical NULL
+    handling by construction.
+
+    Scale: counters are in-path accumulator math (per-partition
+    partials merged on the driver per batch); observability cost is
+    O(#rules) longs per batch, independent of corpus size. See also
+    engine.enable_stream_metrics() for the listener that persists
+    these rows continuously."""
+    from serverless_datalake_aws_spark.streaming.observability import (
+        observe_quality,
+    )
+
+    name = f"st18_{uuid.uuid4().hex[:8]}"
+    obs = observe_quality(
+        _events_stream(spark, sf_dir).select("event_type", "value", "props"),
+        {
+            "value_range": "value >= 0.0 AND value < 50.0",
+            "props_json": "props LIKE '{%'",
+        },
+    )
+    q = (
+        obs.writeStream.format("noop")
+        .queryName(name)  # temp checkpoint: noop needs no reliable sink log
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, 300)
+    totals = {"rows_total": 0, "bad_value_range": 0, "bad_props_json": 0}
+    for p in q.recentProgress:
+        quality = (p.get("observedMetrics") or {}).get("quality")
+        if quality:
+            totals["rows_total"] += int(quality["rows"])
+            totals["bad_value_range"] += int(quality["bad_value_range"])
+            totals["bad_props_json"] += int(quality["bad_props_json"])
+    return spark.createDataFrame(
+        sorted(totals.items()), "metric string, value long"
+    )

@@ -34,6 +34,7 @@ def stream_promote(
     fmt: str = "json",
     transform=None,
     trigger: dict | None = None,
+    observe_rules: dict[str, str] | None = None,
 ) -> StreamingQuery:
     """File-arrival stream (S10): watch raw/, promote each new file's
     rows to processed/ (K5) with a processed_timestamp stamp (T1).
@@ -67,6 +68,15 @@ def stream_promote(
     )
     if transform is not None:
         stream = transform(stream)
+    if observe_rules:
+        # per-batch rule-violation counters riding the batch's own
+        # execution; surfaced via StreamingQueryProgress.observedMetrics
+        # and engine.enable_stream_metrics()
+        from serverless_datalake_aws_spark.streaming.observability import (
+            observe_quality,
+        )
+
+        stream = observe_quality(stream, observe_rules)
 
     return (
         stream.writeStream.format("parquet")
