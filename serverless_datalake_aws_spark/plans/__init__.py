@@ -109,10 +109,10 @@ def _load() -> None:
 # CORRECTNESS_r07.json was produced — so round 8 KEEPS it verbatim
 # (an unverified slate is not rotated away) and APPENDS the round-7
 # additions as a11-a19 so the driver's 50-name sample covers both
-# rounds' new surface at once; a20-a28 extend the same slate to the
+# rounds' new surface at once; a20-a30 extend the same slate to the
 # round-8 additions — file-skipping m07/m08, substring-span d20, SQ8
 # s24, Python-DataSource m09/st17, map-state st16, hidden-partition
-# m10, observed-quality st18).
+# m10, observed-quality st18, version-diff m11, MERGE-COW m12).
 DRIVER_SAMPLE_ALIASES: dict[str, str] = {
     "a01_d18_simhash56_banded_pairs": "d18_simhash56_banded_pairs",
     "a02_e21_incremental_quantiles": "e21_incremental_quantiles",
@@ -142,6 +142,8 @@ DRIVER_SAMPLE_ALIASES: dict[str, str] = {
     "a26_st17_api_stream_ingest": "st17_api_stream_ingest",
     "a27_m10_hidden_partition_scan": "m10_hidden_partition_scan",
     "a28_st18_stream_observed_quality": "st18_stream_observed_quality",
+    "a29_m11_version_diff": "m11_version_diff",
+    "a30_m12_merge_cow": "m12_merge_cow",
 }
 
 
