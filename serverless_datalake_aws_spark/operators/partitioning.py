@@ -145,3 +145,32 @@ def hidden_scan(
                 df = df.filter(F.col(f.name).between(f.apply(llo), f.apply(lhi)))
 
     return df.drop(*[f.name for f in spec])
+
+
+# -- spec persistence (the Iceberg table-metadata role) -----------------
+
+_SPEC_FILE = "_partition_spec.json"
+
+
+def save_spec(path: str, spec: PartitionSpec) -> None:
+    """Persist the transform spec NEXT TO the table (atomic tmp+rename,
+    like every other engine metadata write) so readers recover it from
+    the table alone — Iceberg keeps the same information in table
+    metadata; a hive layout keeps it in tribal knowledge."""
+    import json
+    import os
+    from dataclasses import asdict
+    from pathlib import Path
+
+    p = Path(path) / _SPEC_FILE
+    tmp = p.with_suffix(".tmp")
+    tmp.write_text(json.dumps([asdict(f) for f in spec], indent=1))
+    os.replace(tmp, p)
+
+
+def load_spec(path: str) -> PartitionSpec:
+    import json
+    from pathlib import Path
+
+    p = Path(path) / _SPEC_FILE
+    return tuple(PartitionField(**d) for d in json.loads(p.read_text()))

@@ -124,3 +124,29 @@ def test_truncate_and_months_transforms(spark, tmp_path):
     assert [r["id"] for r in rows] == [1]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "code4" in plan and "month" in plan
+
+
+def test_engine_hidden_table_spec_persisted(spark, tmp_path):
+    """write_hidden persists the transform spec with the table; a
+    FRESH engine (new process analogue) recovers it and prunes."""
+    from serverless_datalake_aws_spark.engine import DataLakeEngine
+
+    ev = table(spark, SF, "events").select("event_id", "ts", "user_id")
+    lake = DataLakeEngine(spark, str(tmp_path / "lake"))
+    lake.write_hidden("events_h", ev, SPEC)
+
+    lake2 = DataLakeEngine(spark, str(tmp_path / "lake"))  # no in-mem state
+    t0, u0 = ev.agg(F.min("ts"), F.min("user_id")).first()
+    out = lake2.scan_hidden(
+        "events_h",
+        eq={"user_id": u0},
+        between={"ts": (t0, t0 + dt.timedelta(days=2))},
+    )
+    assert set(out.columns) == {"event_id", "ts", "user_id"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "user_bucket" in plan
+    want = ev.filter(
+        (F.col("user_id") == u0)
+        & F.col("ts").between(t0, t0 + dt.timedelta(days=2))
+    ).count()
+    assert out.count() == want > 0
