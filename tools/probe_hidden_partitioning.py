@@ -66,13 +66,39 @@ def main() -> None:
             eq={"user_id": first["u0"]},
             between={"ts": (lo, hi)},
         )
+        def files_read(df) -> int:
+            """'number of files read' from the executed scan node —
+            files OPENED, unlike input_file_name() which only sees
+            files that produced surviving rows."""
+            plan = df._jdf.queryExecution().executedPlan()
+            try:
+                if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+                    plan = plan.finalPhysicalPlan()
+            except Exception:
+                pass
+            stack, total = [plan], 0
+            while stack:
+                node = stack.pop()
+                if "FileSourceScan" in node.getClass().getSimpleName():
+                    it = node.metrics().iterator()
+                    while it.hasNext():
+                        kv = it.next()
+                        if kv._1() == "numFiles":
+                            total += int(kv._2().value())
+                kids = node.children()
+                for i in range(kids.size()):
+                    stack.append(kids.apply(i))
+            return total
+
         for label, df in (("full-scan", full), ("hidden-scan", pruned)):
             df.count()  # warm
             t0 = time.time()
-            n = df.count()
-            wall = time.time() - t0
-            files = df.select(F.input_file_name()).distinct().count()
-            print(f"{label}: rows={n} files_opened={files} wall={wall:.3f}s")
+            n = len(df.collect())  # collect() executes df's OWN QE,
+            wall = time.time() - t0  # so its scan metrics populate
+            print(
+                f"{label}: rows={n} files_read={files_read(df)} "
+                f"wall={wall:.3f}s"
+            )
         assert {r["event_id"] for r in full.collect()} == {
             r["event_id"] for r in pruned.collect()
         }
