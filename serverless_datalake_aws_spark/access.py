@@ -255,6 +255,17 @@ class PrincipalSession:
             df = df.filter(g.row_filter)
         visible = g.cols or df.columns
         if g.masks:
+            # FAIL CLOSED on a mask naming no visible column: silently
+            # ignoring it would let data the admin intended to mask
+            # flow unmasked (a typo'd column name must be an error,
+            # not an open door)
+            unknown = set(g.masks) - set(visible)
+            if unknown:
+                raise ValueError(
+                    f"grant for {self.principal!r} on {dataset!r} masks "
+                    f"column(s) {sorted(unknown)} that do not exist in "
+                    f"the dataset"
+                )
             dtypes = dict(df.dtypes)
             df = df.select(
                 *[

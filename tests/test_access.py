@@ -301,3 +301,12 @@ def test_mask_validation(lake):
     # old persisted grant docs (no masks key) still load
     lake.grant("frank", "processed", cols=["id"])
     assert lake.acl.grants_for("frank")["processed"].masks is None
+
+
+def test_mask_on_missing_column_fails_closed(lake):
+    """A mask naming a column the dataset doesn't have must ERROR at
+    resolution, not be silently dropped — a typo'd mask column would
+    otherwise leave the intended data unmasked."""
+    lake.grant("grace", "processed", masks={"payloda": "hash"})  # typo
+    with pytest.raises(ValueError, match="do not exist"):
+        lake.as_principal("grace").records("processed")
