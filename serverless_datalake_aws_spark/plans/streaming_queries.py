@@ -1260,9 +1260,11 @@ def st18_stream_observed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in q.recentProgress:
         quality = (p.get("observedMetrics") or {}).get("quality")
         if quality:
-            totals["rows_total"] += int(quality["rows"])
-            totals["bad_value_range"] += int(quality["bad_value_range"])
-            totals["bad_props_json"] += int(quality["bad_props_json"])
+            # a zero-row batch can report observed metrics with NULL
+            # sums (SUM over nothing) — count it as zero, not a crash
+            totals["rows_total"] += int(quality["rows"] or 0)
+            totals["bad_value_range"] += int(quality["bad_value_range"] or 0)
+            totals["bad_props_json"] += int(quality["bad_props_json"] or 0)
     return spark.createDataFrame(
         sorted(totals.items()), "metric string, value long"
     )
