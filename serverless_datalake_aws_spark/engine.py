@@ -1323,6 +1323,21 @@ class DataLakeEngine:
                     gone = self.vacuum_versioned(tdir.name, keep=versioned_keep)
                     if gone:
                         report["vacuumed"][tdir.name] = gone
+        # telemetry feeds accumulate one small file per flush — compact
+        # them under the same policy (they are plain parquet tables)
+        from serverless_datalake_aws_spark.sources.writers import compact
+
+        for feed in (self.metrics_path, self.stream_metrics_path):
+            fdir = Path(feed)
+            if not fdir.exists():
+                continue
+            files = list_parquet_files(fdir)
+            if len(files) > min_files_to_compact:
+                n_after = compact(self.spark, fdir)
+                report.setdefault("feeds_compacted", {})[fdir.name] = {
+                    "files_before": len(files),
+                    "files_after": n_after,
+                }
         return report
 
     def dedup_zone(self, zone: str = "raw") -> int:

@@ -70,3 +70,31 @@ def test_maintain_compaction_invalidates_then_refreshes_stats(lake):
     assert report["stats_refreshed"]["raw"] > 0
     indexed = {r["file"] for r in lake.file_stats("raw").select("file").collect()}
     assert indexed == set(list_parquet_files(lake.zone("raw")))
+
+
+def test_maintain_compacts_metrics_feeds(lake, spark):
+    """Telemetry feeds (one small parquet file per flush) fall under
+    the same compaction policy."""
+    rec = lake.enable_stream_metrics()
+    import datetime as dt
+
+    for i in range(12):
+        rec._buffer.append(
+            {
+                "ts": dt.datetime.now(dt.timezone.utc),
+                "query_id": "q",
+                "run_id": "r",
+                "name": None,
+                "batch_id": i,
+                "num_input_rows": 1,
+                "input_rows_per_s": 1.0,
+                "process_rows_per_s": 1.0,
+                "trigger_ms": 1,
+                "observed": "{}",
+            }
+        )
+        rec.flush()
+    report = lake.maintain(min_files_to_compact=8)
+    assert report["feeds_compacted"]["_stream_metrics"]["files_before"] == 12
+    assert lake.stream_metrics().count() == 12  # nothing lost
+    lake.disable_stream_metrics()
