@@ -393,7 +393,21 @@ class PrincipalSession:
             return self.sql(params["query"])
         raise ValueError(f"unknown query type: {type!r}")
 
+    def _assert_key_unmasked(self, dataset: str, key: str = "id") -> None:
+        """A masked lookup key would make an equality/join against raw
+        values ALWAYS empty — indistinguishable from 'record does not
+        exist'. Fail loud instead (same philosophy as unknown mask
+        columns erroring rather than flowing unmasked)."""
+        g = self._grants().get(dataset)
+        if g is not None and g.masks and key in g.masks:
+            raise PermissionError(
+                f"principal {self.principal!r} sees {dataset}.{key} only "
+                f"{g.masks[key]}-masked; keyed lookups on a masked "
+                "column cannot match and are refused"
+            )
+
     def query_by_id(self, data_id: str) -> DataFrame:
+        self._assert_key_unmasked("meta")
         return self.meta().filter(F.col("id") == data_id)
 
     def search_metadata(self, **kwargs) -> DataFrame:
@@ -405,5 +419,7 @@ class PrincipalSession:
         """J2 content fetch — needs BOTH the meta and raw grants (the
         reference's equivalent call walks DynamoDB then S3, each behind
         its own IAM permission)."""
+        self._assert_key_unmasked("meta")
+        self._assert_key_unmasked("raw")
         meta_ids = self.meta().filter(F.col("id") == data_id).select("id")
         return self._secured("raw").join(F.broadcast(meta_ids), "id", "inner")

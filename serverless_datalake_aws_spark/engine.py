@@ -806,14 +806,38 @@ class DataLakeEngine:
             save_spec,
         )
 
+        from serverless_datalake_aws_spark.operators.partitioning import (
+            load_spec,
+        )
+
         if self.is_remote:
             raise NotImplementedError(
                 "hidden-table spec persistence requires a local lake root"
             )
         path = f"{self.root}/hidden/{name}"
-        hidden_write(df, path, tuple(spec), mode=mode)
-        save_spec(path, tuple(spec))
-        self._log_lineage("write_hidden", "-", path, df.count())
+        spec = tuple(spec)
+        if mode == "append":
+            # an append under a DIFFERENT spec would mix layouts: old
+            # directories carry the old derivation, and scans under the
+            # new spec would silently prune them (Iceberg versions
+            # specs for exactly this reason — here append must match)
+            try:
+                existing = load_spec(path)
+            except FileNotFoundError:
+                existing = None
+            if existing is not None and existing != spec:
+                raise ValueError(
+                    f"hidden table {name!r} was written with spec "
+                    f"{existing}; appending with a different spec "
+                    f"{spec} would mix partition layouts"
+                )
+        hidden_write(df, path, spec, mode=mode)
+        save_spec(path, spec)
+        # parquet metadata-only count of what landed — never re-execute
+        # the input plan just to log lineage
+        self._log_lineage(
+            "write_hidden", "-", path, self.spark.read.parquet(path).count()
+        )
 
     def scan_hidden(
         self, name: str, eq: dict | None = None, between: dict | None = None
@@ -903,9 +927,18 @@ class DataLakeEngine:
             self._stream_metrics_recorder = None
 
     def stream_metrics(self) -> DataFrame:
-        """The per-batch streaming metrics table (flushes first)."""
+        """The per-batch streaming metrics table (flushes first). An
+        empty table — nothing ever flushed, e.g. the async listener
+        bus hasn't delivered yet — is a valid dashboard answer, not a
+        missing-path crash."""
+        from serverless_datalake_aws_spark.streaming.observability import (
+            STREAM_METRICS_SCHEMA,
+        )
+
         rec = self.enable_stream_metrics()
         rec.flush()
+        if not Path(self.stream_metrics_path).exists():
+            return self.spark.createDataFrame([], STREAM_METRICS_SCHEMA)
         return self.spark.read.parquet(self.stream_metrics_path)
 
     # -- lineage (beyond-reference: provenance for every lake op) ----------
@@ -1324,20 +1357,30 @@ class DataLakeEngine:
                     if gone:
                         report["vacuumed"][tdir.name] = gone
         # telemetry feeds accumulate one small file per flush — compact
-        # them under the same policy (they are plain parquet tables)
+        # them under the same policy (they are plain parquet tables).
+        # The feed's FileLock serializes against concurrent flush_rows
+        # writes (an unlocked flush landing between compact's rmtree
+        # and rename would be silently deleted), and an orphaned
+        # .compact.tmp from a crash mid-swap is rolled forward first.
+        from serverless_datalake_aws_spark.sources.commitlog import FileLock
         from serverless_datalake_aws_spark.sources.writers import compact
 
         for feed in (self.metrics_path, self.stream_metrics_path):
             fdir = Path(feed)
-            if not fdir.exists():
-                continue
-            files = list_parquet_files(fdir)
-            if len(files) > min_files_to_compact:
-                n_after = compact(self.spark, fdir)
-                report.setdefault("feeds_compacted", {})[fdir.name] = {
-                    "files_before": len(files),
-                    "files_after": n_after,
-                }
+            tmp = Path(str(fdir) + ".compact.tmp")
+            with FileLock(str(fdir) + ".lock", ttl=60.0):
+                if tmp.exists() and not fdir.exists():
+                    tmp.rename(fdir)  # heal a crash between rmtree+move
+                shutil.rmtree(tmp, ignore_errors=True)
+                if not fdir.exists():
+                    continue
+                files = list_parquet_files(fdir)
+                if len(files) > min_files_to_compact:
+                    n_after = compact(self.spark, fdir)
+                    report.setdefault("feeds_compacted", {})[fdir.name] = {
+                        "files_before": len(files),
+                        "files_after": n_after,
+                    }
         return report
 
     def dedup_zone(self, zone: str = "raw") -> int:

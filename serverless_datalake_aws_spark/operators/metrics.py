@@ -54,6 +54,33 @@ METRIC_COLUMNS = (
 )
 
 
+def flush_rows(path: str, rows: list[dict], schema) -> int:
+    """Shared telemetry export: write `rows` as one uuid-named parquet
+    part file under `path` via pyarrow directly (an exporter must not
+    run Spark jobs — a batch listener would re-enter itself). Used by
+    both the batch recorder here and the streaming recorder
+    (streaming/observability.py).
+
+    The write holds the feed's FileLock — the same lock
+    engine.maintain() takes while compacting the feed (an unlocked
+    flush landing between compaction's rmtree and rename would be
+    silently deleted)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from serverless_datalake_aws_spark.sources.commitlog import FileLock
+
+    if not rows:
+        return 0
+    table = pa.Table.from_pylist(rows, schema=schema)
+    os.makedirs(path, exist_ok=True)
+    with FileLock(path.rstrip("/") + ".lock", ttl=30.0):
+        pq.write_table(
+            table, os.path.join(path, f"part-{uuid.uuid4().hex}.parquet")
+        )
+    return len(rows)
+
+
 def _walk_final_plan(executed):
     """Yield every physical node, entering AQE wrappers and query
     stages (their children() are Nil; the real subtree hangs off
@@ -228,19 +255,16 @@ class MetricsRecorder:
         return False
 
     def flush(self) -> int:
-        """Persist buffered rows to the parquet metrics table (pyarrow
-        direct write — the listener/exporter must not run Spark jobs,
-        which would re-trigger the listener). Returns rows written."""
+        """Persist buffered rows to the parquet metrics table (via the
+        shared `flush_rows` exporter). Returns rows written."""
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
         with self._lock:
             rows, self._buffer = self._buffer, []
-        if not rows:
-            return 0
-        table = pa.Table.from_pylist(
+        return flush_rows(
+            self.path,
             rows,
-            schema=pa.schema(
+            pa.schema(
                 [
                     ("ts", pa.timestamp("us", tz="UTC")),
                     ("func_name", pa.string()),
@@ -253,8 +277,3 @@ class MetricsRecorder:
                 ]
             ),
         )
-        os.makedirs(self.path, exist_ok=True)
-        pq.write_table(
-            table, os.path.join(self.path, f"part-{uuid.uuid4().hex}.parquet")
-        )
-        return len(rows)

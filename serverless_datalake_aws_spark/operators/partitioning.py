@@ -64,10 +64,17 @@ class PartitionField:
         if self.kind in ("bucket", "truncate") and not self.n:
             raise ValueError(f"{self.kind} transform requires n")
 
-    def apply(self, col: Column) -> Column:
+    def apply(self, col: Column, dtype: str = "string") -> Column:
         """The transform as a Spark expression — used identically on the
         data column (write side) and on literal bounds (read side), so
-        write-side layout and read-side pruning can never disagree."""
+        write-side layout and read-side pruning can never disagree.
+        `dtype` is the SOURCE column's Spark type: truncate needs it
+        because its Iceberg semantics differ by type — substring prefix
+        for strings, floor-to-multiple-of-n (`v - (v % n)`) for
+        integers — and BOTH are monotone, which is what licenses the
+        BETWEEN partition-filter injection. A bare substring of a
+        numeric would NOT be monotone (truncate(8)='8' > truncate(25)=
+        '2'), silently pruning partitions that hold matching rows."""
         if self.kind == "identity":
             return col
         if self.kind == "days":
@@ -77,7 +84,15 @@ class PartitionField:
         if self.kind == "hours":
             return F.date_format(col, "yyyy-MM-dd-HH")
         if self.kind == "truncate":
-            return F.substring(col.cast("string"), 1, self.n)
+            if dtype == "string":
+                return F.substring(col, 1, self.n)
+            if dtype in ("tinyint", "smallint", "int", "bigint"):
+                return (col - F.pmod(col, F.lit(self.n))).cast("long")
+            raise ValueError(
+                f"truncate transform on {self.source!r}: unsupported "
+                f"source type {dtype!r} (string or integer only — "
+                "Iceberg spec §truncate)"
+            )
         # bucket: xxhash64 of the value at its COLUMN type (hashes are
         # type-sensitive — the literal side casts to match)
         return F.pmod(F.xxhash64(col), F.lit(self.n))
@@ -99,9 +114,10 @@ def hidden_write(
             raise ValueError(
                 f"partition name {f.name!r} collides with a data column"
             )
+    dtypes = dict(df.dtypes)
     out = df
     for f in spec:
-        out = out.withColumn(f.name, f.apply(F.col(f.source)))
+        out = out.withColumn(f.name, f.apply(F.col(f.source), dtypes[f.source]))
     out.write.mode(mode).partitionBy(*[f.name for f in spec]).parquet(path)
 
 
@@ -135,14 +151,18 @@ def hidden_scan(
         lit = _typed_lit(v, dtypes[src])
         df = df.filter(F.col(src) == lit)
         for f in by_source.get(src, ()):
-            df = df.filter(F.col(f.name) == f.apply(lit))
+            df = df.filter(F.col(f.name) == f.apply(lit, dtypes[src]))
 
     for src, (lo, hi) in (between or {}).items():
         llo, lhi = _typed_lit(lo, dtypes[src]), _typed_lit(hi, dtypes[src])
         df = df.filter(F.col(src).between(llo, lhi))
         for f in by_source.get(src, ()):
             if f.kind in RANGE_KINDS:  # monotone ⇒ range maps to range
-                df = df.filter(F.col(f.name).between(f.apply(llo), f.apply(lhi)))
+                df = df.filter(
+                    F.col(f.name).between(
+                        f.apply(llo, dtypes[src]), f.apply(lhi, dtypes[src])
+                    )
+                )
 
     return df.drop(*[f.name for f in spec])
 

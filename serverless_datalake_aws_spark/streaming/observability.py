@@ -33,9 +33,7 @@ metrics feed like any other small-file table.
 from __future__ import annotations
 
 import json
-import os
 import threading
-import uuid
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame
@@ -53,6 +51,13 @@ STREAM_METRIC_COLUMNS = (
     "process_rows_per_s",
     "trigger_ms",
     "observed",
+)
+
+# Spark-side schema for an EMPTY metrics read (nothing flushed yet)
+STREAM_METRICS_SCHEMA = (
+    "ts timestamp, query_id string, run_id string, name string, "
+    "batch_id long, num_input_rows long, input_rows_per_s double, "
+    "process_rows_per_s double, trigger_ms long, observed string"
 )
 
 
@@ -126,15 +131,15 @@ class StreamMetricsRecorder(StreamingQueryListener):
 
     def flush(self) -> int:
         import pyarrow as pa
-        import pyarrow.parquet as pq
+
+        from serverless_datalake_aws_spark.operators.metrics import flush_rows
 
         with self._lock:
             rows, self._buffer = self._buffer, []
-        if not rows:
-            return 0
-        table = pa.Table.from_pylist(
+        return flush_rows(
+            self.path,
             rows,
-            schema=pa.schema(
+            pa.schema(
                 [
                     ("ts", pa.timestamp("us", tz="UTC")),
                     ("query_id", pa.string()),
@@ -149,8 +154,3 @@ class StreamMetricsRecorder(StreamingQueryListener):
                 ]
             ),
         )
-        os.makedirs(self.path, exist_ok=True)
-        pq.write_table(
-            table, os.path.join(self.path, f"part-{uuid.uuid4().hex}.parquet")
-        )
-        return len(rows)

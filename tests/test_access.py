@@ -310,3 +310,20 @@ def test_mask_on_missing_column_fails_closed(lake):
     lake.grant("grace", "processed", masks={"payloda": "hash"})  # typo
     with pytest.raises(ValueError, match="do not exist"):
         lake.as_principal("grace").records("processed")
+
+
+def test_masked_key_lookups_refused(lake):
+    """Keyed lookups on a masked key column error loudly instead of
+    returning an always-empty (record-not-found-shaped) result."""
+    lake.grant("hank", "meta", masks={"id": "hash"})
+    lake.grant("hank", "raw")
+    with pytest.raises(PermissionError, match="masked"):
+        lake.as_principal("hank").query_by_id("whatever")
+    with pytest.raises(PermissionError, match="masked"):
+        lake.as_principal("hank").get_content("whatever")
+    # unmasked meta id + masked raw id: content fetch still refused
+    lake.revoke("hank", "meta")
+    lake.grant("hank", "meta")
+    lake.grant("hank", "raw", masks={"id": "hash"})
+    with pytest.raises(PermissionError, match="masked"):
+        lake.as_principal("hank").get_content("whatever")

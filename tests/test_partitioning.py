@@ -150,3 +150,39 @@ def test_engine_hidden_table_spec_persisted(spark, tmp_path):
         & F.col("ts").between(t0, t0 + dt.timedelta(days=2))
     ).count()
     assert out.count() == want > 0
+
+
+def test_truncate_on_integers_is_floor_to_multiple(spark, tmp_path):
+    """Iceberg truncate semantics by type: integers floor to a multiple
+    of n (monotone, so BETWEEN injection stays correct) — a substring
+    truncate of numerics would prune wrongly (truncate('8') >
+    truncate('25'))."""
+    df = spark.createDataFrame([(i, i) for i in range(40)], "id long, n long")
+    spec = (PartitionField("n8", "truncate", "n", 8),)
+    path = str(tmp_path / "t")
+    hidden_write(df, path, spec)
+    out = hidden_scan(spark, path, spec, between={"n": (8, 25)})
+    got = sorted(r["id"] for r in out.collect())
+    assert got == list(range(8, 26))  # nothing pruned away
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "n8" in plan  # partition filter injected
+
+    # unsupported truncate types fail loud at write time
+    fdf = spark.createDataFrame([(1.5,)], "x double")
+    with pytest.raises(ValueError, match="unsupported"):
+        hidden_write(fdf, str(tmp_path / "bad"), (PartitionField("t", "truncate", "x", 2),))
+
+
+def test_append_with_different_spec_rejected(spark, tmp_path):
+    from serverless_datalake_aws_spark.engine import DataLakeEngine
+
+    lake = DataLakeEngine(spark, str(tmp_path / "lake"))
+    df = spark.createDataFrame([(1, dt.datetime(2024, 1, 1))], "id long, ts timestamp")
+    spec1 = (PartitionField("d", "days", "ts"),)
+    lake.write_hidden("t", df, spec1)
+    with pytest.raises(ValueError, match="mix partition layouts"):
+        lake.write_hidden(
+            "t", df, (PartitionField("m", "months", "ts"),), mode="append"
+        )
+    lake.write_hidden("t", df, spec1, mode="append")  # same spec: fine
+    assert lake.scan_hidden("t").count() == 2

@@ -99,3 +99,15 @@ def test_disable_detaches_listener(spark, tmp_path):
     drain(q)
     time.sleep(1.0)  # listener bus is async; give a straggler a chance
     assert rec.rows() == []
+
+
+def test_stream_metrics_empty_before_any_flush(spark, tmp_path):
+    """An empty metrics table is a valid dashboard answer, not a
+    missing-path crash."""
+    from serverless_datalake_aws_spark.engine import DataLakeEngine
+
+    lake = DataLakeEngine(spark, str(tmp_path / "lake"))
+    df = lake.stream_metrics()
+    assert df.count() == 0
+    assert "batch_id" in df.columns
+    lake.disable_stream_metrics()
