@@ -720,6 +720,7 @@ class DataLakeEngine:
             list_parquet_files,
         )
 
+        self._recover_zone_swap(zone)  # heal a crashed rewrite first
         files = list_parquet_files(self.zone(zone))
         st = collect_file_stats(self.spark, self.zone(zone), files=files)
         st.write.mode("overwrite").parquet(f"{self.stats_path}/{zone}")
@@ -736,6 +737,7 @@ class DataLakeEngine:
         cover narrow ranges and the prune bites."""
         from serverless_datalake_aws_spark.sources.stats import pruned_scan
 
+        self._recover_zone_swap(zone)
         return pruned_scan(
             self.spark, self.zone(zone), self.file_stats(zone), column, lo, hi
         )
@@ -761,6 +763,7 @@ class DataLakeEngine:
 
         from serverless_datalake_aws_spark.sources.stats import build_bloom_index
 
+        self._recover_zone_swap(zone)
         idx = (
             build_bloom_index(
                 self.spark, self.zone(zone), key, num_bits, num_hashes
@@ -777,10 +780,21 @@ class DataLakeEngine:
         + the true file(s) instead of the whole zone."""
         from serverless_datalake_aws_spark.sources.stats import bloom_point_scan
 
+        self._recover_zone_swap(zone)
         blooms = self.spark.read.parquet(
             f"{self.stats_path}/{zone}__bloom__{key}"
         )
         first = blooms.select("num_bits", "num_hashes").first()
+        if first is None:
+            # empty index (all-NULL key or empty zone at build time):
+            # fail OPEN like a stale zone-map index — full scan with
+            # the predicate applied, never a None-subscript crash
+            from pyspark.sql import functions as F
+
+            return (
+                self.spark.read.parquet(self.zone(zone))
+                .filter(F.col(key) == F.lit(value))
+            )
         return bloom_point_scan(
             self.spark,
             self.zone(zone),
@@ -1263,7 +1277,15 @@ class DataLakeEngine:
             if part_cols:
                 writer = writer.partitionBy(*part_cols)
             writer.parquet(str(tmp))
-            rows = df.count()
+            # row count from the staged output's footers — the rewrite
+            # already read every row once; a df.count() here would scan
+            # the zone a second time while holding the zone lock
+            import pyarrow.parquet as pq
+
+            rows = sum(
+                pq.ParquetFile(f).metadata.num_rows
+                for f in list_parquet_files(tmp)
+            )
             path.rename(old)  # hide current (atomic)
             tmp.rename(path)  # publish staged (atomic)
             shutil.rmtree(old)  # reclaim — recoverable if we die first

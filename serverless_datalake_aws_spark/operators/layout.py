@@ -114,9 +114,12 @@ def rank_cells(df: DataFrame, col: str, bits: int):
     shuffle."""
     n_cells = 1 << bits
     probs = [i / n_cells for i in range(1, n_cells)]
-    cuts = df.select(F.col(col).cast("double").alias("_q")).approxQuantile(
-        "_q", probs, 1.0 / (4 * n_cells)
-    )
+    # NaN rows are nulled out of the sketch (approxQuantile ignores
+    # nulls; a NaN would otherwise poison the cutpoints) — they route
+    # to cell 0 with NULLs in attach_zvalue's rank branch
+    cuts = df.select(
+        F.nanvl(F.col(col).cast("double"), F.lit(None).cast("double")).alias("_q")
+    ).approxQuantile("_q", probs, 1.0 / (4 * n_cells))
     splits = [float("-inf")]
     for c in cuts:
         if c > splits[-1]:
@@ -199,23 +202,28 @@ def attach_zvalue(
         for t in tmp_cols:
             bk, c_in, c_out = rank_cells(df, t, bits)
             # Bucketizer(handleInvalid='error') would abort the whole
-            # rewrite on the first NULL row; feed it a placeholder and
-            # route NULLs explicitly to cell 0 below (NULLS FIRST).
+            # rewrite on the first NULL or NaN row; feed it a
+            # placeholder and route NULL/NaN explicitly to cell 0
+            # below (NULLS FIRST; NaN joins them — deterministic and
+            # shared with the uniform branch).
+            d = F.col(t).cast("double")
+            invalid = F.col(t).isNull() | F.isnan(d)
             df = df.withColumn(
-                c_in, F.coalesce(F.col(t).cast("double"), F.lit(0.0))
+                c_in, F.when(invalid, F.lit(0.0)).otherwise(d)
             )
             df = bk.transform(df)
             cells.append(
-                F.when(F.col(t).isNull(), F.lit(0))
-                .otherwise(F.col(c_out))
-                .cast("long")
+                F.when(invalid, F.lit(0)).otherwise(F.col(c_out)).cast("long")
             )
             extra += [c_in, c_out]
     elif quantizer == "uniform":
         for t in tmp_cols:
             cells.append(
                 # quantize(NULL) is NULL — same NULLS-FIRST cell-0 rule
-                # as the rank branch, so both quantizers agree.
+                # as the rank branch, so both quantizers agree. (NaN is
+                # unreachable here: _as_long rejects fractional types
+                # for the uniform quantizer, and integrals/dates have
+                # no NaN.)
                 F.coalesce(
                     quantize(
                         F.col(t),

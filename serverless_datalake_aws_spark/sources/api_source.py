@@ -114,15 +114,24 @@ class ApiStreamReader(DataSourceStreamReader):
         return {"page": self._last}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # RESTART SAFETY: `self._last` is driver-local and a restarted
+        # query builds a FRESH reader (cursor 0) while Spark recovers
+        # `start`/`end` from the checkpointed offset log. Fold the
+        # recovered offsets back into the cursor so the next
+        # latestOffset() can never regress behind what the log already
+        # committed — a regressed end offset would re-plan (and
+        # re-ingest) pages the sink already has.
+        self._last = max(self._last, start["page"], end["page"])
         return [InputPartition(p) for p in range(start["page"], end["page"])]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         yield from fetch_page(partition.value, self.rows_per_page)
 
     def commit(self, end: dict) -> None:
-        # nothing to release: pages are immutable; a live cursor API
-        # would ack the consumed range here.
-        pass
+        # pages are immutable, nothing to ack — but keep the cursor
+        # monotone vs committed progress (second restart-safety net;
+        # see partitions()).
+        self._last = max(self._last, end["page"])
 
 
 class ApiDataSource(DataSource):

@@ -63,7 +63,17 @@ def list_parquet_files(root: str | Path) -> list[str]:
     if root.is_file():
         return [str(root)]
     out = []
-    for dirpath, _dirs, files in os.walk(root):
+    for dirpath, dirs, files in os.walk(root):
+        # never descend into zone-rewrite / compaction staging dirs —
+        # a crashed or in-flight optimize_zone/dedup_zone/compact
+        # leaves `<table>.dedup.tmp/.old` / `.compact.tmp` siblings
+        # whose files would otherwise ride the stale-index fail-open
+        # union and DUPLICATE every surviving row
+        dirs[:] = [
+            d
+            for d in dirs
+            if not d.endswith((".dedup.tmp", ".dedup.old", ".compact.tmp"))
+        ]
         for f in files:
             if f.endswith(".parquet") and not f.startswith(("_", ".")):
                 out.append(str(Path(dirpath) / f))

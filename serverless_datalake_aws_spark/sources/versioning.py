@@ -300,7 +300,27 @@ def merge_versioned(
     vdir = root / f"{_PREFIX}{cur}"
     files = [f for f in list_parquet_files(vdir)]
     stats = collect_file_stats(spark, vdir, files=files)
-    src_keys = source.select(F.col(key).alias("_mk")).distinct()
+    # canonicalize the source key to the SAME numeric image the stats
+    # index stores (stats.py _canon/_canon_arrow): timestamps are unix
+    # MICROS and dates are epoch DAYS there — a bare CAST(ts AS DOUBLE)
+    # yields seconds (and dates don't cast to double at all), so every
+    # real timestamp would miss its file's [min,max] and the merge
+    # would silently re-insert matched keys instead of updating them
+    key_dtype = dict(source.dtypes)[key]
+    kcol = F.col(key)
+    if key_dtype.startswith("timestamp"):
+        mk = F.unix_micros(kcol).cast("double")
+    elif key_dtype == "date":
+        mk = F.datediff(kcol, F.lit("1970-01-01").cast("date")).cast("double")
+    elif key_dtype == "boolean":
+        mk = kcol.cast("int").cast("double")
+    else:
+        # ints/floats/decimals numerically; strings -> NULL (ANSI cast
+        # would throw on 'abc'), the 'str' join branch compares raw
+        mk = kcol.try_cast("double")
+    src_keys = source.select(
+        F.col(key).alias("_mk"), mk.alias("_mk_num")
+    ).distinct()
     # overlap = files whose key zone map intersects some source key —
     # computed for EVERY action (even matched="keep" needs it to know
     # which target keys exist, so not-matched inserts don't duplicate
@@ -319,7 +339,7 @@ def merge_versioned(
             F.col("kind") == "str",
             F.col("_mk").cast("string").between(F.col("min_v"), F.col("max_v")),
         ).otherwise(
-            F.col("_mk").cast("double").between(
+            F.col("_mk_num").between(
                 F.col("min_v").cast("double"), F.col("max_v").cast("double")
             )
         ),

@@ -157,3 +157,33 @@ def test_engine_merge_wrapper(spark, tmp_path):
     assert eng.merge_versioned("dim", src, "id") == 2
     got = {(r["id"], r["v"]) for r in eng.read_versioned("dim").collect()}
     assert (2, -2) in got and len(got) == 30
+
+
+def test_merge_timestamp_key_updates_not_duplicates(spark, tmp_path):
+    """Zone-map overlap must canonicalize temporal keys the way the
+    stats index does (unix micros) — a bare double cast (seconds)
+    missed every file, silently re-inserting matched keys."""
+    import datetime as dt
+
+    from serverless_datalake_aws_spark.sources.versioning import (
+        merge_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    base = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), i) for i in range(20)],
+        "ts timestamp, v long",
+    )
+    root = tmp_path / "t"
+    write_versioned(base.repartitionByRange(3, "ts"), root)
+    updates = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), i + 100) for i in (3, 7)],
+        "ts timestamp, v long",
+    )
+    merge_versioned(spark, root, updates, key="ts")
+    out = read_versioned(spark, root)
+    assert out.count() == 20  # updated in place, never duplicated
+    got = {r["v"] for r in out.filter("v >= 100").collect()}
+    assert got == {103, 107}

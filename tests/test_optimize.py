@@ -96,3 +96,21 @@ def test_zorder_write_still_works(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 5_000
     assert set(back.columns) == {"id", "a", "b"}
+
+
+def test_zorder_rank_tolerates_nan(spark, tmp_path):
+    """A single NaN in a fractional cluster column must not abort the
+    OPTIMIZE rewrite (Bucketizer handleInvalid='error' would); NaN
+    routes to cell 0 with the NULLs."""
+    from serverless_datalake_aws_spark.operators.layout import attach_zvalue
+
+    df = spark.createDataFrame(
+        [(i, float(i) if i != 7 else float("nan")) for i in range(50)]
+        + [(99, None)],
+        "id long, price double",
+    )
+    out = attach_zvalue(df, ("id", "price"), bits=4)
+    assert out.count() == 51
+    nan_zv = out.filter("id = 7").select("_zv").first()[0]
+    null_zv = out.filter("id = 99").select("_zv").first()[0]
+    assert nan_zv is not None and null_zv is not None

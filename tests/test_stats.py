@@ -195,3 +195,20 @@ def test_engine_analyze_and_scan(spark, tmp_path):
     eng.build_key_index("processed", "id", num_bits=1 << 16)
     row = eng.scan_by_key("processed", "id", 4_242).collect()
     assert len(row) == 1 and row[0]["v"] == 8_484
+
+
+def test_pruned_scan_ignores_staging_debris(spark, tmp_path):
+    """Files under a crashed rewrite's staging dirs must not ride the
+    stale-index fail-open union (they would duplicate every row)."""
+    import shutil
+
+    from serverless_datalake_aws_spark.sources import stats as S
+
+    base = tmp_path / "zone" / "records"
+    spark.range(100).write.parquet(str(base))
+    st = S.collect_file_stats(spark, tmp_path / "zone")
+    # simulate a crash mid-optimize: a full staged copy left beside
+    shutil.copytree(base, tmp_path / "zone" / "records.dedup.tmp")
+    shutil.copytree(base, tmp_path / "zone" / "records.compact.tmp")
+    got = S.pruned_scan(spark, tmp_path / "zone", st, "id", 10, 20)
+    assert got.count() == 11  # not 22/33
