@@ -302,7 +302,7 @@ class DataLakeEngine:
                     ).alias("location"),
                     F.octet_length("payload").cast("long").alias("size_bytes"),
                     F.lit("quarantined").alias("status"),
-                    F.array_join("failed_rules", ",").alias("_fr"),
+                    F.col("failed_rules").alias("_fr"),
                 ).select(
                     "id",
                     "timestamp",
@@ -312,7 +312,9 @@ class DataLakeEngine:
                     "location",
                     "size_bytes",
                     "status",
-                    F.split("_fr", ",").alias("tags"),  # failed rules ride tags
+                    F.col("_fr").alias("tags"),  # failed rules ride tags
+                    # (already array<string>; a join/split round-trip
+                    # would corrupt rule names containing a comma)
                     F.lit("failed ingest validation").alias("description"),
                     F.lit(False).alias("indexed"),
                     F.lit(None).cast("timestamp").alias("indexed_at"),
@@ -367,6 +369,8 @@ class DataLakeEngine:
         """Rows rejected by ingest validation, with their failed_rules —
         the DLQ the reference's fabric implies but never materializes
         (failed Lambda invocations vanish into retries)."""
+        if not self.is_remote:
+            self._recover_requeue_swap(Path(self.root) / "quarantine" / "records")
         return self.spark.read.parquet(f"{self.root}/quarantine/records")
 
     def requeue_quarantined(
@@ -380,11 +384,15 @@ class DataLakeEngine:
         DynamoDB history) — the requeued record gets a fresh id whose
         description links the original.
 
-        Idempotent per original id (the index_cdc pattern): a crash
-        between the raw append and the quarantine rewrite redelivers
-        the same rows, but any original id already linked from `_meta`
-        is skipped, so retries never double-ingest. The quarantine
-        rewrite itself is tmp+swap (crash leaves the old DLQ intact).
+        Crash-safe by construction, not by ordering: the requeued id
+        and its raw partition are DETERMINISTIC (id = md5 of the
+        original id, ingest_date = the original row's), so the raw
+        append dedups against exactly the partitions it would land in
+        and the `_meta` append dedups on the original-id link — a
+        retry after a crash anywhere re-runs both writes idempotently.
+        The quarantine rewrite is a staged rename swap (old dir hidden,
+        staged dir published, then reclaimed) with entry-time recovery,
+        so no crash point loses still-quarantined rows.
         Returns {"requeued": n, "still_quarantined": m}."""
         if self.is_remote:
             raise NotImplementedError(
@@ -392,6 +400,7 @@ class DataLakeEngine:
                 "route through versioned publish"
             )
         qpath = Path(self.root) / "quarantine" / "records"
+        self._recover_requeue_swap(qpath)
         if not qpath.exists():
             return {"requeued": 0, "still_quarantined": 0}
         q = self.spark.read.parquet(str(qpath))
@@ -428,18 +437,37 @@ class DataLakeEngine:
         )
         passing = passing.join(F.broadcast(already), "id", "left_anti")
         now = datetime.now(timezone.utc)
-        ingest_date = now.strftime("%Y-%m-%d")
+        # DETERMINISTIC replay identity: the new id derives from the
+        # original and the row lands under its ORIGINAL ingest_date, so
+        # a crash-retry recomputes the identical rows and the per-sink
+        # anti-joins below make each write idempotent (no uuid() /
+        # localCheckpoint pinning needed)
         fresh = passing.select(
-            F.expr("uuid()").alias("id"),
+            F.md5(F.concat(F.lit("requeue:"), F.col("id"))).alias("id"),
             "payload",
             "data_type",
-            F.lit(ingest_date).alias("ingest_date"),
+            "ingest_date",
             F.col("id").alias("orig_id"),
-        ).localCheckpoint(eager=True)  # pin uuid() before multi-write
+        )
         n = fresh.count()
         if n:
             raw_root = self.zone("raw")
-            fresh.drop("orig_id").write.mode("append").partitionBy(
+            parts = [
+                (r["data_type"], r["ingest_date"])
+                for r in fresh.select("data_type", "ingest_date").distinct().collect()
+            ]
+            part_pred = None
+            for dt, d in parts:
+                one = (F.col("data_type") == dt) & (F.col("ingest_date") == d)
+                part_pred = one if part_pred is None else (part_pred | one)
+            existing_raw = (
+                self.spark.read.parquet(f"{raw_root}/records")
+                .filter(part_pred)  # partition-pruned: DLQ-sized dirs only
+                .select("id")
+            )
+            fresh.drop("orig_id").join(
+                existing_raw, "id", "left_anti"
+            ).write.mode("append").partitionBy(
                 "data_type", "ingest_date"
             ).parquet(f"{raw_root}/records")
             meta_rows = fresh.select(
@@ -476,16 +504,36 @@ class DataLakeEngine:
         # must still clear the already-redriven rows from the DLQ.
         m = staying.count()
         removed = q.count() - m
-        tmp = str(qpath) + ".requeue.tmp"
+        tmp = Path(str(qpath) + ".requeue.tmp")
+        old = Path(str(qpath) + ".requeue.old")
         if removed and m:
+            # staged rename swap (same protocol as the zone rewrites):
+            # hide current, publish staged, reclaim — a crash at any
+            # point leaves either the old DLQ or the complete staged
+            # copy for _recover_requeue_swap to roll forward
             staying.write.mode("overwrite").partitionBy(
                 "data_type", "ingest_date"
-            ).parquet(tmp)
-            shutil.rmtree(qpath)
-            shutil.move(tmp, qpath)
+            ).parquet(str(tmp))
+            qpath.rename(old)
+            tmp.rename(qpath)
+            shutil.rmtree(old)
         elif removed:
             shutil.rmtree(qpath, ignore_errors=True)
         return {"requeued": n, "still_quarantined": m}
+
+    def _recover_requeue_swap(self, qpath: Path) -> None:
+        """Roll an interrupted DLQ rewrite forward (staged copy exists,
+        live dir hidden) or back (old dir still hidden, no staged
+        copy), then clear leftover staging."""
+        tmp = Path(str(qpath) + ".requeue.tmp")
+        old = Path(str(qpath) + ".requeue.old")
+        if not qpath.exists():
+            if tmp.exists():
+                tmp.rename(qpath)  # staged copy is complete: forward
+            elif old.exists():
+                old.rename(qpath)  # swap never started publishing: back
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
 
     # -- metadata table ------------------------------------------------------
     def meta(self) -> DataFrame:
@@ -1028,7 +1076,20 @@ class DataLakeEngine:
         """Gold-zone rollup (the curated/ zone the reference creates at
         deploy-script.sh:22-24 but never populates): per-(data_type,
         ingest_date) record counts and byte totals from processed/ —
-        the dashboard-feeding aggregate, partitioned for pruning."""
+        the dashboard-feeding aggregate, partitioned for pruning.
+
+        Coexists with curate_incremental: the full-dir overwrite would
+        otherwise wipe the stream's `_absorbed_epoch` idempotence
+        marker, and a later redelivery of an already-absorbed epoch
+        would double-count into the rebuilt summary — the marker is
+        preserved across the rewrite. (The converse race — changelog
+        rows already counted by this rebuild arriving as a FUTURE
+        stream epoch — is inherent to mixing a full rebuild with a
+        live incremental stream; restart the stream from a fresh
+        checkpoint after a manual rebuild.)"""
+        out_dir = Path(f"{self.zone('curated')}/daily_summary")
+        marker = out_dir / "_absorbed_epoch"
+        saved_marker = marker.read_text() if marker.exists() else None
         gold = (
             self.records("processed")
             # partition-value inference reads ingest_date back as DATE;
@@ -1043,9 +1104,11 @@ class DataLakeEngine:
             )
         )
         gold.write.mode("overwrite").partitionBy("data_type").parquet(
-            f"{self.zone('curated')}/daily_summary"
+            str(out_dir)
         )
-        return self.spark.read.parquet(f"{self.zone('curated')}/daily_summary")
+        if saved_marker is not None:
+            marker.write_text(saved_marker)
+        return self.spark.read.parquet(str(out_dir))
 
     def curate_incremental(
         self, timeout_s: int = 600, trigger: dict | None = None
@@ -1652,7 +1715,14 @@ class DataLakeEngine:
     def _mark_indexed_inner(self, ids: DataFrame | None = None, lock=None) -> None:
         meta = self.meta()
         if ids is None:
-            ids = meta.filter(~F.coalesce("indexed", F.lit(False))).select("id")
+            # quarantined rows are unindexed BY DESIGN (their records
+            # never reached the raw zone or the index) — sweeping them
+            # into the stamp would falsely mark rejected records as
+            # searchable
+            ids = meta.filter(
+                ~F.coalesce("indexed", F.lit(False))
+                & (F.coalesce("status", F.lit("")) != "quarantined")
+            ).select("id")
         hit_ids = F.broadcast(
             ids.select("id").distinct().withColumn("_hit", F.lit(True))
         )
@@ -1797,11 +1867,37 @@ class DataLakeEngine:
         appended — an anti-join against the indexed set instead of the
         reference's re-index-everything or one-HTTP-call-per-doc.
         Returns the number of newly indexed records."""
-        pending = self.meta().filter(~F.coalesce("indexed", F.lit(False))).select("id")
+        pending = self.meta().filter(
+            ~F.coalesce("indexed", F.lit(False))
+            # quarantined rows have no records to index; stamping them
+            # would falsely claim rejected data is searchable
+            & (F.coalesce("status", F.lit("")) != "quarantined")
+        ).select("id")
         n = pending.count()
         if n == 0:
             return 0
-        new_recs = self.records("raw").join(F.broadcast(pending), "id", "left_semi")
+        # ids already present in the index (a writer died between its
+        # index append and the indexed-stamp) must not get a second set
+        # of token rows — append only the truly-missing ids, but stamp
+        # ALL pending ids so the unstamped-but-indexed ones converge
+        to_append = pending
+        from pyspark.errors import AnalysisException
+
+        try:
+            already = (
+                self.spark.read.parquet(self.search_index_path)
+                .select("id")
+                .distinct()
+            )
+            to_append = pending.join(already, "id", "left_anti")
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and (
+                "Path does not exist" not in str(e)
+            ):
+                raise
+        new_recs = self.records("raw").join(
+            F.broadcast(to_append), "id", "left_semi"
+        )
         self._tokenize(new_recs).write.mode("append").partitionBy(
             "data_type"
         ).parquet(self.search_index_path)
@@ -1843,20 +1939,30 @@ class DataLakeEngine:
             # idempotent by construction (stamping a stamped id).
             from pyspark.errors import AnalysisException
 
+            to_append = ids
             try:
                 already = self.spark.read.parquet(
                     self.search_index_path
                 ).select("id").distinct()
-                ids = ids.join(already, "id", "left_anti")
+                to_append = ids.join(already, "id", "left_anti")
             except AnalysisException as e:
                 if "PATH_NOT_FOUND" not in str(e) and (
                     "Path does not exist" not in str(e)
                 ):
                     raise
-            new_recs = self.records("raw").join(F.broadcast(ids), "id", "left_semi")
+            new_recs = self.records("raw").join(
+                F.broadcast(to_append), "id", "left_semi"
+            )
             self._tokenize(new_recs).write.mode("append").partitionBy(
                 "data_type"
             ).parquet(self.search_index_path)
+            # stamp the ORIGINAL batch ids, not the anti-joined append
+            # set: after a crash between the index append and the stamp,
+            # redelivery finds the ids already indexed (empty append set)
+            # but they still carry indexed=False — stamping only
+            # `to_append` would leave them unstamped forever, and a later
+            # index_incremental would re-append their tokens. Stamping a
+            # stamped id is idempotent.
             self._mark_indexed(ids)
 
         if trigger is None:

@@ -186,9 +186,25 @@ class _EpochStateStore:
         from pyspark.errors import AnalysisException
 
         ptr = self._pointer()
-        target = (
-            os.path.join(self.path, ptr["state"]) if ptr is not None else self.path
-        )
+        if ptr is None:
+            # Never published, or legacy flat layout. A crashed FIRST
+            # publish leaves an orphan state-* dir with no pointer —
+            # that state was never committed, so it must read as
+            # "never published" (Spark would otherwise raise
+            # UNABLE_TO_INFER_SCHEMA on the bare subdir and wedge the
+            # store: GC only runs inside publish, which read() gates).
+            if not os.path.isdir(self.path):
+                return None
+            flat = [
+                f
+                for f in os.listdir(self.path)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+            if not flat:
+                return None
+            target = self.path
+        else:
+            target = os.path.join(self.path, ptr["state"])
         try:
             return self.spark.read.parquet(target)
         except AnalysisException as e:
@@ -296,6 +312,32 @@ class EpochPartitionedTable:
             if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
                 return None
             raise
+        if "epoch" not in df.columns:
+            # legacy pre-epoch layout (blind-append files directly under
+            # the subtable, no epoch= partitions — the pre-r7 scheme):
+            # that state IS the committed state. Fold it into an
+            # epoch=-1 partition (a later write() beside flat files
+            # would break partition discovery; -1 can never collide
+            # with a real stream epoch and passes every `epoch <=
+            # upto` filter, upto >= -1) — mirrors _EpochStateStore's
+            # legacy-flat contract.
+            import os
+            import shutil
+
+            src = f"{self.path}/{sub}"
+            self.write(df, sub + "__migrated", -1)
+            for entry in os.listdir(src):
+                if not entry.startswith("epoch="):
+                    full = os.path.join(src, entry)
+                    if os.path.isfile(full):
+                        os.remove(full)
+                    else:
+                        shutil.rmtree(full, ignore_errors=True)
+            os.replace(
+                f"{self.path}/{sub}__migrated/epoch=-1", f"{src}/epoch=-1"
+            )
+            shutil.rmtree(f"{self.path}/{sub}__migrated", ignore_errors=True)
+            df = self.spark.read.parquet(src)
         return df.filter(F.col("epoch") <= F.lit(upto)).drop("epoch")
 
 

@@ -160,28 +160,41 @@ class MetricsRecorder:
                 return sh, rows
 
             shuffle, out_rows = _read_metrics()
+            fp = int(qe.analyzed().semanticHash())
+
+            def _record(sh, rows) -> None:
+                with self._lock:
+                    self._buffer.append(
+                        {
+                            "ts": datetime.now(timezone.utc),
+                            "func_name": str(funcName),
+                            "fingerprint": fp,
+                            "label": self._labels.get(fp),
+                            "plan": str(qe.analyzed().simpleString(25))[:200],
+                            "wall_ms": float(durationNs) / 1e6,
+                            "out_rows": rows,
+                            "shuffle_bytes": sh,
+                        }
+                    )
+
             if out_rows == 0:
                 # SQLMetric accumulator values can lag the listener
                 # callback for a plan's FIRST execution (observed:
                 # root agg reads 0 at callback time, correct value
                 # ~100ms later). 0 is ambiguous (legit empty result
-                # vs lag) — one short bounded re-read disambiguates.
-                time.sleep(0.2)
-                shuffle, out_rows = _read_metrics()
-            fp = int(qe.analyzed().semanticHash())
-            with self._lock:
-                self._buffer.append(
-                    {
-                        "ts": datetime.now(timezone.utc),
-                        "func_name": str(funcName),
-                        "fingerprint": fp,
-                        "label": self._labels.get(fp),
-                        "plan": str(qe.analyzed().simpleString(25))[:200],
-                        "wall_ms": float(durationNs) / 1e6,
-                        "out_rows": out_rows,
-                        "shuffle_bytes": shuffle,
-                    }
-                )
+                # vs lag) — re-read after a short delay OFF the shared
+                # listener-bus thread (a sleep here would serialize
+                # every listener on the session behind each empty
+                # result and back the bus up until events drop).
+                def _deferred() -> None:
+                    try:
+                        _record(*_read_metrics())
+                    except Exception:
+                        pass
+
+                threading.Timer(0.2, _deferred).start()
+            else:
+                _record(shuffle, out_rows)
         except Exception:
             pass  # telemetry must never fail a query
 

@@ -297,3 +297,33 @@ def test_dedup_zone_crash_before_old_reclaim(spark, tmp_path, monkeypatch):
     assert eng2.records("raw").count() == 2  # published deduped state
     assert eng2.dedup_zone("raw") == 0  # next maintenance entry...
     assert not Path(str(raw) + ".dedup.old").exists()  # ...reclaims it
+
+
+def test_requeue_swap_crash_heals(spark, tmp_path):
+    """Death between the DLQ swap renames must not lose the remaining
+    quarantined rows: entry-time recovery rolls the staged copy
+    forward (or the hidden old dir back)."""
+    import shutil
+    from pathlib import Path
+
+    from serverless_datalake_aws_spark.engine import DataLakeEngine
+
+    lake = DataLakeEngine(spark, str(tmp_path / "lake"))
+    lake.ingest_batch(
+        [{"v": None}, {"v": 1}],
+        data_type="t",
+        validate=[("has_v", "get_json_object(payload, '$.v') IS NOT NULL")],
+    )
+    q = Path(lake.root) / "quarantine" / "records"
+    assert lake.quarantine().count() == 1
+
+    # crash just after hiding the live dir: staged copy complete
+    shutil.copytree(q, str(q) + ".requeue.tmp")
+    q.rename(str(q) + ".requeue.old")
+    assert not q.exists()
+    assert lake.quarantine().count() == 1  # healed from the staged copy
+    assert q.exists()
+
+    # crash before publishing: only the hidden old dir remains
+    q.rename(str(q) + ".requeue.old")
+    assert lake.quarantine().count() == 1  # rolled back

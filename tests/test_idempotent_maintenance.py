@@ -368,3 +368,46 @@ def test_epoch_partitioned_table_contract(spark, tmp_path):
     ) == [1, 9]
     # bounded reads exclude later epochs
     assert sorted(r["x"] for r in t.read("rows", upto=0).collect()) == [1]
+
+
+def test_epoch_store_first_publish_crash_does_not_wedge(spark, tmp_path):
+    """A crash during the FIRST publish (state dir written, pointer
+    never committed) must read as 'never published', not raise
+    UNABLE_TO_INFER_SCHEMA forever (GC only runs inside publish, which
+    read() gates)."""
+    from serverless_datalake_aws_spark.operators.incremental import (
+        _EpochStateStore,
+    )
+
+    store = _EpochStateStore(spark, str(tmp_path / "st"))
+    # simulate: orphan state dir, no _LATEST
+    spark.range(5).write.parquet(str(tmp_path / "st" / "state-000000-dead"))
+    assert store.read() is None
+    assert store.absorbed_epoch() == -1
+    # the next publish commits normally and GCs the orphan
+    store.publish(spark.range(3), epoch_id=0)
+    assert store.read().count() == 3
+    import os
+
+    assert "state-000000-dead" not in os.listdir(tmp_path / "st")
+
+
+def test_epoch_partitioned_table_migrates_legacy_layout(spark, tmp_path):
+    """Pre-epoch blind-append state (flat files, no epoch= dirs, no
+    _LATEST) reads as committed state and is folded into epoch=-1 so
+    later epoch writes don't break partition discovery."""
+    from serverless_datalake_aws_spark.operators.incremental import (
+        EpochPartitionedTable,
+    )
+
+    root = tmp_path / "mj"
+    spark.range(10).write.parquet(str(root / "left"))  # legacy layout
+    t = EpochPartitionedTable(spark, str(root))
+    assert t.committed() == -1
+    legacy = t.read("left", upto=t.committed())
+    assert legacy.count() == 10
+    # new-scheme absorb at epoch 0 coexists with the migrated -1 dir
+    t.write(spark.range(10, 13), "left", epoch=0)
+    t.commit(0)
+    assert t.read("left", upto=0).count() == 13
+    assert t.read("left", upto=-1).count() == 10  # epoch 0 invisible
