@@ -96,11 +96,48 @@ class FileLock:
         return self._held and self._owner_token() == self._token
 
     def _heartbeat_loop(self, stop: threading.Event, interval: float) -> None:
+        misses = 0
         while not stop.wait(interval):
             try:
                 os.utime(self.path)
-            except (FileNotFoundError, OSError):
-                return  # stolen or released — nothing left to keep alive
+                misses = 0
+            except FileNotFoundError:
+                # transiently absent ≠ stolen: another holder's release
+                # momentarily renames our live lock away before
+                # restoring it (see release) — giving up on the first
+                # miss would freeze our mtime and let a third party
+                # steal a live lock after ttl. Persist a few beats.
+                misses += 1
+                if misses >= 3:
+                    return  # genuinely stolen or released
+            except OSError:
+                return
+
+    def _sweep_debris(self) -> None:
+        """Reclaim abandoned rename artifacts (`<lock>.stale.<uuid>`
+        from steals, `<lock>.rel.<uuid>` from crashed releases) older
+        than ttl. Runs only while WE hold the lock, so no live
+        contender's in-flight rename can be this old; unbounded debris
+        would otherwise inflate every directory listing forever."""
+        try:
+            now = time.time()
+            # rename artifacts come from with_suffix, which REPLACES
+            # the lock's last suffix: <stem>.stale.<uuid> / .rel.<uuid>
+            stem = self.path.stem
+            for p in self.path.parent.iterdir():
+                name = p.name
+                if not name.startswith(stem + "."):
+                    continue
+                rest = name[len(stem) + 1 :]
+                if not (rest.startswith("stale.") or rest.startswith("rel.")):
+                    continue
+                try:
+                    if (now - p.stat().st_mtime) > self.ttl:
+                        p.unlink(missing_ok=True)
+                except OSError:
+                    pass
+        except OSError:
+            pass
 
     def acquire(self, timeout: float = 120.0) -> None:
         deadline = time.time() + timeout
@@ -114,6 +151,7 @@ class FileLock:
                 os.close(fd)
                 self._held = True
                 self._token = token
+                self._sweep_debris()
                 if self._hb_interval > 0:
                     self._hb_stop = threading.Event()
                     self._hb_thread = threading.Thread(

@@ -152,11 +152,18 @@ def vacuum(
     writer is mid-commit under the OCC protocol, and reclaiming under
     it would hand the writer's task commits a deleted directory (the
     round-6 self-review's multi-writer/vacuum interaction). The current
-    version is never deleted. Returns the pruned version numbers."""
+    version is never deleted — and neither is the NEWEST committed
+    version even when the pointer lags it: a writer that has written
+    its _COMMITTED flag but not yet swung _CURRENT is mid-publish, and
+    deleting its version would leave the pointer naming a removed
+    directory (with an unborn pointer, keep=0 would delete the only
+    data). Returns the pruned version numbers."""
     root = Path(root)
     cur = current_version(root)
     pruned: list[int] = []
-    noncurrent = [v for v in _versions(root) if v != cur]
+    all_committed = [v for v in _versions(root) if _committed(root, v)]
+    protected = {cur, max(all_committed, default=None)}
+    noncurrent = [v for v in _versions(root) if v not in protected]
     uncommitted = [v for v in noncurrent if not _committed(root, v)]
     committed = [v for v in noncurrent if _committed(root, v)]
     expired = committed[:-keep] if keep > 0 else committed
@@ -200,11 +207,16 @@ def diff_versions(
 
     def _hashed(df: DataFrame, alias: str) -> DataFrame:
         cols = sorted(c for c in df.columns if c != key)
+        # to_json with nulls kept: unambiguous row image (a separator-
+        # joined concat collides when a value CONTAINS the separator,
+        # and a NULL placeholder collides with that literal string —
+        # changed rows could classify as unchanged)
         return df.select(
             F.col(key),
             F.md5(
-                F.concat_ws(
-                    "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+                F.to_json(
+                    F.struct(*[F.col(c) for c in cols]),
+                    {"ignoreNullFields": "false"},
                 )
             ).alias(f"_h_{alias}"),
         )
@@ -299,6 +311,18 @@ def merge_versioned(
         return write_versioned(source, root)
     vdir = root / f"{_PREFIX}{cur}"
     files = [f for f in list_parquet_files(vdir)]
+    if not files and any(
+        f.is_file() and not f.name.startswith(("_", "."))
+        for f in vdir.iterdir()
+    ):
+        # a non-parquet versioned table (write_versioned fmt='json'):
+        # the stats walk sees zero files, so EVERY row would classify
+        # as not-matched and the merge would publish a version holding
+        # only the source — silent loss of the whole table
+        raise NotImplementedError(
+            f"merge_versioned requires a parquet versioned table; "
+            f"{vdir} holds non-parquet data files"
+        )
     stats = collect_file_stats(spark, vdir, files=files)
     # canonicalize the source key to the SAME numeric image the stats
     # index stores (stats.py _canon/_canon_arrow): timestamps are unix
@@ -318,6 +342,9 @@ def merge_versioned(
         # ints/floats/decimals numerically; strings -> NULL (ANSI cast
         # would throw on 'abc'), the 'str' join branch compares raw
         mk = kcol.try_cast("double")
+    # the source plan feeds several joins plus the overlap probe; pin
+    # it so an expensive upstream pipeline isn't recomputed per use
+    source = source.persist()
     src_keys = source.select(
         F.col(key).alias("_mk"), mk.alias("_mk_num")
     ).distinct()
@@ -412,7 +439,10 @@ def merge_versioned(
                     str(new_vdir / "part-empty.parquet"),
                 )
 
-    return _publish_version(root, _materialize)
+    try:
+        return _publish_version(root, _materialize)
+    finally:
+        source.unpersist()
 
 
 def _publish_version(root: Path, materialize) -> int:

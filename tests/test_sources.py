@@ -214,3 +214,41 @@ def test_tsv_and_compressed_dispatch(spark, tmp_path):
     with gzip.open(blob, "wb") as f:
         f.write(b"\x00")
     assert detect_format(blob) is None
+
+
+def test_route_to_shards_exact_balance(spark):
+    """repartition(n, pmod(hash(x), n)) double-hashes (empty shards +
+    multi-x skew); routing through per-bucket representatives lands
+    every row in exactly the intended partition."""
+    from pyspark.sql import functions as F
+
+    from serverless_datalake_aws_spark.sources.writers import route_to_shards
+
+    out = route_to_shards(spark.range(50_000), 16, seed=7)
+    sizes = [
+        r["n"]
+        for r in out.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    assert len(sizes) == 16  # no empty partitions
+    assert max(sizes) / min(sizes) < 1.2
+    assert out.select("_shard").distinct().count() == 16
+
+
+def test_compact_csv_preserves_string_values(spark, tmp_path):
+    """Compaction is layout-only: csv values must not be re-typed on
+    the round trip ('01234' staying '01234', not 1234)."""
+    from serverless_datalake_aws_spark.sources.writers import compact, write_any
+
+    df = spark.createDataFrame(
+        [("01234", "1e5"), ("99999", "2e3")], "zip string, sci string"
+    )
+    path = tmp_path / "t"
+    write_any(df.repartition(4), path, fmt="csv")
+    compact(spark, path, fmt="csv")
+    got = {
+        (r["zip"], r["sci"])
+        for r in spark.read.option("header", True).csv(str(path)).collect()
+    }
+    assert got == {("01234", "1e5"), ("99999", "2e3")}

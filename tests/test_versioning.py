@@ -8,6 +8,8 @@ import pytest
 
 from serverless_datalake_aws_spark.sources.versioning import (
     current_version,
+    diff_versions,
+    merge_versioned,
     read_versioned,
     vacuum,
     write_versioned,
@@ -238,3 +240,58 @@ def test_reclaimed_claim_aborts_commit(spark, tmp_path, monkeypatch):
     # previous version untouched; the aborted version never committed
     assert V.read_versioned(spark, root).count() == 2
     assert V.current_version(root) == 1
+
+
+def test_vacuum_protects_newest_committed_before_pointer(spark, tmp_path):
+    """A version whose _COMMITTED flag exists but whose _CURRENT swing
+    is still in flight must survive vacuum — deleting it would leave
+    the imminent pointer naming a removed directory."""
+    import os
+
+    root = tmp_path / "t"
+    write_versioned(spark.range(3), root)
+    write_versioned(spark.range(4), root)
+    # simulate mid-publish: v3 committed, pointer still on v2
+    (root / "_v=3").mkdir()
+    spark.range(5).write.mode("overwrite").parquet(str(root / "_v=3"))
+    (root / "_v=3" / "_COMMITTED").touch()
+    assert current_version(root) == 2
+    pruned = vacuum(root, keep=0)
+    assert 3 not in pruned and (root / "_v=3").exists()
+    assert 1 in pruned  # plain noncurrent still expires
+    # unborn pointer: keep=0 never deletes the only committed data
+    root2 = tmp_path / "t2"
+    (root2 / "_v=1").mkdir(parents=True)
+    spark.range(2).write.mode("overwrite").parquet(str(root2 / "_v=1"))
+    (root2 / "_v=1" / "_COMMITTED").touch()
+    assert vacuum(root2, keep=0) == []
+    assert (root2 / "_v=1").exists()
+    assert os is not None
+
+
+def test_diff_hash_unambiguous_on_separator_values(spark, tmp_path):
+    """Row-image hashing must not collide when values contain the old
+    separator or when NULL meets its old placeholder string."""
+    root = tmp_path / "t"
+    v1 = spark.createDataFrame(
+        [(1, "x\x1fy", "z"), (2, None, "a")], "id long, a string, b string"
+    )
+    v2 = spark.createDataFrame(
+        [(1, "x", "y\x1fz"), (2, "\x00", "a")], "id long, a string, b string"
+    )
+    write_versioned(v1, root)
+    write_versioned(v2, root)
+    got = {
+        r["id"]: r["change"]
+        for r in diff_versions(spark, root, old=1, new=2, key="id").collect()
+    }
+    assert got == {1: "changed", 2: "changed"}
+
+
+def test_merge_refuses_non_parquet_table(spark, tmp_path):
+    root = tmp_path / "t"
+    write_versioned(spark.range(5), root, fmt="json")
+    with pytest.raises(NotImplementedError, match="parquet"):
+        merge_versioned(spark, root, spark.range(2), key="id")
+    # table untouched
+    assert read_versioned(spark, root, fmt="json").count() == 5
