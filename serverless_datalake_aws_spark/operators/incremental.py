@@ -51,6 +51,11 @@ def partial_rollup(
             F.sum(m).alias(f"sum_{m}"),
             F.min(m).alias(f"min_{m}"),
             F.max(m).alias(f"max_{m}"),
+            # per-measure NON-NULL count: sum/sumsq skip NULLs, so
+            # avg/var must divide by this, not n_rows — SQL AVG/
+            # VAR_SAMP semantics (divergence shows the moment a
+            # measure column carries NULLs)
+            F.count(m).alias(f"n_{m}"),
         ]
         if with_moments:
             aggs.append(F.sum(F.col(m) * F.col(m)).alias(f"sumsq_{m}"))
@@ -78,6 +83,7 @@ def merge_rollups(
             F.sum(f"sum_{m}").alias(f"sum_{m}"),
             F.min(f"min_{m}").alias(f"min_{m}"),
             F.max(f"max_{m}").alias(f"max_{m}"),
+            F.sum(f"n_{m}").alias(f"n_{m}"),
         ]
         if with_moments:
             aggs.append(F.sum(f"sumsq_{m}").alias(f"sumsq_{m}"))
@@ -99,9 +105,11 @@ def finalize_rollup(
     only the partials merge."""
     out = partial
     for m in measures:
-        out = out.withColumn(f"avg_{m}", F.col(f"sum_{m}") / F.col("n_rows"))
+        n = F.col(f"n_{m}")  # non-null count: SQL AVG/VAR semantics
+        out = out.withColumn(
+            f"avg_{m}", F.when(n > 0, F.col(f"sum_{m}") / n)
+        )
         if with_moments:
-            n = F.col("n_rows")
             s, s2 = F.col(f"sum_{m}"), F.col(f"sumsq_{m}")
             out = out.withColumn(
                 f"var_{m}",
@@ -195,6 +203,16 @@ class _EpochStateStore:
             # store: GC only runs inside publish, which read() gates).
             if not os.path.isdir(self.path):
                 return None
+            # GC uncommitted orphan state dirs FIRST: beside legacy
+            # flat files they would trip Spark's mixed-depth partition
+            # discovery (conflicting directory structures), wedging
+            # the store before publish's own GC could ever run
+            import shutil as _sh
+
+            for entry in os.listdir(self.path):
+                full = os.path.join(self.path, entry)
+                if entry.startswith("state-") and os.path.isdir(full):
+                    _sh.rmtree(full, ignore_errors=True)
             flat = [
                 f
                 for f in os.listdir(self.path)
@@ -303,9 +321,28 @@ class EpochPartitionedTable:
             f"{self.path}/{sub}/epoch={epoch}"
         )
 
+    def _recover_legacy_swap(self, sub: str) -> None:
+        """Heal an interrupted legacy migration (read()'s hide →
+        publish → reclaim swap): a surviving `__legacy` dir means the
+        publish may not have completed — roll back to it unless the
+        migrated epoch=-1 already landed."""
+        import os
+        import shutil
+
+        src = f"{self.path}/{sub}"
+        legacy = f"{src}__legacy"
+        if os.path.isdir(legacy):
+            if os.path.isdir(f"{src}/epoch=-1"):
+                shutil.rmtree(legacy, ignore_errors=True)  # completed
+            else:
+                shutil.rmtree(src, ignore_errors=True)
+                os.replace(legacy, src)  # roll back; migration re-runs
+        shutil.rmtree(f"{src}__migrated", ignore_errors=True)
+
     def read(self, sub: str, upto: int) -> DataFrame | None:
         from pyspark.errors import AnalysisException
 
+        self._recover_legacy_swap(sub)
         try:
             df = self.spark.read.parquet(f"{self.path}/{sub}")
         except AnalysisException as e:
@@ -325,18 +362,20 @@ class EpochPartitionedTable:
             import shutil
 
             src = f"{self.path}/{sub}"
-            self.write(df, sub + "__migrated", -1)
-            for entry in os.listdir(src):
-                if not entry.startswith("epoch="):
-                    full = os.path.join(src, entry)
-                    if os.path.isfile(full):
-                        os.remove(full)
-                    else:
-                        shutil.rmtree(full, ignore_errors=True)
+            legacy = f"{src}__legacy"
+            self.write(df, sub + "__migrated", -1)  # materialized copy
+            # crash-safe swap: hide the whole flat dir in ONE rename
+            # (deleting files one-by-one before the replace left a
+            # window where the committed state existed nowhere), then
+            # publish the migrated copy, then reclaim. _recover_legacy
+            # rolls an interrupted swap back on the next read.
+            os.replace(src, legacy)
+            os.makedirs(src)
             os.replace(
                 f"{self.path}/{sub}__migrated/epoch=-1", f"{src}/epoch=-1"
             )
             shutil.rmtree(f"{self.path}/{sub}__migrated", ignore_errors=True)
+            shutil.rmtree(legacy, ignore_errors=True)
             df = self.spark.read.parquet(src)
         return df.filter(F.col("epoch") <= F.lit(upto)).drop("epoch")
 
@@ -387,6 +426,12 @@ class MaintainedRollup:
         if current is None:
             merged = batch
         else:
+            for m in self.measures:
+                if f"n_{m}" not in current.columns:
+                    # state persisted before per-measure non-null
+                    # counts existed: that era's finalize divided by
+                    # n_rows, so n_rows is its exact recorded meaning
+                    current = current.withColumn(f"n_{m}", F.col("n_rows"))
             merged = merge_rollups(
                 [current, batch],
                 self.keys,
@@ -400,6 +445,9 @@ class MaintainedRollup:
         state = self._store.read()
         if state is None:
             raise FileNotFoundError(f"no rollup state at {self.path}")
+        for m in self.measures:
+            if f"n_{m}" not in state.columns:  # pre-n_<m> persisted state
+                state = state.withColumn(f"n_{m}", F.col("n_rows"))
         return finalize_rollup(
             state,
             self.measures,
@@ -476,9 +524,18 @@ def cm_estimate(
     )
     hashed = items.select("*", F.posexplode(buckets).alias("d", "bucket"))
     return (
-        hashed.join(F.broadcast(sketch), ["d", "bucket"])
+        # LEFT join + zero-fill: a bucket with no sketch row means the
+        # count there is 0 — an inner join would silently drop
+        # never-seen items from the output and take the min over a
+        # PARTIAL bucket set for items with some empty buckets
+        # (overestimating past the count-min bound; min must see the 0)
+        hashed.join(F.broadcast(sketch), ["d", "bucket"], "left")
         .groupBy(*items.columns)
-        .agg(F.min("cnt").cast("long").alias("est_n"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("est_n")
+        )
     )
 
 
@@ -596,10 +653,14 @@ def qh_partial(
     |keys| × O(log-range / ln γ) rows regardless of input rows."""
     sign, bin_ = _qh_sign_bin(value_col, gamma)
     return (
-        # NULL measures are excluded, matching SQL quantile semantics
-        # (percentile/quantile_cont ignore NULLs) — counting them as
-        # zeros would silently drag every estimate toward 0
-        df.filter(F.col(value_col).isNotNull())
+        # NULL and NaN measures are excluded, matching SQL quantile
+        # semantics (percentile/quantile_cont ignore non-values) — a
+        # NaN passing through would bin as a bogus small positive
+        # (NaN compares > 0 in Spark) and skew every estimate
+        df.filter(
+            F.col(value_col).isNotNull()
+            & ~F.isnan(F.col(value_col).cast("double"))
+        )
         .select(*(keys or []), sign.alias("sign"), bin_.alias("bin"))
         .groupBy(*(keys or []), "sign", "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -456,7 +456,7 @@ def e16_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(value), 4) AS sum_value,
            round(min(value), 6) AS min_value,
            round(max(value), 6) AS max_value,
-           round(sum(value) / count(*), 6) AS avg_value
+           round(sum(value) / count(value), 6) AS avg_value
     FROM events
     GROUP BY event_type, date_trunc('day', ts)
     ORDER BY event_type, day

@@ -163,7 +163,11 @@ def collect_file_stats(
                     continue
                 kind, mn = _canon_arrow(st.min, st.logical_type, st.physical_type)
                 _, mx = _canon_arrow(st.max, st.logical_type, st.physical_type)
-                if kind is None:
+                if kind is None or mn is None or mx is None:
+                    # either bound un-canonicalizable (e.g. non-UTF8
+                    # max on a binary column): the whole pair is
+                    # unusable — recording a one-sided bound would
+                    # understate the range and prune wrongly
                     ent[4] = False
                     continue
                 ent[0] = kind
@@ -253,6 +257,22 @@ def collect_file_stats(
 
     return paths_df.mapInPandas(_scan, schema=STATS_SCHEMA)
 
+def _session_tz_aware(spark, v):
+    """Pin a NAIVE datetime bound to the Spark session's timezone.
+    `_canon` would read it as UTC while `F.lit` reads it in the
+    session tz — in a non-UTC session the prune bound and the
+    re-applied filter bound would disagree by the UTC offset and
+    pruning could drop files holding matching rows. An AWARE datetime
+    is unambiguous on both paths."""
+    if isinstance(v, _dt.datetime) and v.tzinfo is None:
+        from zoneinfo import ZoneInfo
+
+        return v.replace(
+            tzinfo=ZoneInfo(spark.conf.get("spark.sql.session.timeZone"))
+        )
+    return v
+
+
 def _cast_for(kind_col, v_col):
     """Typed view of the canonical string image for comparison.
     Comparing at double precision is safe even for int64 beyond 2^53:
@@ -322,10 +342,16 @@ def pruned_scan(
     inverted for plain Parquet). `basePath` keeps hive partition
     columns; the predicate is re-applied so skipping can never change
     results — only how many files back the scan."""
-    on_disk = list_parquet_files(root)
+    lo = _session_tz_aware(spark, lo)
+    hi = _session_tz_aware(spark, hi)
+    on_disk = set(list_parquet_files(root))
     indexed = {_strip_uri(r["file"]) for r in stats.select("file").distinct().collect()}
     keep = set(prune_files(stats, column, lo, hi))
-    chosen = sorted(keep | (set(on_disk) - indexed))
+    # keep ∩ on_disk: a stale index may name files a rewrite deleted —
+    # passing them to the reader would crash the scan instead of
+    # failing open (the never-indexed union below covers the rewrite's
+    # NEW files, so results stay complete)
+    chosen = sorted((keep & on_disk) | (on_disk - indexed))
     if not chosen:
         # degenerate: nothing can match, but Spark needs ≥1 path for
         # schema — read everything's schema via the root with a
@@ -377,8 +403,16 @@ def build_bloom_index(
     Size num_bits ≈ 10× rows-per-file for ~1% fpp at 5 hashes; at
     128 MB/1M-row files that is 10M bits = 156k long-form rows max,
     ~1.25 MB — per file, an ordinary Parquet table."""
+    # read the staging-aware file list explicitly — a bare read of the
+    # root would also index files under a crashed rewrite's
+    # .dedup.tmp/.old dirs, and a later candidate scan would return
+    # every matching row twice
+    flist = list_parquet_files(path)
+    if not flist:
+        return spark.createDataFrame([], BLOOM_SCHEMA)
     df = (
-        spark.read.parquet(str(path))
+        spark.read.option("basePath", str(path))
+        .parquet(*flist)
         .select(
             F.regexp_replace(F.input_file_name(), "^file:(//)?", "").alias("file"),
             F.col(key).alias("k"),
@@ -445,10 +479,12 @@ def bloom_point_scan(
     files (+ any file the index has never seen — fail-open like
     `pruned_scan`), re-apply the predicate. At 800k files a point
     lookup touches ~fpp × 800k + 1 files instead of all of them."""
-    on_disk = list_parquet_files(root)
+    on_disk = set(list_parquet_files(root))
     indexed = {_strip_uri(r["file"]) for r in blooms.select("file").distinct().collect()}
     cand = set(bloom_candidate_files(spark, blooms, value, num_bits, num_hashes))
-    chosen = sorted(cand | (set(on_disk) - indexed))
+    # cand ∩ on_disk: stale-index paths a rewrite deleted must fail
+    # open (the never-indexed union covers the new files), not crash
+    chosen = sorted((cand & on_disk) | (on_disk - indexed))
     if not chosen:
         return spark.read.parquet(str(root)).filter(F.lit(False))
     return (

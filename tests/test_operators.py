@@ -656,3 +656,63 @@ def test_asof_join_tolerance_and_plan(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1  # one key shuffle
+
+
+def test_rollup_avg_var_with_null_measures(spark):
+    """avg/var divide by the per-measure NON-NULL count (SQL AVG /
+    VAR_SAMP semantics) — n_rows counts all rows and diverges the
+    moment a measure carries NULLs."""
+    from pyspark.sql import functions as F
+
+    from serverless_datalake_aws_spark.operators.incremental import (
+        finalize_rollup,
+        merge_rollups,
+        partial_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a", 1.0), (1, "a", None), (2, "a", 3.0), (3, "a", None)],
+        "i long, k string, v double",
+    ).drop("i")
+    base = spark.createDataFrame(
+        [(0, "a", 1.0), (1, "a", None)], "i long, k string, v double"
+    ).drop("i")
+    delta = spark.createDataFrame(
+        [(2, "a", 3.0), (3, "a", None)], "i long, k string, v double"
+    ).drop("i")
+    parts = [
+        partial_rollup(base, ["k"], ["v"], with_moments=True),
+        partial_rollup(delta, ["k"], ["v"], with_moments=True),
+    ]
+    fin = finalize_rollup(
+        merge_rollups(parts, ["k"], ["v"], with_moments=True),
+        ["v"],
+        with_moments=True,
+    ).first()
+    want = df.agg(
+        F.avg("v").alias("a"), F.var_samp("v").alias("s")
+    ).first()
+    assert abs(fin["avg_v"] - want["a"]) < 1e-9
+    assert abs(fin["var_v"] - want["s"]) < 1e-9
+    assert fin["n_rows"] == 4 and fin["n_v"] == 2
+
+
+def test_cm_estimate_unseen_items_are_zero(spark):
+    """A never-seen probe item must come back with est_n = 0 (left
+    join + zero-fill), not vanish or overestimate from a partial
+    bucket set."""
+    from serverless_datalake_aws_spark.operators.incremental import (
+        cm_estimate,
+        cm_partial,
+    )
+
+    sketch = cm_partial(
+        spark.createDataFrame([("x",)] * 5 + [("y",)] * 2, "item string"),
+        "item",
+    )
+    items = spark.createDataFrame(
+        [("x",), ("never-seen",)], "item string"
+    )
+    got = {r["item"]: r["est_n"] for r in cm_estimate(sketch, items, "item").collect()}
+    assert got["never-seen"] == 0
+    assert got["x"] >= 5  # count-min errs only upward
