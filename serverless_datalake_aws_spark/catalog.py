@@ -134,14 +134,22 @@ def _dataset_dirs(root: Path, prefix: tuple[str, ...] = ()):
     into, with its name joined into the registered table name. Loose
     files directly under a namespace each become a one-file dataset.
     """
+    from .sources.readers import _FORMATS, _effective_suffix
+
     for child in sorted(root.iterdir()):
         if child.name.startswith(("_", ".")):
             continue
         if child.is_file():
             yield prefix + (child.stem,), child
             continue
+        # a directory is a leaf DATASET only when it directly holds
+        # SUPPORTED data files — counting any stray file (readme.md)
+        # would collapse a whole namespace of nested datasets into one
+        # merged union view
         direct_files = any(
-            f.is_file() and not f.name.startswith(("_", "."))
+            f.is_file()
+            and not f.name.startswith(("_", "."))
+            and _FORMATS.get(_effective_suffix(f)) is not None
             for f in child.iterdir()
         )
         subdirs = [
@@ -191,13 +199,16 @@ def crawl(
     if not root.is_dir():
         raise ValueError(f"lake root does not exist: {root}")
     out: list[CrawledDataset] = []
-    from .sources.readers import _FORMATS
+    from .sources.readers import _FORMATS, _effective_suffix
 
+    used_names: set[str] = set()
     for parts, path in _dataset_dirs(root):
         files = [path] if path.is_file() else _data_files(path)
         by_fmt: dict[str, list[Path]] = {}
         for f in files:
-            kind = _FORMATS.get(f.suffix.lower())
+            # compression-aware dispatch (events.ndjson.gz -> ndjson) —
+            # the readers support these, so the crawler must see them
+            kind = _FORMATS.get(_effective_suffix(f))
             if kind is not None:
                 by_fmt.setdefault(kind, []).append(f)
         if not by_fmt:
@@ -212,6 +223,19 @@ def crawl(
                 )
             if table_prefix:
                 name = f"{table_prefix}{name}"
+            if name in used_names:
+                # two datasets normalizing to one view name (clicks.csv
+                # vs clicks.json as loose files, or 'a-b' vs 'a_b'):
+                # replacing silently would drop the first from the
+                # catalog — disambiguate deterministically instead
+                base, i = name, 2
+                while name in used_names:
+                    name = f"{base}_{i}"
+                    i += 1
+                log.warning(
+                    "crawl: view-name collision — registering %s", name
+                )
+            used_names.add(name)
             ds = CrawledDataset(
                 name=name,
                 path=str(path),
@@ -234,7 +258,19 @@ def crawl(
                     )
                 )
                 src = str(path) if plain_dir else [str(f) for f in fmt_files]
-                if isinstance(src, list):
+                if isinstance(src, list) and fmt in ("parquet", "orc"):
+                    # explicit leaf-file reads drop hive partition
+                    # columns unless basePath anchors the layout —
+                    # a mixed dir must not silently lose them
+                    reader = spark.read.option("basePath", str(path)).option(
+                        "mergeSchema", True
+                    )
+                    df = (
+                        reader.parquet(*src)
+                        if fmt == "parquet"
+                        else reader.orc(*src)
+                    )
+                elif isinstance(src, list):
                     # merge_schema: foreign writers drift schemas;
                     # a one-footer read silently drops newer columns
                     dfs = [

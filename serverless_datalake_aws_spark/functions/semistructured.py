@@ -64,6 +64,10 @@ def decode_dynamodb_value(v: dict[str, Any]) -> Any:
         return sorted(set(payload))
     if tag == "NS":
         return sorted({float(x) for x in payload})
+    if tag == "B":
+        # single binary — decoded like its set form (BS), not leaked
+        # through as raw base64 text
+        return base64.b64decode(payload).decode("utf-8", "replace")
     if tag == "BS":
         return sorted({base64.b64decode(x).decode("utf-8", "replace") for x in payload})
     return payload

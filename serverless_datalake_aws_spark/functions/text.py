@@ -90,25 +90,32 @@ def minhash_signature(hashes: Column) -> Column:
 
 
 def lsh_band_keys(mins: list[Column]) -> Column:
-    """array<string>: one joinable key per LSH band (band index prefixed)."""
+    """array<string>: one joinable key per LSH band (band index
+    prefixed). Built with null-PROPAGATING concat (not concat_ws,
+    which SKIPS nulls): a doc too short to shingle has null minima,
+    and a skipped null would collapse its keys to just the band
+    index — every such doc becoming an LSH candidate of every other,
+    an all-pairs blowup of junk docs. A null key joins nothing."""
     rows = MINHASH_K // MINHASH_BANDS
-    return F.array(
-        *[
-            F.concat_ws(
-                "-",
-                F.lit(str(b)),
-                *[mins[b * rows + r].cast("string") for r in range(rows)],
-            )
-            for b in range(MINHASH_BANDS)
-        ]
-    )
+
+    def _key(b: int) -> Column:
+        parts: list[Column] = [F.lit(str(b))]
+        for r in range(rows):
+            parts += [F.lit("-"), mins[b * rows + r].cast("string")]
+        return F.concat(*parts)
+
+    return F.array(*[_key(b) for b in range(MINHASH_BANDS)])
 
 
 def word_ngrams(text_col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as strings (order-sensitive, unlike the
     distinct-token set)."""
     toks = tokens(text_col)
-    slices = [F.slice(toks, i + 1, F.size(toks) - (n - 1)) for i in range(n)]
+    # clamp: a doc with fewer than n tokens has ZERO n-grams — a
+    # negative slice length is a runtime error that would abort the
+    # whole job on one short document
+    width = F.greatest(F.lit(0), F.size(toks) - F.lit(n - 1))
+    slices = [F.slice(toks, i + 1, width) for i in range(n)]
     out = slices[0]
     for s in slices[1:]:
         out = F.zip_with(out, s, lambda a, b: F.concat_ws(" ", a, b))
@@ -116,9 +123,13 @@ def word_ngrams(text_col: Column | str, n: int = 3) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard similarity of two pre-distinct arrays."""
+    """Exact Jaccard similarity of two pre-distinct arrays. Two empty
+    sets score 0.0 (NOT similar) — besides being the useful dedup
+    semantics, the naive ratio is 0/0, which under Spark's default
+    ANSI mode raises DIVIDE_BY_ZERO and kills the job."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
-    return inter / (F.size(a) + F.size(b) - inter)
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
 def stopword_count(text_col: Column | str, stopwords: tuple[str, ...]) -> Column:

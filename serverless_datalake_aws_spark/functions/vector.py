@@ -82,7 +82,11 @@ def brute_scores(
             V = np.stack(pdf[emb_col].values).astype(np.float64)
             if metric == "cosine":
                 nrm = np.linalg.norm(V, axis=1)
-                S = (V @ Q.T) / (nrm[:, None] * Qn[None, :])
+                # zero vectors have no direction: similarity 0 to
+                # everything (0/0 would be NaN, silently poisoning
+                # top-k ordering downstream)
+                safe = np.where(nrm == 0.0, np.inf, nrm)
+                S = (V @ Q.T) / (safe[:, None] * Qn[None, :])
             else:  # squared L2 via the dot identity (matches the SQL twin)
                 S = (
                     (V * V).sum(axis=1)[:, None]
@@ -130,7 +134,11 @@ def nearest_centroid(
                 continue
             V = np.stack(pdf[emb_col].values).astype(np.float64)
             nrm = np.linalg.norm(V, axis=1)
-            S = np.round((V @ C.T) / (nrm[:, None] * Cn[None, :]), round_to)
+            # zero vectors: similarity 0 everywhere -> argmax picks the
+            # smallest cid DETERMINISTICALLY (NaN rows would make
+            # np.argmax return 0 silently and arbitrarily)
+            safe = np.where(nrm == 0.0, np.inf, nrm)
+            S = np.round((V @ C.T) / (safe[:, None] * Cn[None, :]), round_to)
             best = cids[np.argmax(S, axis=1)]
             yield pd.DataFrame(
                 {

@@ -156,11 +156,32 @@ def stream_sessionize(
     key_col: str = "user_id",
     value_col: str | None = "value",
     query_name: str = "sessions",
+    watermark: str = "2 hours",
 ) -> StreamingQuery:
     """Session-window aggregation (`session_window`): the streaming twin
     of the batch sessionization plan (e03) — state is managed by the
     engine, keyed by user, closed `gap` after the last event.
-    `value_col=None` drops the sum for value-less schemas."""
+    `value_col=None` drops the sum for value-less schemas. `watermark`
+    bounds late data and must be >= `gap` (events later than the
+    watermark are dropped, splitting sessions silently) — enforced."""
+    from pyspark.sql.functions import expr as _expr
+
+    # a watermark shorter than the gap silently splits sessions whose
+    # members straddle batches — refuse instead
+    gap_s = spark.range(1).select(
+        _expr(f"unix_timestamp(timestamp'2000-01-01' + interval {gap}) - "
+              f"unix_timestamp(timestamp'2000-01-01')")
+    ).first()[0]
+    wm_s = spark.range(1).select(
+        _expr(f"unix_timestamp(timestamp'2000-01-01' + interval {watermark}) - "
+              f"unix_timestamp(timestamp'2000-01-01')")
+    ).first()[0]
+    if wm_s < gap_s:
+        raise ValueError(
+            f"watermark ({watermark}) must be >= session gap ({gap}): "
+            "late members inside the gap would be dropped and sessions "
+            "silently split"
+        )
     aggs = [F.count("*").alias("n_events")]
     out = [
         F.col("win.start").alias("session_start"),
@@ -175,7 +196,7 @@ def stream_sessionize(
         spark.readStream.format("parquet")
         .schema(schema)
         .load(events_path)
-        .withWatermark(ts_col, "2 hours")
+        .withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap).alias("win"), key_col)
         .agg(*aggs)
         .select(*out)

@@ -105,3 +105,66 @@ class TestMultimodal:
         rows = frames.collect()
         assert {r["media_id"] for r in rows} == {"m3"}
         assert [r["frame_ts_ms"] for r in rows] == [0, 1000, 2000]
+
+
+def test_word_ngrams_short_docs_yield_empty(spark):
+    """Docs with fewer than n tokens have zero n-grams — not a
+    negative-slice runtime error that aborts the job."""
+    from serverless_datalake_aws_spark.functions.text import word_ngrams
+
+    df = spark.createDataFrame(
+        [("hello",), ("a b",), ("a b c d",)], "text string"
+    )
+    rows = df.select(word_ngrams("text", 3).alias("g")).collect()
+    assert [len(r["g"]) for r in rows] == [0, 0, 2]
+
+
+def test_jaccard_empty_sets_zero_not_error(spark):
+    from pyspark.sql import functions as F
+
+    from serverless_datalake_aws_spark.functions.text import jaccard
+
+    df = spark.createDataFrame([(1,)], "i int").select(
+        jaccard(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        ).alias("j")
+    )
+    assert df.first()["j"] == 0.0
+
+
+def test_lsh_band_keys_null_minima_join_nothing(spark):
+    """A too-short doc's null minhash minima must yield NULL band keys
+    (concat null-propagation), not keys collapsed to the band index
+    that make every junk doc a candidate of every other."""
+    from pyspark.sql import functions as F
+
+    from serverless_datalake_aws_spark.functions.text import lsh_band_keys
+
+    from serverless_datalake_aws_spark.functions.text import MINHASH_K
+
+    nulls = [F.lit(None).cast("long") for _ in range(MINHASH_K)]
+    df = spark.range(1).select(lsh_band_keys(nulls).alias("k"))
+    got = df.select(F.size(F.filter("k", lambda x: x.isNotNull())).alias("n")).first()
+    assert got["n"] == 0  # every band key NULL
+
+
+def test_brute_scores_zero_vector_not_nan(spark):
+    from serverless_datalake_aws_spark.functions import vector as VX
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["neighbor_id"]: r["cos_sim"]
+        for r in VX.brute_scores(df, [(9, [1.0, 0.0])]).collect()
+    }
+    assert got[0] == 0.0 and abs(got[1] - 1.0) < 1e-9
+
+
+def test_dynamodb_single_binary_decoded(spark):
+    from serverless_datalake_aws_spark.functions.semistructured import (
+        decode_dynamodb_value,
+    )
+
+    assert decode_dynamodb_value({"B": "aGVsbG8="}) == "hello"
+    assert decode_dynamodb_value({"BS": ["aGVsbG8="]}) == ["hello"]
