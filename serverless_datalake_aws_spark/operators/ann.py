@@ -108,7 +108,9 @@ def ivf_pq_encode(
     import numpy as np
     import pandas as pd
 
-    ccids, CC, Cm, m = cb.ccids, cb.CC, cb.Cm, cb.m
+    # unpack ALL fields into locals — referencing cb inside the closure
+    # would pickle the whole dataclass (CC/Cm twice) into every task
+    ccids, CC, Cm, m, sub = cb.ccids, cb.CC, cb.Cm, cb.m, cb.sub
 
     def _encode(it):
         for pdf in it:
@@ -117,7 +119,7 @@ def ivf_pq_encode(
             V = np.stack(pdf[emb_col].values).astype(np.float64)
             cd2 = np.round(((V[:, None, :] - CC[None, :, :]) ** 2).sum(2), 6)
             cid = ccids[np.argmin(cd2, axis=1)]  # ties → smallest ccid
-            Vm = V.reshape(len(pdf), m, cb.sub)
+            Vm = V.reshape(len(pdf), m, sub)
             d2 = np.round(
                 (
                     (Vm[:, :, None, :] - Cm.transpose(1, 0, 2)[None, :, :, :])

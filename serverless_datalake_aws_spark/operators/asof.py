@@ -74,6 +74,11 @@ def asof_join(
             .dataType
         ).alias("__rrow"),
     )
+    # SQL join semantics: a NULL-key or NULL-ts observation can never
+    # match — NULL ts would sort FIRST (a phantom "most recent" row
+    # for every left row), and NULL keys would pair with NULL-key left
+    # rows (no SQL equi-join does that)
+    right = right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
     r_tagged = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).cast("timestamp").alias("__ts"),
@@ -88,10 +93,13 @@ def asof_join(
         rstruct.alias("__rrow"),
     )
     # ties: right (0) sorts before left (1) → same-instant right rows
-    # are visible to the left row ("at or before", DuckDB ASOF >=)
+    # are visible to the left row ("at or before", DuckDB ASOF >=).
+    # The json-hash tail makes EQUAL-ts right rows deterministic:
+    # without it, last_value picks whichever duplicate the shuffle
+    # happened to order last — non-reproducible output across retries.
     w = (
         W.partitionBy("__k")
-        .orderBy("__ts", "__is_left")
+        .orderBy("__ts", "__is_left", F.xxhash64(F.to_json("__rrow")))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     matched = (

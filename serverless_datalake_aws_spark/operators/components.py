@@ -62,5 +62,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # loop exhausted WITHOUT converging: the graph has a component
+        # whose label-propagation diameter exceeds max_iters, and
+        # returning here would silently split it into several
+        # components (near-dup chains are exactly this shape)
+        both.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"iterations ({changed} labels still changing) — raise "
+            "max_iters; the component diameter exceeds it"
+        )
     both.unpersist()
     return labels

@@ -77,7 +77,9 @@ def global_cumsum(
             offsets.append((pid, running))
             running += totals.get(pid) or (0 if integral else 0.0)
         off_df = ranged.sparkSession.createDataFrame(
-            offsets or [(0, 0)], f"_pid int, _offset {off_type}"
+            # typed zero: DoubleType's verifier rejects a Python int
+            offsets or [(0, 0 if integral else 0.0)],
+            f"_pid int, _offset {off_type}",
         )
         w = (
             Window.partitionBy("_pid")

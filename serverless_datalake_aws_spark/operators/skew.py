@@ -27,7 +27,18 @@ def salted_join(
 
     Use when `key` is skewed on the LEFT and `right` is small enough to
     replicate but too big (or too dynamic) to broadcast.
+
+    Only inner and left joins are salting-compatible: an unmatched
+    LEFT row occupies one salt bucket and pads once, but a right/full
+    join would emit one null-padded row per REPLICA of every right row
+    missing a left partner in its bucket — silently wrong results, so
+    other join types are refused.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left', got {how!r}: the "
+            "replicated right side would null-pad once per replica"
+        )
     salted_left = left.withColumn(
         "_salt", (F.rand() * salt).cast("int")
     )
