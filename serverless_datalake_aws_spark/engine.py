@@ -138,8 +138,10 @@ def apply_metadata_search(
         conds.append(F.col("owner") == owner)
     if source is not None:
         conds.append(F.col("source") == source)
-    if from_date is not None and to_date is not None:
-        conds.append(F.col("timestamp").between(from_date, to_date))
+    if from_date is not None:  # one-sided ranges are valid requests
+        conds.append(F.col("timestamp") >= from_date)
+    if to_date is not None:
+        conds.append(F.col("timestamp") <= to_date)
     for tag in tags or []:
         conds.append(F.array_contains("tags", tag))
     if not conds:
@@ -147,7 +149,9 @@ def apply_metadata_search(
     cond = conds[0]
     for c in conds[1:]:
         cond = cond & c
-    return df.filter(cond)
+    # the limit applies to FILTERED results too (DynamoDB's Limit and
+    # the caller's explicit argument — silently unbounded otherwise)
+    return df.filter(cond).limit(limit)
 
 
 class DataLakeEngine:
@@ -370,7 +374,10 @@ class DataLakeEngine:
         the DLQ the reference's fabric implies but never materializes
         (failed Lambda invocations vanish into retries)."""
         if not self.is_remote:
-            self._recover_requeue_swap(Path(self.root) / "quarantine" / "records")
+            with self._requeue_lock():
+                self._recover_requeue_swap(
+                    Path(self.root) / "quarantine" / "records"
+                )
         return self.spark.read.parquet(f"{self.root}/quarantine/records")
 
     def requeue_quarantined(
@@ -399,132 +406,145 @@ class DataLakeEngine:
                 "requeue swaps the local quarantine dir; object stores "
                 "route through versioned publish"
             )
-        qpath = Path(self.root) / "quarantine" / "records"
-        self._recover_requeue_swap(qpath)
-        if not qpath.exists():
-            return {"requeued": 0, "still_quarantined": 0}
-        q = self.spark.read.parquet(str(qpath))
-        if validate:
-            failed = F.filter(
-                F.array(
-                    *[
-                        F.when(
-                            ~F.coalesce(F.expr(pred), F.lit(False)),
-                            F.lit(name),
-                        )
-                        for name, pred in validate
-                    ]
-                ),
-                lambda x: x.isNotNull(),
-            )
-            q = q.drop("failed_rules").withColumn("failed_rules", failed)
-            passing = q.filter(F.size("failed_rules") == 0)
-            staying = q.filter(F.size("failed_rules") > 0)
-        else:
-            passing = q
-            staying = q.limit(0)
-        # idempotence guard: original ids already requeued (linked from
-        # a _meta description) are skipped on redelivery
-        already = (
-            self.meta()
-            .filter(F.col("description").startswith("requeued from "))
-            .select(
-                F.substring_index("description", "requeued from ", -1).alias(
-                    "id"
+        with self._requeue_lock():
+            qpath = Path(self.root) / "quarantine" / "records"
+            self._recover_requeue_swap(qpath)
+            if not qpath.exists():
+                return {"requeued": 0, "still_quarantined": 0}
+            q = self.spark.read.parquet(str(qpath))
+            if validate:
+                failed = F.filter(
+                    F.array(
+                        *[
+                            F.when(
+                                ~F.coalesce(F.expr(pred), F.lit(False)),
+                                F.lit(name),
+                            )
+                            for name, pred in validate
+                        ]
+                    ),
+                    lambda x: x.isNotNull(),
                 )
+                q = q.drop("failed_rules").withColumn("failed_rules", failed)
+                passing = q.filter(F.size("failed_rules") == 0)
+                staying = q.filter(F.size("failed_rules") > 0)
+            else:
+                passing = q
+                staying = q.limit(0)
+            # idempotence guard: original ids already requeued (linked from
+            # a _meta description) are skipped on redelivery
+            already = (
+                self.meta()
+                .filter(F.col("description").startswith("requeued from "))
+                .select(
+                    F.substring_index("description", "requeued from ", -1).alias(
+                        "id"
+                    )
+                )
+                .distinct()
             )
-            .distinct()
-        )
-        passing = passing.join(F.broadcast(already), "id", "left_anti")
-        now = datetime.now(timezone.utc)
-        # DETERMINISTIC replay identity: the new id derives from the
-        # original and the row lands under its ORIGINAL ingest_date, so
-        # a crash-retry recomputes the identical rows and the per-sink
-        # anti-joins below make each write idempotent (no uuid() /
-        # localCheckpoint pinning needed)
-        fresh = passing.select(
-            F.md5(F.concat(F.lit("requeue:"), F.col("id"))).alias("id"),
-            "payload",
-            "data_type",
-            "ingest_date",
-            F.col("id").alias("orig_id"),
-        )
-        n = fresh.count()
-        if n:
-            raw_root = self.zone("raw")
-            parts = [
-                (r["data_type"], r["ingest_date"])
-                for r in fresh.select("data_type", "ingest_date").distinct().collect()
-            ]
-            part_pred = None
-            for dt, d in parts:
-                one = (F.col("data_type") == dt) & (F.col("ingest_date") == d)
-                part_pred = one if part_pred is None else (part_pred | one)
-            existing_raw = (
-                self.spark.read.parquet(f"{raw_root}/records")
-                .filter(part_pred)  # partition-pruned: DLQ-sized dirs only
-                .select("id")
-            )
-            fresh.drop("orig_id").join(
-                existing_raw, "id", "left_anti"
-            ).write.mode("append").partitionBy(
-                "data_type", "ingest_date"
-            ).parquet(f"{raw_root}/records")
-            meta_rows = fresh.select(
-                "id",
-                F.lit(now).alias("timestamp"),
+            passing = passing.join(F.broadcast(already), "id", "left_anti")
+            now = datetime.now(timezone.utc)
+            # DETERMINISTIC replay identity: the new id derives from the
+            # original and the row lands under its ORIGINAL ingest_date, so
+            # a crash-retry recomputes the identical rows and the per-sink
+            # anti-joins below make each write idempotent (no uuid() /
+            # localCheckpoint pinning needed)
+            fresh = passing.select(
+                F.md5(F.concat(F.lit("requeue:"), F.col("id"))).alias("id"),
+                "payload",
                 "data_type",
-                F.lit("requeue").alias("source"),
-                F.lit("system").alias("owner"),
-                F.concat(
-                    F.lit(f"{raw_root}/records/data_type="),
+                "ingest_date",
+                F.col("id").alias("orig_id"),
+            )
+            n = fresh.count()
+            if n:
+                raw_root = self.zone("raw")
+                parts = [
+                    (r["data_type"], r["ingest_date"])
+                    for r in fresh.select("data_type", "ingest_date").distinct().collect()
+                ]
+                part_pred = None
+                for dt, d in parts:
+                    one = (F.col("data_type") == dt) & (F.col("ingest_date") == d)
+                    part_pred = one if part_pred is None else (part_pred | one)
+                existing_raw = (
+                    self.spark.read.parquet(f"{raw_root}/records")
+                    .filter(part_pred)  # partition-pruned: DLQ-sized dirs only
+                    .select("id")
+                )
+                fresh.drop("orig_id").join(
+                    existing_raw, "id", "left_anti"
+                ).write.mode("append").partitionBy(
+                    "data_type", "ingest_date"
+                ).parquet(f"{raw_root}/records")
+                meta_rows = fresh.select(
+                    "id",
+                    F.lit(now).alias("timestamp"),
                     "data_type",
-                    F.lit("/ingest_date="),
-                    "ingest_date",
-                ).alias("location"),
-                F.octet_length("payload").cast("long").alias("size_bytes"),
-                F.lit("ingested").alias("status"),
-                F.lit(None).cast("array<string>").alias("tags"),
-                F.concat(F.lit("requeued from "), "orig_id").alias(
-                    "description"
-                ),
-                F.lit(False).alias("indexed"),
-                F.lit(None).cast("timestamp").alias("indexed_at"),
-            )
-            meta_rows.write.mode("append").partitionBy("data_type").parquet(
-                self.meta_path
-            )
-            meta_rows.write.mode("append").parquet(self.changelog_path)
-            self._log_lineage(
-                "requeue", str(qpath), f"{raw_root}/records", n
-            )
-        # rewrite the DLQ without the requeued rows (tmp+swap). Gate on
-        # rows REMOVED, not rows requeued now: a retry after a crash
-        # mid-requeue has n == 0 (idempotence guard skipped them) but
-        # must still clear the already-redriven rows from the DLQ.
-        m = staying.count()
-        removed = q.count() - m
-        tmp = Path(str(qpath) + ".requeue.tmp")
-        old = Path(str(qpath) + ".requeue.old")
-        if removed and m:
-            # staged rename swap (same protocol as the zone rewrites):
-            # hide current, publish staged, reclaim — a crash at any
-            # point leaves either the old DLQ or the complete staged
-            # copy for _recover_requeue_swap to roll forward
-            staying.write.mode("overwrite").partitionBy(
-                "data_type", "ingest_date"
-            ).parquet(str(tmp))
-            qpath.rename(old)
-            tmp.rename(qpath)
-            shutil.rmtree(old)
-        elif removed:
-            shutil.rmtree(qpath, ignore_errors=True)
-        return {"requeued": n, "still_quarantined": m}
+                    F.lit("requeue").alias("source"),
+                    F.lit("system").alias("owner"),
+                    F.concat(
+                        F.lit(f"{raw_root}/records/data_type="),
+                        "data_type",
+                        F.lit("/ingest_date="),
+                        "ingest_date",
+                    ).alias("location"),
+                    F.octet_length("payload").cast("long").alias("size_bytes"),
+                    F.lit("ingested").alias("status"),
+                    F.lit(None).cast("array<string>").alias("tags"),
+                    F.concat(F.lit("requeued from "), "orig_id").alias(
+                        "description"
+                    ),
+                    F.lit(False).alias("indexed"),
+                    F.lit(None).cast("timestamp").alias("indexed_at"),
+                )
+                meta_rows.write.mode("append").partitionBy("data_type").parquet(
+                    self.meta_path
+                )
+                meta_rows.write.mode("append").parquet(self.changelog_path)
+                self._log_lineage(
+                    "requeue", str(qpath), f"{raw_root}/records", n
+                )
+            # rewrite the DLQ without the requeued rows (tmp+swap). Gate on
+            # rows REMOVED, not rows requeued now: a retry after a crash
+            # mid-requeue has n == 0 (idempotence guard skipped them) but
+            # must still clear the already-redriven rows from the DLQ.
+            m = staying.count()
+            removed = q.count() - m
+            tmp = Path(str(qpath) + ".requeue.tmp")
+            old = Path(str(qpath) + ".requeue.old")
+            if removed and m:
+                # staged rename swap (same protocol as the zone rewrites):
+                # hide current, publish staged, reclaim — a crash at any
+                # point leaves either the old DLQ or the complete staged
+                # copy for _recover_requeue_swap to roll forward
+                staying.write.mode("overwrite").partitionBy(
+                    "data_type", "ingest_date"
+                ).parquet(str(tmp))
+                qpath.rename(old)
+                tmp.rename(qpath)
+                shutil.rmtree(old)
+            elif removed:
+                shutil.rmtree(qpath, ignore_errors=True)
+            return {"requeued": n, "still_quarantined": m}
+
+    def _requeue_lock(self):
+        """Serializes DLQ mutation + recovery: two concurrent requeues
+        would both pass the idempotence guards before either writes
+        (double-ingest), and an unlocked reader's recovery could rename
+        a LIVE swap's staging out from under the writer."""
+        from serverless_datalake_aws_spark.sources.commitlog import FileLock
+
+        return FileLock(
+            f"{self.root}/quarantine/records.requeue.lock", ttl=120.0
+        )
 
     def _recover_requeue_swap(self, qpath: Path) -> None:
         """Roll an interrupted DLQ rewrite forward (staged copy exists,
         live dir hidden) or back (old dir still hidden, no staged
-        copy), then clear leftover staging."""
+        copy), then clear leftover staging. Caller holds the requeue
+        lock."""
         tmp = Path(str(qpath) + ".requeue.tmp")
         old = Path(str(qpath) + ".requeue.old")
         if not qpath.exists():
@@ -746,6 +766,16 @@ class DataLakeEngine:
     def stats_path(self) -> str:
         return f"{self.root}/_stats"
 
+    def _stats_root(self, zone: str) -> str:
+        """The directory the stats/bloom layer indexes and scans: the
+        zone's records table when it exists (sibling tables like
+        processed/records_stream or curated/daily_summary hold
+        overlapping or differently-shaped data — mixing them into one
+        scan would duplicate rows), else the zone root (externally
+        dropped flat layouts)."""
+        p = Path(f"{self.zone(zone)}/records")
+        return str(p) if p.exists() else self.zone(zone)
+
     def analyze(self, zone: str = "raw") -> int:
         """Build (or rebuild) the per-file zone-map index for `zone`:
         footer-only min/max/null-count stats for every top-level
@@ -769,8 +799,9 @@ class DataLakeEngine:
         )
 
         self._recover_zone_swap(zone)  # heal a crashed rewrite first
-        files = list_parquet_files(self.zone(zone))
-        st = collect_file_stats(self.spark, self.zone(zone), files=files)
+        root = self._stats_root(zone)
+        files = list_parquet_files(root)
+        st = collect_file_stats(self.spark, root, files=files)
         st.write.mode("overwrite").parquet(f"{self.stats_path}/{zone}")
         return len(files)
 
@@ -787,7 +818,12 @@ class DataLakeEngine:
 
         self._recover_zone_swap(zone)
         return pruned_scan(
-            self.spark, self.zone(zone), self.file_stats(zone), column, lo, hi
+            self.spark,
+            self._stats_root(zone),
+            self.file_stats(zone),
+            column,
+            lo,
+            hi,
         )
 
     def build_key_index(
@@ -814,7 +850,7 @@ class DataLakeEngine:
         self._recover_zone_swap(zone)
         idx = (
             build_bloom_index(
-                self.spark, self.zone(zone), key, num_bits, num_hashes
+                self.spark, self._stats_root(zone), key, num_bits, num_hashes
             )
             .withColumn("num_bits", F.lit(num_bits))
             .withColumn("num_hashes", F.lit(num_hashes))
@@ -840,12 +876,12 @@ class DataLakeEngine:
             from pyspark.sql import functions as F
 
             return (
-                self.spark.read.parquet(self.zone(zone))
+                self.spark.read.parquet(self._stats_root(zone))
                 .filter(F.col(key) == F.lit(value))
             )
         return bloom_point_scan(
             self.spark,
-            self.zone(zone),
+            self._stats_root(zone),
             blooms.drop("num_bits", "num_hashes"),
             key,
             value,
@@ -893,13 +929,24 @@ class DataLakeEngine:
                     f"{existing}; appending with a different spec "
                     f"{spec} would mix partition layouts"
                 )
+        from serverless_datalake_aws_spark.sources.stats import (
+            list_parquet_files,
+        )
+
+        def _footer_rows() -> int:
+            import pyarrow.parquet as pq
+
+            return sum(
+                pq.ParquetFile(f).metadata.num_rows
+                for f in list_parquet_files(path)
+            )
+
+        # footer-metadata count of what LANDED (before/after delta on
+        # append) — never re-execute the input plan just to log lineage
+        before = _footer_rows() if mode == "append" and Path(path).exists() else 0
         hidden_write(df, path, spec, mode=mode)
         save_spec(path, spec)
-        # parquet metadata-only count of what landed — never re-execute
-        # the input plan just to log lineage
-        self._log_lineage(
-            "write_hidden", "-", path, self.spark.read.parquet(path).count()
-        )
+        self._log_lineage("write_hidden", "-", path, _footer_rows() - before)
 
     def scan_hidden(
         self, name: str, eq: dict | None = None, between: dict | None = None
@@ -948,9 +995,18 @@ class DataLakeEngine:
         return self._metrics_recorder
 
     def metrics(self) -> DataFrame:
-        """The operational metrics table (flushes pending rows first)."""
+        """The operational metrics table (flushes pending rows first).
+        Empty — nothing recorded yet — is a valid dashboard answer,
+        not a missing-path crash (mirrors stream_metrics)."""
         rec = self.enable_metrics()
         rec.flush()
+        if not Path(self.metrics_path).exists():
+            return self.spark.createDataFrame(
+                [],
+                "ts timestamp, func_name string, fingerprint long, "
+                "label string, plan string, wall_ms double, "
+                "out_rows long, shuffle_bytes long",
+            )
         return self.spark.read.parquet(self.metrics_path)
 
     # -- streaming telemetry (per-micro-batch CloudWatch parity) -----------
@@ -1061,11 +1117,38 @@ class DataLakeEngine:
         )
         if transform is not None:
             df = transform(df)
-        df.write.mode("overwrite").partitionBy("data_type", "ingest_date").parquet(
-            f"{self.zone('processed')}/records"
-        )
+        path = Path(f"{self.zone('processed')}/records")
+        if self.is_remote:
+            # object stores: no rename swap; dynamic overwrite is the
+            # documented at-least-once remote mode (as elsewhere)
+            df.write.mode("overwrite").partitionBy(
+                "data_type", "ingest_date"
+            ).parquet(str(path))
+        else:
+            # staged swap (the shared .dedup.tmp/.old protocol that
+            # _recover_zone_swap heals): a bare in-place overwrite
+            # deletes the zone at job start, so a crash mid-write — or
+            # a concurrent reader — found NO processed records at all
+            tmp = Path(str(path) + ".dedup.tmp")
+            old = Path(str(path) + ".dedup.old")
+            df.write.mode("overwrite").partitionBy(
+                "data_type", "ingest_date"
+            ).parquet(str(tmp))
+            if path.exists():
+                path.rename(old)
+            tmp.rename(path)
+            shutil.rmtree(old, ignore_errors=True)
         self._rebuild_search_index()
-        self._mark_indexed()
+        # stamp exactly what is SEARCHABLE: ids read back from the
+        # rebuilt index itself. A lazy "all unindexed" stamp re-reads
+        # _meta at stamp time, so rows ingested between the rebuild and
+        # the stamp would be marked indexed without their tokens ever
+        # landing — permanently invisible to search
+        self._mark_indexed(
+            self.spark.read.parquet(self.search_index_path)
+            .select("id")
+            .distinct()
+        )
         out = self.records("processed")
         self._log_lineage(
             "promote", self.zone("raw"), self.zone("processed"), -1
@@ -1141,6 +1224,18 @@ class DataLakeEngine:
             self.changelog_path
         )
 
+        ckpt = f"{self.root}/_checkpoints/curate"
+
+        def _ckpt_id() -> str:
+            import json as _json
+
+            try:
+                return _json.loads(
+                    (Path(ckpt) / "metadata").read_text()
+                ).get("id", "")
+            except (OSError, ValueError):
+                return ""
+
         def _merge(batch_df: DataFrame, epoch_id: int) -> None:
             # foreachBatch side effects are at-least-once: a batch
             # retry re-invokes _merge with the same epoch_id. The
@@ -1148,12 +1243,35 @@ class DataLakeEngine:
             # (underscore-prefixed, so Spark readers ignore it) and is
             # swapped atomically with the data, so replaying an
             # absorbed epoch is a no-op instead of a double count.
+            # The marker also records the CHECKPOINT's query id: epoch
+            # ids restart at 0 under a fresh checkpoint (the restart
+            # curate()'s docstring prescribes), and comparing epochs
+            # across lineages would silently drop the first marker+1
+            # batches of genuinely new data.
             marker = Path(out) / "_absorbed_epoch"
-            if marker.exists() and epoch_id <= int(marker.read_text()):
-                return
+            qid = _ckpt_id()
+            if marker.exists():
+                parts = marker.read_text().split()
+                m_epoch = int(parts[-1])
+                m_qid = parts[0] if len(parts) > 1 else qid  # legacy
+                if m_qid == qid and epoch_id <= m_epoch:
+                    return
             delta = batch_df.groupBy(
                 "data_type",
-                F.date_format("timestamp", "yyyy-MM-dd").alias("ingest_date"),
+                # the record's PARTITION date (from the location the
+                # changelog row names), not the event timestamp's day:
+                # a requeued record lands under its ORIGINAL
+                # ingest_date, and curate()'s full rebuild buckets by
+                # partition — the two paths must agree
+                F.coalesce(
+                    F.nullif(
+                        F.regexp_extract(
+                            "location", r"ingest_date=([0-9\-]+)", 1
+                        ),
+                        F.lit(""),
+                    ),
+                    F.date_format("timestamp", "yyyy-MM-dd"),
+                ).alias("ingest_date"),
             ).agg(
                 F.count("*").alias("n_records"),
                 F.sum("size_bytes").alias("total_bytes"),
@@ -1196,7 +1314,7 @@ class DataLakeEngine:
                 return
             tmp = out + ".curate.tmp"
             merged.write.mode("overwrite").partitionBy("data_type").parquet(tmp)
-            (Path(tmp) / "_absorbed_epoch").write_text(str(epoch_id))
+            (Path(tmp) / "_absorbed_epoch").write_text(f"{qid} {epoch_id}")
             if Path(out).exists():
                 shutil.rmtree(out)
             shutil.move(tmp, out)
@@ -1431,7 +1549,7 @@ class DataLakeEngine:
                     r["file"]
                     for r in self.file_stats(zone).select("file").distinct().collect()
                 }
-                current = set(list_parquet_files(self.zone(zone)))
+                current = set(list_parquet_files(self._stats_root(zone)))
                 if indexed != current:
                     report["stats_refreshed"][zone] = self.analyze(zone)
         if versioned_keep is not None:
@@ -1497,7 +1615,14 @@ class DataLakeEngine:
             tmp, old = Path(path + ".dedup.tmp"), Path(path + ".dedup.old")
             self._recover_zone_swap_locked(zone)
             df = self.spark.read.parquet(path)
-            w = W.partitionBy("data_type", F.md5("payload")).orderBy("id")
+            # keeper = FIRST-INGESTED copy: order by the partition date
+            # before the uuid (ids carry no temporal order — a bare
+            # orderBy('id') kept an arbitrary copy, ~50% of the time
+            # moving the row to the LATER ingest_date partition and
+            # skewing retention/per-day summaries)
+            w = W.partitionBy("data_type", F.md5("payload")).orderBy(
+                F.col("ingest_date").cast("string"), "id"
+            )
             deduped = (
                 df.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
@@ -1867,12 +1992,21 @@ class DataLakeEngine:
         appended — an anti-join against the indexed set instead of the
         reference's re-index-everything or one-HTTP-call-per-doc.
         Returns the number of newly indexed records."""
-        pending = self.meta().filter(
-            ~F.coalesce("indexed", F.lit(False))
-            # quarantined rows have no records to index; stamping them
-            # would falsely claim rejected data is searchable
-            & (F.coalesce("status", F.lit("")) != "quarantined")
-        ).select("id")
+        pending = (
+            self.meta()
+            .filter(
+                ~F.coalesce("indexed", F.lit(False))
+                # quarantined rows have no records to index; stamping
+                # them would falsely claim rejected data is searchable
+                & (F.coalesce("status", F.lit("")) != "quarantined")
+            )
+            .select("id")
+            # PIN the id snapshot: append and stamp must act on the
+            # SAME set — a lazy plan re-evaluated at stamp time would
+            # sweep rows ingested in between into the stamp with no
+            # tokens written (invisible to search forever)
+            .localCheckpoint(eager=True)
+        )
         n = pending.count()
         if n == 0:
             return 0
