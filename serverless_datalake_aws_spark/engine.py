@@ -125,12 +125,17 @@ def apply_metadata_search(
     from_date: str | None = None,
     to_date: str | None = None,
     tags: list[str] | None = None,
-    limit: int = 20,
+    limit: int | None = None,
 ) -> DataFrame:
     """The conjunctive metadata-search expression tree, factored out so
     access.PrincipalSession can run the same search over a
     policy-secured view of `_meta` (F1 eq / F2 AND / F3 between /
-    F4 array-contains / F6 limit)."""
+    F4 array-contains / F6 limit).
+
+    Limit semantics mirror the reference exactly
+    (query-data-lambda.py:147-152): the default Limit=20 applies ONLY
+    to the unfiltered scan; filtered searches return every match. An
+    explicit caller `limit` is honored on both branches."""
     conds = []
     if data_type is not None:
         conds.append(F.col("data_type") == data_type)
@@ -145,13 +150,15 @@ def apply_metadata_search(
     for tag in tags or []:
         conds.append(F.array_contains("tags", tag))
     if not conds:
-        return df.limit(limit)
+        # the reference table-scans with Limit=20 when no filter is
+        # given (query-data-lambda.py:148-152); filtered scans are
+        # unbounded unless the caller asks otherwise
+        return df.limit(20 if limit is None else limit)
     cond = conds[0]
     for c in conds[1:]:
         cond = cond & c
-    # the limit applies to FILTERED results too (DynamoDB's Limit and
-    # the caller's explicit argument — silently unbounded otherwise)
-    return df.filter(cond).limit(limit)
+    out = df.filter(cond)
+    return out if limit is None else out.limit(limit)
 
 
 class DataLakeEngine:
@@ -625,12 +632,14 @@ class DataLakeEngine:
         from_date: str | None = None,
         to_date: str | None = None,
         tags: list[str] | None = None,
-        limit: int = 20,
+        limit: int | None = None,
     ) -> DataFrame:
         """Conjunctive metadata search — the boto3 Attr AST of
         query-data-lambda.py:127-145 rebuilt as a Column expression tree
         (F1 eq / F2 AND / F3 between / F4 array-contains / F6 limit).
-        Unfiltered search keeps the reference's Limit=20 default."""
+        Reference parity (query-data-lambda.py:147-152): the default
+        Limit=20 applies only to the unfiltered scan; filtered searches
+        return every match unless the caller passes an explicit limit."""
         return apply_metadata_search(
             self.meta(),
             data_type=data_type,

@@ -480,10 +480,12 @@ def st09_stream_complete_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            count(*) AS n_rows,
-           -- explicit cast: the maintained rollup carries its sums in
-           -- DECIMAL(18,6); the oracle documents the same image rather
-           -- than leaning on the harness normalizer's 6dp rounding
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value,
+           -- the rollup carries its sums in DECIMAL(18,6) internally
+           -- (order-independent absorption), but the RESULT is double:
+           -- DuckDB .df() lowers DECIMAL to float64 while Spark
+           -- toPandas yields decimal.Decimal, and external hash
+           -- normalizers image those differently (rounds 6+8 reds)
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
            round(min(value), 6) AS min_value,
            round(max(value), 6) AS max_value
     FROM events
@@ -554,7 +556,13 @@ def st10_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFram
                 "event_type",
                 F.date_format("day", "yyyy-MM-dd").alias("day"),
                 "n_rows",
-                F.col("sum_value").cast("decimal(18,6)").alias("sum_value"),
+                # exact decimal internally; DOUBLE at the result surface
+                # (no DecimalType may escape a registered query — see
+                # tests/test_invariants.py)
+                F.col("sum_value")
+                .cast("decimal(18,6)")
+                .cast("double")
+                .alias("sum_value"),
                 F.round(F.col("min_value").cast("double"), 6).alias("min_value"),
                 F.round(F.col("max_value").cast("double"), 6).alias("max_value"),
             )
@@ -865,7 +873,9 @@ def st13_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_nationkey AS nation,
            count(*) AS n_orders,
-           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           -- DECIMAL internally for order-independent absorption,
+           -- DOUBLE at the result surface (cross-engine type image)
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                AS total_price
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY 1 ORDER BY 1
@@ -943,8 +953,10 @@ def st14_stream_maintained_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("c_nationkey").alias("nation"))
             .agg(
                 F.count("*").alias("n_orders"),
+                # exact decimal sum, then double at the result surface
                 F.sum("o_totalprice")
                 .cast("decimal(38,2)")
+                .cast("double")
                 .alias("total_price"),
             )
             .orderBy("nation")

@@ -42,6 +42,23 @@ def test_metadata_search_conjunction(engine):
     assert engine.query(type="metadata").count() == 4
 
 
+def test_metadata_search_filtered_not_truncated(engine):
+    # Reference parity (query-data-lambda.py:147-152): Limit=20 applies
+    # ONLY to the unfiltered scan — a FILTERED search with >20 matches
+    # must return them all (the round-8 snapshot commit regressed this
+    # to a nondeterministic 20-row truncation).
+    engine.ingest_batch(
+        [{"n": i} for i in range(25)], data_type="bulk", owner="carol"
+    )
+    assert engine.search_metadata(data_type="bulk").count() == 25
+    assert engine.query(type="metadata", owner="carol").count() == 25
+    # unfiltered keeps the reference's 20-row scan default
+    assert engine.search_metadata().count() == 20
+    # an explicit caller limit is honored on both branches
+    assert engine.search_metadata(data_type="bulk", limit=7).count() == 7
+    assert engine.search_metadata(limit=5).count() == 5
+
+
 def test_metadata_search_tags(engine):
     engine.ingest_batch(SAMPLES[:1], data_type="sales", tags=["gold", "eu"])
     engine.ingest_batch(SAMPLES[1:], data_type="sales", tags=["gold"])

@@ -222,7 +222,10 @@ def test_curate_incremental_replayed_epoch_is_noop(spark, tmp_path):
     ).parquet(eng.changelog_path)
     marker = tmp_path / "lake" / "curated" / "daily_summary" / "_absorbed_epoch"
     assert marker.exists()
-    high = int(marker.read_text())
+    # marker format is "<checkpoint-query-id> <epoch>" (engine.py
+    # _merge); the epoch is the last whitespace token, mirroring the
+    # tolerant reader in engine.py
+    high = int(marker.read_text().split()[-1])
 
     # drive the identical merge function through a fresh drain: no new
     # changelog rows and no epoch > high-water → summary unchanged
@@ -231,7 +234,7 @@ def test_curate_incremental_replayed_epoch_is_noop(spark, tmp_path):
         (r["data_type"], r["ingest_date"]): r["n_records"] for r in out2.collect()
     }
     assert second == first
-    assert int(marker.read_text()) == high
+    assert int(marker.read_text().split()[-1]) == high
 
 
 def test_curate_incremental_recovers_from_crash_mid_swap(spark, tmp_path):

@@ -249,3 +249,64 @@ def test_t30_p06_null_source_rows_survive(spark, tmp_path):
 
     out = all_queries()["t30_pps_sample"](spark, str(fx))
     assert out.filter("source IS NULL").count() > 0
+
+
+def test_registry_rejects_decimal_output_schemas(spark):
+    """No registered query may RETURN a DecimalType column (the only two
+    that ever did were the only external hash-reds of rounds 6 and 8:
+    DuckDB lowers DECIMAL to float64, Spark toPandas yields
+    decimal.Decimal, and the driver images those apart even when values
+    agree). The registry-wide enforcement rides the parity suite —
+    testing.check_query red-flags a decimal schema before comparing —
+    so here we prove (a) the checker actually fires on a decimal frame,
+    (b) the local mirror now images Decimal distinctly from float, and
+    (c) the two historical offenders are decimal-free end to end."""
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from serverless_datalake_aws_spark.testing import (
+        compare_frames,
+        decimal_columns,
+    )
+
+    # (a) the schema checker fires on decimals anywhere in the type tree
+    probe = spark.sql(
+        "SELECT CAST(1.5 AS DECIMAL(18,6)) AS d,"
+        "       array(CAST(1 AS DECIMAL(10,2))) AS arr,"
+        "       named_struct('x', CAST(2 AS DECIMAL(5,1))) AS st,"
+        "       CAST(1.5 AS DOUBLE) AS ok"  # bare 1.5 parses as DECIMAL(2,1)!
+    )
+    assert sorted(decimal_columns(probe.schema)) == ["arr", "d", "st"]
+
+    # (b) Decimal cells no longer coerce to float in the local mirror:
+    # a Spark-side Decimal vs an oracle-side float64 of the SAME value
+    # must be a reported mismatch (this is exactly the driver's view)
+    s = pd.DataFrame({"v": [Decimal("1.500000")]})
+    o = pd.DataFrame({"v": [1.5]})
+    assert compare_frames(s, o) != []
+
+    # (c) the two historical offenders now return double, not decimal
+    qs = all_queries()
+    for name, col in (
+        ("st10_stream_incremental_rollup", "sum_value"),
+        ("st14_stream_maintained_join", "total_price"),
+    ):
+        df = qs[name](spark, SF_DIR)
+        assert decimal_columns(df.schema) == [], name
+        assert dict(df.dtypes)[col] == "double", (name, df.dtypes)
+
+
+def test_every_registered_query_is_decimal_checked():
+    """The decimal invariant is enforced through testing.check_query,
+    which the parity suite runs for EVERY registered name — so no name
+    may bypass it by lacking an oracle (rows-only entries would skip
+    the comparison but still hit the schema gate inside check_query
+    before the oracle lookup short-circuits)."""
+    import inspect
+
+    from serverless_datalake_aws_spark import testing
+
+    src = inspect.getsource(testing.check_query)
+    # the schema gate must run before the rows-only early return
+    assert src.index("decimal_columns") < src.index("if oracle is None")
