@@ -114,36 +114,41 @@ def _load() -> None:
 # s24, Python-DataSource m09/st17, map-state st16, hidden-partition
 # m10, observed-quality st18, version-diff m11, MERGE-COW m12).
 DRIVER_SAMPLE_ALIASES: dict[str, str] = {
-    "a01_d18_simhash56_banded_pairs": "d18_simhash56_banded_pairs",
-    "a02_e21_incremental_quantiles": "e21_incremental_quantiles",
-    "a03_q80_running_distinct_approx": "q80_running_distinct_approx",
-    "a04_s21_ivf_pq_ann": "s21_ivf_pq_ann",
-    "a05_s22_ivfpq_residual_ann": "s22_ivfpq_residual_ann",
+    # Round-9 slate (VERDICT r8 #4): the 28 round-8-verified targets are
+    # retired; a06/a16 KEEP their round-8 names+targets so the external
+    # gate re-proves the decimal-output fix under the same row ids (a
+    # red row is retired by external proof, not rotation). The other 28
+    # slots rotate to never-externally-sampled representatives.
+    "a01_mm01_binary_metadata": "mm01_binary_metadata",
+    "a02_mm02_shard_distribution": "mm02_shard_distribution",
+    "a03_mm03_feature_extract": "mm03_feature_extract",
+    "a04_mm04_frame_sample": "mm04_frame_sample",
+    "a05_mm05_audio_chunk_windows": "mm05_audio_chunk_windows",
     "a06_st10_stream_incremental_rollup": "st10_stream_incremental_rollup",
-    "a07_st12_stream_quantile_sketch": "st12_stream_quantile_sketch",
-    "a08_st13_stream_dedup_index": "st13_stream_dedup_index",
-    "a09_t35_boilerplate_span_dedup": "t35_boilerplate_span_dedup",
-    "a10_t36_bpe_encode": "t36_bpe_encode",
-    "a11_d19_benchmark_decontamination": "d19_benchmark_decontamination",
-    "a12_e23_asof_join": "e23_asof_join",
-    "a13_e24_resample_locf": "e24_resample_locf",
-    "a14_m06_query_metrics_rollup": "m06_query_metrics_rollup",
-    "a15_s23_ivfpq_rerank": "s23_ivfpq_rerank",
+    "a07_p01_sequence_packing": "p01_sequence_packing",
+    "a08_p02_pagerank": "p02_pagerank",
+    "a09_p05_training_data_pipeline": "p05_training_data_pipeline",
+    "a10_p07_dataset_datasheet": "p07_dataset_datasheet",
+    "a11_st04_stateful_user_stats": "st04_stateful_user_stats",
+    "a12_st05_stream_stream_join": "st05_stream_stream_join",
+    "a13_st07_stream_static_enrich": "st07_stream_static_enrich",
+    "a14_st11_stream_quality_monitor": "st11_stream_quality_monitor",
+    "a15_q38_approx_aggs": "q38_approx_aggs",
     "a16_st14_stream_maintained_join": "st14_stream_maintained_join",
-    "a17_st15_stream_minhash_index": "st15_stream_minhash_index",
-    "a18_t37_mixture_sampling": "t37_mixture_sampling",
-    "a19_x10_fuzzy_term_search": "x10_fuzzy_term_search",
-    "a20_d20_repeated_substring_spans": "d20_repeated_substring_spans",
-    "a21_s24_sq8_ann_rerank": "s24_sq8_ann_rerank",
-    "a22_m07_stats_pruned_scan": "m07_stats_pruned_scan",
-    "a23_m08_bloom_point_lookup": "m08_bloom_point_lookup",
-    "a24_m09_api_source_ingest": "m09_api_source_ingest",
-    "a25_st16_stream_top_user_state": "st16_stream_top_user_state",
-    "a26_st17_api_stream_ingest": "st17_api_stream_ingest",
-    "a27_m10_hidden_partition_scan": "m10_hidden_partition_scan",
-    "a28_st18_stream_observed_quality": "st18_stream_observed_quality",
-    "a29_m11_version_diff": "m11_version_diff",
-    "a30_m12_merge_cow": "m12_merge_cow",
+    "a17_q70_variant_shred": "q70_variant_shred",
+    "a18_q82_dynamic_partition_pruning": "q82_dynamic_partition_pruning",
+    "a19_q84_bloom_runtime_filter": "q84_bloom_runtime_filter",
+    "a20_x03_bm25": "x03_bm25",
+    "a21_x09_hybrid_rrf": "x09_hybrid_rrf",
+    "a22_e05_funnel": "e05_funnel",
+    "a23_e16_rolling_wau": "e16_rolling_wau",
+    "a24_e22_funnel_pattern_regex": "e22_funnel_pattern_regex",
+    "a25_t31_sequence_packing": "t31_sequence_packing",
+    "a26_t33_token_runs_udtf": "t33_token_runs_udtf",
+    "a27_s10_mips_topk": "s10_mips_topk",
+    "a28_t18_winnowing_fingerprints": "t18_winnowing_fingerprints",
+    "a29_q67_linenumber_bitmaps": "q67_linenumber_bitmaps",
+    "a30_x05_proximity_search": "x05_proximity_search",
 }
 
 
