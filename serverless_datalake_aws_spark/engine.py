@@ -379,13 +379,23 @@ class DataLakeEngine:
     def quarantine(self) -> DataFrame:
         """Rows rejected by ingest validation, with their failed_rules —
         the DLQ the reference's fabric implies but never materializes
-        (failed Lambda invocations vanish into retries)."""
-        if not self.is_remote:
-            with self._requeue_lock():
-                self._recover_requeue_swap(
-                    Path(self.root) / "quarantine" / "records"
-                )
-        return self.spark.read.parquet(f"{self.root}/quarantine/records")
+        (failed Lambda invocations vanish into retries).
+
+        Local lakes return a PINNED snapshot, materialized while the
+        requeue lock is held: the frame stays lazy only until the lock
+        releases, and a concurrent requeue's directory swap would yank
+        part files out from under any later action. The DLQ is
+        rejected-rows-sized by design, so the materialization is small;
+        raises like a plain read when nothing was ever quarantined."""
+        path = f"{self.root}/quarantine/records"
+        if self.is_remote:
+            return self.spark.read.parquet(path)
+        with self._requeue_lock():
+            self._recover_requeue_swap(
+                Path(self.root) / "quarantine" / "records"
+            )
+            df = self.spark.read.parquet(path)
+            return self.spark.createDataFrame(df.collect(), df.schema)
 
     def requeue_quarantined(
         self, validate: list[tuple[str, str]] | None = None
@@ -543,6 +553,11 @@ class DataLakeEngine:
         a LIVE swap's staging out from under the writer."""
         from serverless_datalake_aws_spark.sources.commitlog import FileLock
 
+        # the lock file's parent must exist BEFORE acquire: on a lake
+        # that never quarantined anything, os.open(O_CREAT) in a
+        # missing dir raises FileNotFoundError instead of the graceful
+        # zero-rows answer the callers promise
+        Path(self.root, "quarantine").mkdir(parents=True, exist_ok=True)
         return FileLock(
             f"{self.root}/quarantine/records.requeue.lock", ttl=120.0
         )
@@ -781,9 +796,19 @@ class DataLakeEngine:
         processed/records_stream or curated/daily_summary hold
         overlapping or differently-shaped data — mixing them into one
         scan would duplicate rows), else the zone root (externally
-        dropped flat layouts)."""
-        p = Path(f"{self.zone(zone)}/records")
-        return str(p) if p.exists() else self.zone(zone)
+        dropped flat layouts). Existence is probed through the Hadoop
+        FileSystem of the root's scheme — pathlib answers False for
+        every s3a://gs:// URI, which would silently re-mix the sibling
+        tables on exactly the object-store lakes this guards."""
+        candidate = f"{self.zone(zone)}/records"
+        if not self.is_remote:
+            return candidate if Path(candidate).exists() else self.zone(zone)
+        jvm = self.spark.sparkContext._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(candidate)
+        fs = jpath.getFileSystem(
+            self.spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        return candidate if fs.exists(jpath) else self.zone(zone)
 
     def analyze(self, zone: str = "raw") -> int:
         """Build (or rebuild) the per-file zone-map index for `zone`:
@@ -953,8 +978,18 @@ class DataLakeEngine:
         # footer-metadata count of what LANDED (before/after delta on
         # append) — never re-execute the input plan just to log lineage
         before = _footer_rows() if mode == "append" and Path(path).exists() else 0
+        from serverless_datalake_aws_spark.operators.partitioning import (
+            clear_staged_spec,
+            stage_spec,
+        )
+
+        # stage the spec at a sibling BEFORE the data write: overwrite
+        # deletes the in-dir spec with the dir, and a crash before
+        # save_spec would otherwise leave an unreadable table
+        stage_spec(path, spec)
         hidden_write(df, path, spec, mode=mode)
         save_spec(path, spec)
+        clear_staged_spec(path)
         self._log_lineage("write_hidden", "-", path, _footer_rows() - before)
 
     def scan_hidden(
@@ -1140,6 +1175,13 @@ class DataLakeEngine:
             # a concurrent reader — found NO processed records at all
             tmp = Path(str(path) + ".dedup.tmp")
             old = Path(str(path) + ".dedup.old")
+            # heal leftovers of a previous crashed publish FIRST (we
+            # hold the processed zone lock): a death between
+            # tmp.rename(path) and rmtree(old) leaves path+old both
+            # present, and the rename(old) below would fail ENOTEMPTY
+            # forever. _recover_zone_swap itself early-returns when
+            # path exists, so the writer must reclaim its own debris.
+            self._recover_zone_swap_locked("processed")
             df.write.mode("overwrite").partitionBy(
                 "data_type", "ingest_date"
             ).parquet(str(tmp))
@@ -1147,17 +1189,27 @@ class DataLakeEngine:
                 path.rename(old)
             tmp.rename(path)
             shutil.rmtree(old, ignore_errors=True)
+        # snapshot the unindexed id set BEFORE the rebuild, stamp the
+        # intersection with what the rebuilt index actually contains
+        # AFTER it: rows ingested mid-rebuild stay unstamped (a later
+        # pass converges them — never invisible), quarantined rows
+        # never intersect, and previously-indexed rows keep their
+        # original indexed_at instead of the whole _meta being
+        # rewritten on every promote
+        pending = self._pin_ids(
+            self.meta()
+            .filter(~F.coalesce("indexed", F.lit(False)))
+            .select("id")
+        )
         self._rebuild_search_index()
-        # stamp exactly what is SEARCHABLE: ids read back from the
-        # rebuilt index itself. A lazy "all unindexed" stamp re-reads
-        # _meta at stamp time, so rows ingested between the rebuild and
-        # the stamp would be marked indexed without their tokens ever
-        # landing — permanently invisible to search
-        self._mark_indexed(
+        newly_searchable = pending.join(
             self.spark.read.parquet(self.search_index_path)
             .select("id")
-            .distinct()
+            .distinct(),
+            "id",
+            "left_semi",
         )
+        self._mark_indexed(newly_searchable)
         out = self.records("processed")
         self._log_lineage(
             "promote", self.zone("raw"), self.zone("processed"), -1
@@ -1177,8 +1229,11 @@ class DataLakeEngine:
         preserved across the rewrite. (The converse race — changelog
         rows already counted by this rebuild arriving as a FUTURE
         stream epoch — is inherent to mixing a full rebuild with a
-        live incremental stream; restart the stream from a fresh
-        checkpoint after a manual rebuild.)"""
+        LIVE incremental stream. The safe workflow is to restart the
+        stream from a fresh checkpoint after a manual rebuild: the
+        fresh lineage replays the whole changelog and its first absorb
+        REPLACES this summary instead of merging on top of it, so the
+        restart converges instead of double-counting.)"""
         out_dir = Path(f"{self.zone('curated')}/daily_summary")
         marker = out_dir / "_absorbed_epoch"
         saved_marker = marker.read_text() if marker.exists() else None
@@ -1259,12 +1314,27 @@ class DataLakeEngine:
             # batches of genuinely new data.
             marker = Path(out) / "_absorbed_epoch"
             qid = _ckpt_id()
+            # A lineage is "continuing" only when the marker carries
+            # THIS checkpoint's query id. Under a FRESH checkpoint the
+            # source replays the ENTIRE (append-only, never-pruned)
+            # changelog from offset 0, so the first absorb of a new
+            # lineage must REPLACE the summary rather than merge on
+            # top of it — merging would double-count all history
+            # (e.g. the curate()-rebuild-then-restart workflow the
+            # curate() docstring prescribes). Same rule when a summary
+            # exists with NO marker (only curate() publishes without
+            # one): the replay re-delivers everything it counted.
+            same_lineage = self.is_remote  # marker protocol is local-only:
+            # the remote branch keeps its documented at-least-once
+            # merge-always behavior (no marker to detect lineage with)
             if marker.exists():
                 parts = marker.read_text().split()
                 m_epoch = int(parts[-1])
                 m_qid = parts[0] if len(parts) > 1 else qid  # legacy
-                if m_qid == qid and epoch_id <= m_epoch:
-                    return
+                if m_qid == qid:
+                    if epoch_id <= m_epoch:
+                        return
+                    same_lineage = True
             delta = batch_df.groupBy(
                 "data_type",
                 # the record's PARTITION date (from the location the
@@ -1298,7 +1368,9 @@ class DataLakeEngine:
                 if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
                     raise
                 cur = None
-            if cur is None:
+            if cur is None or not same_lineage:
+                # new lineage (or first publish): the replayed
+                # changelog IS the history — start from this delta
                 merged = delta
             else:
                 merged = (
@@ -1819,6 +1891,18 @@ class DataLakeEngine:
         finally:
             df.unpersist()
 
+    def _pin_ids(self, ids: DataFrame) -> DataFrame:
+        """A FROZEN snapshot of an id set: collect to the driver and
+        re-parallelize. A lazy plan re-evaluated later would see files
+        written in between; localCheckpoint pins too, but its storage
+        blocks are only reclaimed by the periodic context cleaner
+        (measured: unpersist() does not free them), so a long-lived
+        session leaks one block set per call. Id sets here are
+        metadata-scale by design — the same sets are broadcast to every
+        executor downstream, so the driver copy is not the ceiling."""
+        rows = ids.select("id").distinct().collect()
+        return self.spark.createDataFrame(rows, "id string")
+
     def _mark_indexed(self, ids: DataFrame | None = None) -> None:
         """Metadata upsert (K7): stamp indexed=true for exactly the ids
         just indexed — same last-writer-wins semantics as the reference's
@@ -2001,20 +2085,18 @@ class DataLakeEngine:
         appended — an anti-join against the indexed set instead of the
         reference's re-index-everything or one-HTTP-call-per-doc.
         Returns the number of newly indexed records."""
-        pending = (
-            self.meta()
-            .filter(
+        # PIN the id snapshot: append and stamp must act on the SAME
+        # set — a lazy plan re-evaluated at stamp time would sweep rows
+        # ingested in between into the stamp with no tokens written
+        # (invisible to search forever). _pin_ids, not localCheckpoint:
+        # checkpoint blocks are never reclaimed in-session.
+        pending = self._pin_ids(
+            self.meta().filter(
                 ~F.coalesce("indexed", F.lit(False))
                 # quarantined rows have no records to index; stamping
                 # them would falsely claim rejected data is searchable
                 & (F.coalesce("status", F.lit("")) != "quarantined")
             )
-            .select("id")
-            # PIN the id snapshot: append and stamp must act on the
-            # SAME set — a lazy plan re-evaluated at stamp time would
-            # sweep rows ingested in between into the stamp with no
-            # tokens written (invisible to search forever)
-            .localCheckpoint(eager=True)
         )
         n = pending.count()
         if n == 0:

@@ -172,20 +172,48 @@ def hidden_scan(
 _SPEC_FILE = "_partition_spec.json"
 
 
+def _spec_json(spec: PartitionSpec) -> str:
+    import json
+    from dataclasses import asdict
+
+    return json.dumps([asdict(f) for f in spec], indent=1)
+
+
 def save_spec(path: str, spec: PartitionSpec) -> None:
     """Persist the transform spec NEXT TO the table (atomic tmp+rename,
     like every other engine metadata write) so readers recover it from
     the table alone — Iceberg keeps the same information in table
     metadata; a hive layout keeps it in tribal knowledge."""
-    import json
     import os
-    from dataclasses import asdict
     from pathlib import Path
 
     p = Path(path) / _SPEC_FILE
     tmp = p.with_suffix(".tmp")
-    tmp.write_text(json.dumps([asdict(f) for f in spec], indent=1))
+    tmp.write_text(_spec_json(spec))
     os.replace(tmp, p)
+
+
+def stage_spec(path: str, spec: PartitionSpec) -> None:
+    """Stage the spec at a SIBLING of the table dir (atomic), written
+    BEFORE the data: an overwrite deletes the table dir — and the
+    in-dir spec with it — so a crash between the data write and
+    save_spec would otherwise leave a table no scan can ever read
+    (load_spec FileNotFoundError, no recovery). The sibling survives
+    the overwrite; load_spec falls back to it."""
+    import os
+    from pathlib import Path
+
+    staged = Path(str(path) + ".spec.staged")
+    staged.parent.mkdir(parents=True, exist_ok=True)  # first-ever write
+    tmp = staged.with_suffix(".tmp")
+    tmp.write_text(_spec_json(spec))
+    os.replace(tmp, staged)
+
+
+def clear_staged_spec(path: str) -> None:
+    from pathlib import Path
+
+    Path(str(path) + ".spec.staged").unlink(missing_ok=True)
 
 
 def load_spec(path: str) -> PartitionSpec:
@@ -193,4 +221,12 @@ def load_spec(path: str) -> PartitionSpec:
     from pathlib import Path
 
     p = Path(path) / _SPEC_FILE
+    if not p.exists():
+        # crash window: data landed but the in-dir spec publish never
+        # ran — the staged sibling carries the same spec
+        staged = Path(str(path) + ".spec.staged")
+        if staged.exists():
+            return tuple(
+                PartitionField(**d) for d in json.loads(staged.read_text())
+            )
     return tuple(PartitionField(**d) for d in json.loads(p.read_text()))

@@ -692,3 +692,86 @@ def test_requeue_quarantined_redrive(spark, tmp_path):
     assert out3 == {"requeued": 1, "still_quarantined": 0}
     assert eng.records("raw").count() == 3
     assert not (tmp_path / "lake" / "quarantine" / "records").exists()
+
+
+def test_requeue_on_lake_that_never_quarantined(engine):
+    # the requeue lock file's parent dir must be created on demand — a
+    # fresh lake previously raised FileNotFoundError from os.open
+    assert engine.requeue_quarantined() == {
+        "requeued": 0,
+        "still_quarantined": 0,
+    }
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):  # graceful, catchable miss
+        engine.quarantine()
+
+
+def test_quarantine_snapshot_survives_concurrent_requeue(engine):
+    engine.ingest_batch(
+        [{"v": -1}, {"v": 2}],
+        data_type="sales",
+        validate=[
+            ("nonneg", "CAST(get_json_object(payload, '$.v') AS INT) >= 0")
+        ],
+    )
+    dlq = engine.quarantine()  # pinned snapshot
+    engine.requeue_quarantined()  # swaps the DLQ dir out from under it
+    assert dlq.count() == 1  # still readable: rows were materialized
+
+
+def test_process_heals_its_own_swap_leftovers(engine, spark):
+    engine.ingest_batch(SAMPLES, data_type="sales")
+    engine.process()
+    # simulate a crash between tmp.rename(path) and rmtree(old):
+    # records/ live AND records.dedup.old left behind
+    import shutil as _sh
+
+    path = f"{engine.zone('processed')}/records"
+    _sh.copytree(path, path + ".dedup.old")
+    out = engine.process()  # previously ENOTEMPTY at rename(old)
+    assert out.count() == 3
+    from pathlib import Path as _P
+
+    assert not _P(path + ".dedup.old").exists()
+    assert not _P(path + ".dedup.tmp").exists()
+
+
+def test_process_stamps_only_newly_indexed(engine, spark):
+    ids_a = engine.ingest_batch(SAMPLES[:2], data_type="sales")
+    engine.process()
+    first = {
+        r["id"]: r["indexed_at"]
+        for r in engine.meta().filter(F.col("indexed")).collect()
+    }
+    assert set(first) == set(ids_a)
+    import time
+
+    time.sleep(1.1)  # make a reset indexed_at observable
+    ids_b = engine.ingest_batch(SAMPLES[2:], data_type="sales")
+    engine.process()
+    after = {
+        r["id"]: r["indexed_at"]
+        for r in engine.meta().filter(F.col("indexed")).collect()
+    }
+    assert set(after) == set(ids_a) | set(ids_b)
+    for i in ids_a:  # prior stamps preserved, not rewritten to now
+        assert after[i] == first[i], i
+
+
+def test_stats_root_scopes_to_records_on_remote_uri(spark, tmp_path):
+    # file:// counts as remote (is_remote) but resolves through the
+    # same Hadoop FileSystem API an s3a:// root would — pathlib probes
+    # answered False for every URI and silently re-mixed sibling tables
+    lake = tmp_path / "rlake"
+    (lake / "processed").mkdir(parents=True)
+    spark.range(3).write.parquet(str(lake / "processed" / "records"))
+    spark.range(5).write.parquet(
+        str(lake / "processed" / "records_stream")
+    )
+    eng = DataLakeEngine(spark, f"file://{lake}")
+    assert eng.is_remote
+    assert eng._stats_root("processed").endswith("/processed/records")
+    # and without a records table the zone root is the scan root
+    eng2 = DataLakeEngine(spark, f"file://{tmp_path}/rlake2")
+    assert eng2._stats_root("processed").endswith("/processed")

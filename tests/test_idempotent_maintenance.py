@@ -414,3 +414,42 @@ def test_epoch_partitioned_table_migrates_legacy_layout(spark, tmp_path):
     t.commit(0)
     assert t.read("left", upto=0).count() == 13
     assert t.read("left", upto=-1).count() == 10  # epoch 0 invisible
+
+
+def test_curate_incremental_fresh_checkpoint_replaces_not_doubles(
+    spark, tmp_path
+):
+    """The documented rebuild workflow — curate() full rebuild, then
+    restart curate_incremental from a FRESH checkpoint — must converge:
+    the fresh lineage replays the entire changelog, so its first absorb
+    REPLACES the summary instead of merging the full history on top of
+    the just-rebuilt counts (which doubled every cell)."""
+    import shutil as _sh
+
+    from serverless_datalake_aws_spark.engine import DataLakeEngine
+
+    eng = DataLakeEngine(spark, tmp_path / "lake")
+    eng.ingest_batch([{"x": i} for i in range(6)], data_type="t1")
+    out = eng.curate_incremental()
+    want = {
+        (r["data_type"], r["ingest_date"]): r["n_records"]
+        for r in out.collect()
+    }
+    assert sum(want.values()) == 6
+
+    # manual full rebuild (marker preserved with the OLD lineage's id),
+    # then the docstring-prescribed fresh-checkpoint restart
+    eng.process()
+    eng.curate()
+    _sh.rmtree(tmp_path / "lake" / "_checkpoints" / "curate")
+    out2 = eng.curate_incremental()
+    got = {
+        (r["data_type"], r["ingest_date"]): r["n_records"]
+        for r in out2.collect()
+    }
+    assert got == want  # not doubled
+
+    # and the NEW lineage keeps normal merge semantics for later epochs
+    eng.ingest_batch([{"x": 99}], data_type="t1")
+    out3 = eng.curate_incremental()
+    assert sum(r["n_records"] for r in out3.collect()) == 7

@@ -186,3 +186,34 @@ def test_append_with_different_spec_rejected(spark, tmp_path):
         )
     lake.write_hidden("t", df, spec1, mode="append")  # same spec: fine
     assert lake.scan_hidden("t").count() == 2
+
+
+def test_hidden_spec_recoverable_from_crash_window(spark, tmp_path):
+    """Overwrite deletes the in-dir spec with the table dir; a crash
+    between the data write and save_spec must leave a READABLE table —
+    the spec is staged at a sibling path before the data lands and
+    load_spec falls back to it (ADVICE r8 low item)."""
+    from pathlib import Path
+
+    from serverless_datalake_aws_spark.engine import DataLakeEngine
+    from serverless_datalake_aws_spark.operators.partitioning import (
+        load_spec,
+    )
+
+    ev = table(spark, SF, "events").select("event_id", "ts", "user_id")
+    lake = DataLakeEngine(spark, str(tmp_path / "lake"))
+    lake.write_hidden("events_h", ev, SPEC)
+    path = Path(tmp_path / "lake" / "hidden" / "events_h")
+    # steady state: spec in-dir, no staged sibling left behind
+    assert (path / "_partition_spec.json").exists()
+    assert not Path(str(path) + ".spec.staged").exists()
+
+    # simulate the crash window: staged sibling present, in-dir spec
+    # destroyed by the overwrite that never reached save_spec
+    import shutil as _sh
+
+    spec_json = (path / "_partition_spec.json").read_text()
+    Path(str(path) + ".spec.staged").write_text(spec_json)
+    (path / "_partition_spec.json").unlink()
+    assert load_spec(str(path)) == SPEC  # fallback, not FileNotFoundError
+    assert lake.scan_hidden("events_h").count() == ev.count()
