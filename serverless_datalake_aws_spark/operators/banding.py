@@ -65,59 +65,57 @@ def capped_band_self_join(
     (minhash/simhash band derivation). The probe job materializes the
     cache before any self-join starts, avoiding the double-fill race;
     eviction is left to Spark's LRU (same policy as the d04/d05
-    fingerprint caches)."""
-    bands = bands.cache()
+    fingerprint caches).
+
+    NULL ids are dropped up front: the naive join's `id1 < id2` is
+    NULL for them in every orientation, so they can never pair — but
+    the hot leg's cross-group keep-filter passed them through its
+    `gid != gid` disjunct, emitting bogus (x, x) self-pairs with
+    swapped payloads."""
+    bands = bands.filter(F.col(id_col).isNotNull()).cache()
     cols = [id_col] + ([payload] if payload else [])
 
     def _pair_cond(p1: Column, p2: Column) -> Column:
         return pair_filter(p1, p2) if pair_filter is not None else F.lit(True)
 
-    sizes = bands.groupBy(key).agg(F.count("*").alias("_n"))
-    hot_keys = sizes.filter(F.col("_n") > cap)
-    if hot_keys.isEmpty():
-        # Common case — no degenerate band: keep the original one-join
-        # plan with zero guard overhead (the size probe is a map-side
-        # combined aggregate over slim (key) rows).
-        b1, b2 = bands.alias("b1"), bands.alias("b2")
-        out = b1.join(
-            b2,
-            (F.col(f"b1.{key}") == F.col(f"b2.{key}"))
-            & (F.col(f"b1.{id_col}") < F.col(f"b2.{id_col}"))
+    def _plain_self_join(df: DataFrame) -> DataFrame:
+        """The uncapped ordered self-join — shared by the no-hot-band
+        fast path and the cold leg (one body, no drift)."""
+        d1, d2 = df.alias("d1"), df.alias("d2")
+        out = d1.join(
+            d2,
+            (F.col(f"d1.{key}") == F.col(f"d2.{key}"))
+            & (F.col(f"d1.{id_col}") < F.col(f"d2.{id_col}"))
             & _pair_cond(
-                F.col(f"b1.{payload or id_col}"), F.col(f"b2.{payload or id_col}")
+                F.col(f"d1.{payload or id_col}"),
+                F.col(f"d2.{payload or id_col}"),
             ),
         )
         sel = [
-            F.col(f"b1.{id_col}").alias("doc1"),
-            F.col(f"b2.{id_col}").alias("doc2"),
+            F.col(f"d1.{id_col}").alias("doc1"),
+            F.col(f"d2.{id_col}").alias("doc2"),
         ]
         if payload:
             sel += [
-                F.col(f"b1.{payload}").alias("payload1"),
-                F.col(f"b2.{payload}").alias("payload2"),
+                F.col(f"d1.{payload}").alias("payload1"),
+                F.col(f"d2.{payload}").alias("payload2"),
             ]
         return out.select(*sel)
 
+    # ONE aggregation pass: hot keys are few by construction (bands
+    # with >cap members), so collect them instead of re-running the
+    # full groupBy for the emptiness probe and each broadcast side.
+    sizes = bands.groupBy(key).agg(F.count("*").alias("_n"))
+    hot_rows = sizes.filter(F.col("_n") > cap).collect()
+    if not hot_rows:
+        # Common case — no degenerate band: keep the original one-join
+        # plan with zero guard overhead (the size probe is a map-side
+        # combined aggregate over slim (key) rows).
+        return _plain_self_join(bands)
+
+    hot_keys = bands.sparkSession.createDataFrame(hot_rows, sizes.schema)
     cold = bands.join(F.broadcast(hot_keys.select(key)), key, "left_anti")
-    c1, c2 = cold.alias("c1"), cold.alias("c2")
-    cold_join = c1.join(
-        c2,
-        (F.col(f"c1.{key}") == F.col(f"c2.{key}"))
-        & (F.col(f"c1.{id_col}") < F.col(f"c2.{id_col}"))
-        & _pair_cond(
-            F.col(f"c1.{payload or id_col}"), F.col(f"c2.{payload or id_col}")
-        ),
-    )
-    cold_sel = [
-        F.col(f"c1.{id_col}").alias("doc1"),
-        F.col(f"c2.{id_col}").alias("doc2"),
-    ]
-    if payload:
-        cold_sel += [
-            F.col(f"c1.{payload}").alias("payload1"),
-            F.col(f"c2.{payload}").alias("payload2"),
-        ]
-    cold_pairs = cold_join.select(*cold_sel)
+    cold_pairs = _plain_self_join(cold)
 
     hot = bands.join(F.broadcast(hot_keys), key).withColumn(
         "_g", F.ceil(F.col("_n") / F.lit(cap)).cast("int")

@@ -29,6 +29,19 @@ BRANDS = ("TechPro", "Innovex", "Quantum", "Apex", "Nova")
 TYPES = ("Wireless", "Smart", "Portable", "Pro", "Ultra")
 
 
+def _ranged(spark: SparkSession, n: int) -> DataFrame:
+    """spark.range with a partition count derived from n ALONE.
+
+    rand(seed) seeds each partition as seed+partitionIndex, and a bare
+    spark.range(n) splits by the session's default parallelism — so the
+    "same (n, seed)" fixture silently differed between local[4] and
+    local[8] (or any two cluster sizes). Deriving the partition count
+    from n keeps generation distributed for large n yet bit-identical
+    on every environment."""
+    parts = max(1, min(1024, (n + 999_999) // 1_000_000))
+    return spark.range(0, n, 1, parts)
+
+
 def _choice(options: tuple[str, ...], r: Column) -> Column:
     """Uniform choice from a literal list driven by a rand() column."""
     arr = F.array(*[F.lit(o) for o in options])
@@ -52,7 +65,7 @@ def _weighted_choice(
 
 def gen_sales(spark: SparkSession, n: int = 1000, seed: int = 42) -> DataFrame:
     """sales: FIXTURES.md A1 (data-upload-script.py:28-55)."""
-    df = spark.range(n)
+    df = _ranged(spark, n)
     return df.select(
         F.format_string("TXN-%06d", F.col("id")).alias("transaction_id"),
         (
@@ -70,7 +83,7 @@ def gen_sales(spark: SparkSession, n: int = 1000, seed: int = 42) -> DataFrame:
 
 def gen_customers(spark: SparkSession, n: int = 500, seed: int = 42) -> DataFrame:
     """customers: FIXTURES.md A2 (data-upload-script.py:57-92)."""
-    df = spark.range(n)
+    df = _ranged(spark, n)
     first = _choice(FIRST_NAMES, F.rand(seed + 10))
     last = _choice(LAST_NAMES, F.rand(seed + 11))
     return df.select(
@@ -94,7 +107,7 @@ def gen_customers(spark: SparkSession, n: int = 500, seed: int = 42) -> DataFram
 
 def gen_products(spark: SparkSession, n: int = 100, seed: int = 42) -> DataFrame:
     """products: FIXTURES.md A3 (data-upload-script.py:94-117)."""
-    df = spark.range(n)
+    df = _ranged(spark, n)
     return df.select(
         F.format_string("PROD-%04d", F.col("id")).alias("product_id"),
         F.concat_ws(

@@ -88,6 +88,8 @@ def _decode_wav(payload: bytes) -> list[float]:
         cid, size = payload[off : off + 4], struct.unpack_from("<I", payload, off + 4)[0]
         body = payload[off + 8 : off + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:  # truncated fmt: stay in the declared
+                raise NotImplementedError("WAV fmt chunk truncated")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -95,6 +97,12 @@ def _decode_wav(payload: bytes) -> list[float]:
     if fmt is None or data is None:
         raise NotImplementedError("WAV missing fmt/data chunk")
     audio_fmt, n_ch, rate, _, _, bits = fmt
+    # a data chunk truncated mid-sample (header-declared size past EOF)
+    # must not escape as a raw numpy ValueError from frombuffer — trim
+    # to whole samples; the features summarize whatever PCM survives
+    if bits in (16, 32, 64):
+        itemsize = bits // 8
+        data = data[: len(data) - len(data) % itemsize]
     if audio_fmt == 1 and bits == 8:
         x = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
         x = (x - 128.0) / 128.0
@@ -124,7 +132,18 @@ def _decode_audio(payload: bytes, modality: str) -> list[float]:
     sniff), deterministic fake otherwise (compressed codecs absent in
     this container). The dispatch is the production shape — a
     torchaudio/ffmpeg decoder registers more magics, same contract."""
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+    import struct
+
+    # Mirror the image seam's hardening: verify the RIFF size field
+    # (bytes 4-8 == len-8) before committing to the real decoder — a
+    # text payload that merely BEGINS with 'RIFF...WAVE' (12-byte magic
+    # false-positive) would otherwise turn the fake path into a raise.
+    if (
+        len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+        and struct.unpack_from("<I", payload, 4)[0] == len(payload) - 8
+    ):
         return _decode_wav(payload)
     return _fake_decode(payload, modality)
 
@@ -158,6 +177,12 @@ def _decode_bmp(payload: bytes) -> list[float]:
     rows = abs(height)
     bypp = bits // 8
     stride = (width * bypp + 3) & ~3  # rows pad to 4-byte boundaries
+    # header geometry must FIT the payload: an inflated height/width (or
+    # a negative width) on a file whose size field passed the sniff
+    # would escape as a raw numpy buffer error and kill the Spark task
+    # outside the declared contract
+    if width <= 0 or rows == 0 or px_off + rows * stride > len(payload):
+        raise NotImplementedError("BMP geometry exceeds payload")
     raw = np.frombuffer(
         payload, dtype=np.uint8, count=rows * stride, offset=px_off
     ).reshape(rows, stride)
@@ -241,20 +266,33 @@ def extract_features(media_df: DataFrame) -> DataFrame:
 
 def frame_sample(media_df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video: one output row per sampled
-    timestamp (decode stubbed; the explode shape and schema are real)."""
+    timestamp (decode stubbed; the explode shape and schema are real).
+
+    Videos with NULL or zero duration emit NOTHING (there is no frame
+    to sample — the old clamp emitted a phantom frame_idx=0 for them);
+    a short positive duration still samples its t=0 frame. The stub
+    hash separates payload and index with ':' (audio_windows'
+    convention) so distinct (payload, idx) inputs cannot collide —
+    mirrored byte-for-byte in the mm04 oracle."""
     n_frames = (
         F.coalesce(F.col("meta.duration_ms"), F.lit(0)) / every_ms
     ).cast("int")
     return (
         media_df.filter(F.col("modality") == "video")
+        .filter(F.coalesce(F.col("meta.duration_ms"), F.lit(0)) > 0)
         .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))))
         .select(
             "media_id",
             "frame_idx",
             (F.col("frame_idx") * every_ms).alias("frame_ts_ms"),
-            F.sha2(F.concat(F.col("payload"), F.col("frame_idx").cast("string").cast("binary")), 256).alias(
-                "frame_stub_hash"
-            ),
+            F.sha2(
+                F.concat(
+                    F.col("payload"),
+                    F.lit(":").cast("binary"),
+                    F.col("frame_idx").cast("string").cast("binary"),
+                ),
+                256,
+            ).alias("frame_stub_hash"),
         )
     )
 

@@ -123,12 +123,14 @@ def mm03_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT media_id, i AS frame_idx,
            i * 1000 AS frame_ts_ms,
-           sha256(text || CAST(i AS VARCHAR)) AS frame_stub_hash
+           -- ':' separator mirrors the operator's stub-hash convention
+           sha256(text || ':' || CAST(i AS VARCHAR)) AS frame_stub_hash
     FROM (
       SELECT media_id, text,
              unnest(generate_series(0,
                  greatest(CAST(floor(duration_ms / 1000.0) AS INT) - 1, 0))) AS i
       FROM vids
+      WHERE duration_ms > 0  -- zero/NULL duration samples no frame
     )
     """,
 )

@@ -90,3 +90,19 @@ def test_unsupported_bmp_variant_raises():
 def test_seam_contract_via_decode_stub():
     feats = decode_stub(make_bmp(width=8, height=2, rgb=(0, 0, 255)), "image")
     assert feats[0] == 8.0 and feats[1] == 2.0 and feats[6] == 1.0
+
+
+def test_bmp_inflated_geometry_stays_in_contract():
+    """A BMP whose size field passes the sniff but whose header claims
+    more pixels than the payload carries must raise the declared
+    NotImplementedError, not a raw numpy buffer error."""
+    import struct as _s
+
+    bmp = bytearray(make_bmp())
+    _s.pack_into("<i", bmp, 22, 10**6)  # inflate height
+    with pytest.raises(NotImplementedError):
+        _decode_bmp(bytes(bmp))
+    _s.pack_into("<i", bmp, 22, 4)
+    _s.pack_into("<i", bmp, 18, -3)  # negative width
+    with pytest.raises(NotImplementedError):
+        _decode_bmp(bytes(bmp))

@@ -716,3 +716,46 @@ def test_cm_estimate_unseen_items_are_zero(spark):
     got = {r["item"]: r["est_n"] for r in cm_estimate(sketch, items, "item").collect()}
     assert got["never-seen"] == 0
     assert got["x"] >= 5  # count-min errs only upward
+
+
+def test_capped_band_self_join_drops_null_ids(spark):
+    """NULL ids can never pair in the naive join (id1 < id2 is NULL in
+    both orientations) — the hot leg's cross-group keep-filter used to
+    pass them through its gid-differs disjunct, emitting bogus (x, x)
+    self-pairs with swapped payloads."""
+    from serverless_datalake_aws_spark.operators.banding import (
+        capped_band_self_join,
+    )
+
+    rows = [(i, "hot", i % 13) for i in range(200)]
+    rows += [(None, "hot", 5), (None, "cold0", 5)]  # NULL ids, both legs
+    rows += [(i, f"cold{i % 7}", i % 13) for i in range(200, 260)]
+    bands = spark.createDataFrame(rows, "doc_id long, band_key string, h long")
+    got = capped_band_self_join(bands, cap=50, payload="h").dropDuplicates(
+        ["doc1", "doc2"]
+    )
+    assert got.filter("doc1 IS NULL OR doc2 IS NULL").count() == 0
+    assert got.filter("doc1 = doc2").count() == 0  # no self-pairs
+    want = _naive_band_pairs(bands.select("doc_id", "band_key"))
+    assert got.select("doc1", "doc2").exceptAll(want).count() == 0
+    assert want.exceptAll(got.select("doc1", "doc2")).count() == 0
+
+
+def test_datagen_partitioning_is_environment_independent(spark):
+    """rand(seed) seeds per PARTITION, so fixture determinism requires
+    the partition count to derive from n alone — never from the
+    session's default parallelism (local[4] vs local[8] would yield
+    different rows for the same (n, seed))."""
+    from serverless_datalake_aws_spark.operators.datagen import (
+        gen_customers,
+        gen_products,
+        gen_sales,
+    )
+
+    assert spark.sparkContext.defaultParallelism > 1  # the trap exists
+    for gen in (gen_sales, gen_customers, gen_products):
+        assert gen(spark, n=1000, seed=7).rdd.getNumPartitions() == 1
+    # large n still distributes
+    from serverless_datalake_aws_spark.operators.datagen import _ranged
+
+    assert _ranged(spark, 5_000_000).rdd.getNumPartitions() == 5

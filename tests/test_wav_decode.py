@@ -100,3 +100,35 @@ def test_wav_through_mapinpandas_plumbing(spark):
     assert out["b"]["feature"][3] == pytest.approx(1.0, abs=1e-6)
     assert out["c"]["payload_bytes"] == 6  # fake path still flows
     assert out["a"]["payload_bytes"] == len(wav_a)
+
+
+def test_truncated_wav_stays_in_contract():
+    """Corrupt inputs must fail as NotImplementedError or decode what
+    survives — never escape as raw numpy/struct errors that kill the
+    Spark stage outside the declared contract."""
+    wav = make_wav(seconds=0.1)
+    # truncate mid-sample: odd PCM byte count
+    truncated = wav[: len(wav) - 1]
+    feats = _decode_wav(truncated)  # trims to whole samples
+    assert len(feats) == 8 and feats[2] == 16.0
+    # fmt chunk shorter than 16 bytes
+    import struct as _s
+
+    bad = bytearray(b"RIFF" + _s.pack("<I", 24) + b"WAVEfmt " + _s.pack("<I", 4) + b"\x01\x00\x01\x00")
+    with pytest.raises(NotImplementedError):
+        _decode_wav(bytes(bad))
+
+
+def test_audio_seam_riff_magic_false_positive_goes_fake():
+    """A text payload that merely BEGINS with RIFF....WAVE (size field
+    wrong) must take the fake path, not raise from the real decoder."""
+    from serverless_datalake_aws_spark.operators.multimodal import (
+        _decode_audio,
+        _fake_decode,
+    )
+
+    text = b"RIFF\x00\x00\x00\x00WAVE is the container format used by..."
+    assert _decode_audio(text, "audio") == _fake_decode(text, "audio")
+    # and a REAL wav (correct size field) still dispatches to the parser
+    wav = make_wav(seconds=0.05)
+    assert _decode_audio(wav, "audio") == _decode_wav(wav)
