@@ -113,7 +113,14 @@ def e05_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH weekly AS (
         SELECT DISTINCT user_id,
-               CAST(date_diff('week', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS week
+               -- day-count floor, NOT date_diff('week', ...): the
+               -- latter counts ISO Monday-boundary crossings, which
+               -- only equals anchored 7-day buckets when the anchor
+               -- happens to be a Monday (2024-01-01 is — but the
+               -- equivalence must not hinge on the fixture's calendar)
+               CAST(floor(date_diff('day', DATE '2024-01-01',
+                                    CAST(ts AS DATE)) / 7.0) AS BIGINT)
+                   AS week
         FROM events
     )
     SELECT w1.week AS week,
@@ -427,6 +434,13 @@ def e16_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard reduction: distinct (day, user) pairs, then a bounded
     range join of the day spine against them.
 
+    Contract: the spine is OBSERVED days only — a day with zero events
+    emits no row, even though its trailing 7-day window may be
+    non-empty (a dense-calendar variant would build the spine from
+    sequence(min(d), max(d)); the dashboards this mirrors plot observed
+    days). The oracle shares the same spine, so the contract is pinned
+    on both sides.
+
     Scale: the distinct pair set is the only corpus-sized aggregation;
     the range join expands each pair into ≤7 day buckets (bounded
     fan-out, the q21 bucketize rule), then a distinct count per day.
@@ -517,7 +531,10 @@ def e17_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_rows,
            count(DISTINCT user_id) AS users_exact,
            (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
-            <= greatest(2, CAST(0.05 * count(DISTINCT user_id) AS BIGINT)))
+            -- explicit floor: DuckDB CAST(double AS BIGINT) ROUNDS,
+            -- Spark's truncates — 0.05*150=7.5 would bound 8 vs 7
+            <= greatest(2, CAST(floor(0.05 * count(DISTINCT user_id))
+                                AS BIGINT)))
              AS sketch_within_5pct,
            round(var_samp(value), 4) AS var_value
     FROM events
@@ -562,8 +579,11 @@ def e18_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("users_exact")
     )
+    # explicit floor on BOTH sides (cast-to-bigint rounds in DuckDB,
+    # truncates in Spark — the half-integer bound would diverge)
     bound = F.greatest(
-        F.lit(2).cast("long"), (0.05 * F.col("users_exact")).cast("long")
+        F.lit(2).cast("long"),
+        F.floor(0.05 * F.col("users_exact")).cast("long"),
     )
     return (
         fin.join(F.broadcast(exact), "event_type")

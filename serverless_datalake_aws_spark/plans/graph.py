@@ -29,6 +29,27 @@ _DAMP = 0.85
 _ITERS = 2
 
 
+def _trade_sym(spark: SparkSession, sf_dir: str):
+    """The cached symmetric supplier<->customer trade graph shared by
+    p02 (PageRank) and p04 (BFS). The node encoding (src=l_suppkey*2,
+    dst=o_custkey*2+1) is a cross-query invariant baked into BOTH
+    oracles — one construction site keeps the two queries from
+    drifting apart. Caller materializes (sym.count()) before looping."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+
+
 @query(
     "p02_pagerank",
     oracle="""
@@ -71,19 +92,7 @@ def p02_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     join+agg per iteration; rank mass of dangling nodes is handled by
     the uniform 0.15/N teleport term (the symmetric graph has no
     danglers, matching the oracle's LEFT JOIN + coalesce form)."""
-    li = table(spark, sf_dir, "lineitem")
-    orders = table(spark, sf_dir, "orders")
-    edges = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            (F.col("l_suppkey") * 2).alias("src"),
-            (F.col("o_custkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
-    sym = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
+    sym = _trade_sym(spark, sf_dir)
     sym.count()  # materialize: read every iteration + for nodes/deg
     nodes = sym.select(F.col("src").alias("node")).distinct().cache()
     n_nodes = nodes.count()  # also materializes the nodes cache
@@ -240,19 +249,7 @@ def p04_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list plus a min-aggregation — the standard Pregel-on-DataFrames
     step; production loops this plan with per-iteration
     localCheckpoint (d08's lineage rule). All-integer distances."""
-    li = table(spark, sf_dir, "lineitem")
-    orders = table(spark, sf_dir, "orders")
-    edges = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            (F.col("l_suppkey") * 2).alias("src"),
-            (F.col("o_custkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
-    sym = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
+    sym = _trade_sym(spark, sf_dir)
     sym.count()  # materialize: read every round
     nodes = sym.select(F.col("src").alias("node")).distinct()
     dist = nodes.withColumn(

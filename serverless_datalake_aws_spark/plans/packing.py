@@ -22,6 +22,24 @@ except Exception:  # pragma: no cover
 _WINDOW = 512
 
 
+def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+    """The greedy per-group packing fold shared by p01 and p05 (one
+    body — the recursive-CTE oracles of both queries replay exactly
+    this logic, so two drifting copies would red exactly one of them).
+    Module-level so cloudpickle's register-by-value ships it whole to
+    executors for both applyInPandas call sites."""
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    pack_ids, pack_id, running = [], 0, 0
+    for n in pdf["n_tokens"]:
+        if running + n > _WINDOW and running > 0:
+            pack_id += 1
+            running = n
+        else:
+            running += n
+        pack_ids.append(pack_id)
+    return pdf.assign(pack_id=pack_ids)
+
+
 @query(
     "p01_sequence_packing",
     oracle=f"""
@@ -58,18 +76,6 @@ def p01_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "lang", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
-
-    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        pack_ids, pack_id, running = [], 0, 0
-        for n in pdf["n_tokens"]:
-            if running + n > _WINDOW and running > 0:
-                pack_id += 1
-                running = n
-            else:
-                running += n
-            pack_ids.append(pack_id)
-        return pdf.assign(pack_id=pack_ids)
 
     return d.groupBy("lang").applyInPandas(
         _pack, schema="lang string, doc_id long, n_tokens int, pack_id long"
@@ -149,18 +155,6 @@ def p05_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("lang", "doc_id", "n_tokens")
     )
-
-    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        pack_ids, pack_id, running = [], 0, 0
-        for n in pdf["n_tokens"]:
-            if running + n > _WINDOW and running > 0:
-                pack_id += 1
-                running = n
-            else:
-                running += n
-            pack_ids.append(pack_id)
-        return pdf.assign(pack_id=pack_ids)
 
     return dedup.groupBy("lang").applyInPandas(
         _pack, schema="lang string, doc_id long, n_tokens int, pack_id long"

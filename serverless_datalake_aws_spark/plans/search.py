@@ -24,6 +24,22 @@ from serverless_datalake_aws_spark.plans import query
 _TERMS = ("dup", "spark", "merge")
 
 
+def _term_tf_df(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(tf, df) over the _TERMS inverted index — shared by the x02 and
+    x03 scorers: the term list, tokenization, and the df-from-filtered-
+    tf definition are baked into both oracles' IN-lists, so a one-sided
+    edit here would red exactly one scorer."""
+    tf = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+        .filter(F.col("token").isin(*_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    return tf, df
+
+
+
 @query(
     "x01_term_search",
     oracle="""
@@ -92,13 +108,7 @@ def x02_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df and N are broadcast scalars; only the tf aggregation shuffles."""
     docs = table(spark, sf_dir, "documents")
     n_docs = docs.count()
-    tf = (
-        docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
-        .filter(F.col("token").isin(*_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
-    )
-    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    tf, df = _term_tf_df(docs)
     return tf.join(F.broadcast(df), "token").select(
         "doc_id",
         "token",
@@ -148,13 +158,7 @@ def x03_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     dl = docs.select("doc_id", F.size(TX.tokens("text")).alias("dl"))
-    tf = (
-        docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
-        .filter(F.col("token").isin(*_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
-    )
-    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    tf, df = _term_tf_df(docs)
     idf = F.log(1 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     score = (
         idf
