@@ -21,6 +21,7 @@ def salted_join(
     key: str,
     salt: int = 16,
     how: str = "inner",
+    salt_on: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join on `key` with the left side's rows scattered over
     `salt` buckets and the right side replicated to every bucket.
@@ -33,6 +34,14 @@ def salted_join(
     join would emit one null-padded row per REPLICA of every right row
     missing a left partner in its bucket — silently wrong results, so
     other join types are refused.
+
+    The salt is DETERMINISTIC — xxhash64 over `salt_on` (default: every
+    left column): rand() scattered rows differently each run, so any
+    float aggregate downstream reassociated in a different order per
+    run and could flip a rounding boundary between two executions of
+    the same query (the t30 determinism doctrine). Duplicate rows land
+    in the same bucket, which only matters if the skew IS duplicates —
+    pass `salt_on` with a finer identity then.
     """
     if how not in ("inner", "left"):
         raise ValueError(
@@ -40,7 +49,10 @@ def salted_join(
             "replicated right side would null-pad once per replica"
         )
     salted_left = left.withColumn(
-        "_salt", (F.rand() * salt).cast("int")
+        "_salt",
+        F.pmod(
+            F.xxhash64(*(salt_on or left.columns)), F.lit(salt)
+        ).cast("int"),
     )
     salted_right = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

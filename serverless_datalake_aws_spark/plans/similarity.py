@@ -344,7 +344,10 @@ def s03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         V = np.stack(pdf["embedding"].values).astype(np.float64)
         nrm = np.linalg.norm(V, axis=1)
         S = (V @ V.T) / (nrm[:, None] * nrm[None, :])
-        i, j = np.nonzero(np.triu(S >= 0.5 - 1e-9, 1))
+        # slack must exceed the rounding half-quantum (5e-7 for a 6dp
+        # round): a true cosine in [0.4999995, 0.5) rounds UP to 0.5 on
+        # both engines, so the pre-filter may not drop it — 1e-9 did
+        i, j = np.nonzero(np.triu(S >= 0.5 - 1e-6, 1))
         ids = pdf["vec_id"].values
         return pd.DataFrame(
             {"vec1": ids[i], "vec2": ids[j], "cos": S[i, j]}
@@ -399,7 +402,8 @@ def s06_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(embd).alias("lo"),
         F.array_max(embd).alias("hi"),
         embd.alias("emb"),
-    ).cache()  # pin lo/hi so the error map doesn't re-inline min/max per element
+    ).cache()  # pin lo/hi so the error map doesn't re-inline min/max
+    # per element — unpersisted below after the tiny result materializes
     lo, hi = F.col("lo"), F.col("hi")
     recon_err = F.aggregate(
         F.transform(
@@ -412,11 +416,16 @@ def s06_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     ) / F.size("emb")
     err = q.select("vec_id", "label", recon_err.alias("mae"))
-    return err.groupBy("label").agg(
+    out = err.groupBy("label").agg(
         F.count("*").alias("n_vectors"),
         F.round(F.avg("mae"), 6).alias("avg_mae"),
         F.round(F.max("mae"), 6).alias("max_mae"),
     )
+    # label-count rows: materialize, then release the corpus-sized
+    # cache instead of leaking it for the rest of the session
+    rows = out.collect()
+    q.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 @query(
@@ -457,12 +466,16 @@ def s04_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
     scored AS (
+      -- round BEFORE ranking (module convention, s01/s02/s05): DuckDB's
+      -- list_dot_product is not the bit-identical left fold Spark's
+      -- F.aggregate computes (measured ~4e-15 apart), so an unrounded
+      -- ORDER BY could flip the rank-5/6 boundary across engines
       SELECT q.qid, v.vec_id, v.label,
-             list_dot_product(v.e, q.qe) AS dot
+             round(list_dot_product(v.e, q.qe), 6) AS dot
       FROM v, q
       WHERE v.vec_id >= 10
     )
-    SELECT qid, vec_id, label, round(dot, 6) AS dot
+    SELECT qid, vec_id, label, dot
     FROM scored
     QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) <= 5
     ORDER BY qid, dot DESC, vec_id
@@ -489,12 +502,20 @@ def s10_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         v.filter(F.col("vec_id") >= 10)
         .crossJoin(F.broadcast(qs))
-        .select("qid", "vec_id", "label", VX.dot(F.col("e"), F.col("qe")).alias("dot"))
+        # round BEFORE ranking (module convention): the engines' dot
+        # folds differ in the last ulps, and the rank-5/6 boundary must
+        # not depend on them
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            F.round(VX.dot(F.col("e"), F.col("qe")), 6).alias("dot"),
+        )
     )
     w = W.partitionBy("qid").orderBy(F.desc("dot"), "vec_id")
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
-        .select("qid", "vec_id", "label", F.round("dot", 6).alias("dot"))
+        .select("qid", "vec_id", "label", "dot")
         .orderBy("qid", F.desc("dot"), "vec_id")
     )

@@ -34,6 +34,64 @@ _PHONE = r"\+1-555-[0-9]{4}"
 _IPV4 = r"10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
 
 
+def _inject_pii():
+    """The deterministic PII-injection expression shared by t28 and p06
+    (both oracles replay it byte-for-byte): every doc_id % 3 == 0 doc
+    gets an email + phone + IPv4 appended. ONE definition — a drifting
+    copy would red exactly one of the two queries."""
+    return F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 100).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+
+
+def _scrub(col):
+    """email -> phone -> IP redaction chain (t28 + p06; replace ORDER is
+    part of the cross-engine contract both oracles encode)."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, _EMAIL, "[EMAIL]"), _PHONE, "[PHONE]"
+        ),
+        _IPV4,
+        "[IP]",
+    )
+
+
+def _max_run(arr):
+    """Longest run of equal adjacent elements — t29's repetition signal
+    and p06's quality gate share this one aggregate fold."""
+    return F.aggregate(
+        arr,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(1)
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(1),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+
 @query(
     "t28_pii_redaction",
     oracle=f"""
@@ -73,31 +131,12 @@ def t28_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection. At 100 TB this is the cheapest shape a scrub can have
     (one pass, no repartition)."""
     docs = table(spark, sf_dir, "documents")
-    aug = F.when(
-        F.col("doc_id") % 3 == 0,
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"),
-            F.col("doc_id").cast("string"),
-            F.lit("@example.com or +1-555-"),
-            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-            F.lit(" from 10.0."),
-            (F.col("doc_id") % 256).cast("string"),
-            F.lit("."),
-            (F.col("doc_id") % 100).cast("string"),
-        ),
-    ).otherwise(F.col("text"))
+    aug = _inject_pii()
     t = aug.alias("t")
     n_em = F.regexp_count(t, F.lit(_EMAIL))
     n_ph = F.regexp_count(t, F.lit(_PHONE))
     n_ip = F.regexp_count(t, F.lit(_IPV4))
-    clean = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, _EMAIL, "[EMAIL]"), _PHONE, "[PHONE]"
-        ),
-        _IPV4,
-        "[IP]",
-    )
+    clean = _scrub(t)
     return docs.select(
         "doc_id",
         n_em.cast("long").alias("n_emails"),
@@ -180,34 +219,13 @@ def t29_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     n = F.size(toks)
 
-    def max_run(arr):  # longest run of equal adjacent elements
-        return F.aggregate(
-            arr,
-            F.struct(
-                F.lit(None).cast("string").alias("prev"),
-                F.lit(0).alias("run"),
-                F.lit(0).alias("best"),
-            ),
-            lambda acc, x: F.struct(
-                x.alias("prev"),
-                F.when(x == acc["prev"], acc["run"] + 1)
-                .otherwise(1)
-                .alias("run"),
-                F.greatest(
-                    acc["best"],
-                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(1),
-                ).alias("best"),
-            ),
-            lambda acc: acc["best"],
-        )
-
     bgs = F.zip_with(
         F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
         F.expr("slice(split(text, ' '), 2, size(split(text, ' ')) - 1)"),
         lambda x, y: F.concat_ws(" ", x, y),
     )
-    top_c = max_run(F.array_sort(toks))
-    top_bc = max_run(F.array_sort(bgs))
+    top_c = _max_run(F.array_sort(toks))
+    top_bc = _max_run(F.array_sort(bgs))
     return docs.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
@@ -215,7 +233,7 @@ def t29_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.when(n > 1, top_bc.cast("double") / (n - 1)).otherwise(0.0), 6
         ).alias("top_bigram_share"),
-        max_run(toks).cast("long").alias("max_run"),
+        _max_run(toks).cast("long").alias("max_run"),
     )
 
 
@@ -380,57 +398,17 @@ def p06_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithms (quadratic count-distinct SQL vs sorted run-length
     fold)."""
     docs = table(spark, sf_dir, "documents")
-    aug = F.when(
-        F.col("doc_id") % 3 == 0,
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"),
-            F.col("doc_id").cast("string"),
-            F.lit("@example.com or +1-555-"),
-            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-            F.lit(" from 10.0."),
-            (F.col("doc_id") % 256).cast("string"),
-            F.lit("."),
-            (F.col("doc_id") % 100).cast("string"),
-        ),
-    ).otherwise(F.col("text"))
+    aug = _inject_pii()
     n_pii = (
         F.regexp_count(aug, F.lit(_EMAIL))
         + F.regexp_count(aug, F.lit(_PHONE))
         + F.regexp_count(aug, F.lit(_IPV4))
     )
-    ct = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(aug, _EMAIL, "[EMAIL]"), _PHONE, "[PHONE]"
-        ),
-        _IPV4,
-        "[IP]",
-    )
+    ct = _scrub(aug)
     toks = F.split(ct, " ")
     n_tokens = F.size(toks)
 
-    def max_run(arr):  # longest equal-adjacent run (t29's fold)
-        return F.aggregate(
-            arr,
-            F.struct(
-                F.lit(None).cast("string").alias("prev"),
-                F.lit(0).alias("run"),
-                F.lit(0).alias("best"),
-            ),
-            lambda acc, x: F.struct(
-                x.alias("prev"),
-                F.when(x == acc["prev"], acc["run"] + 1)
-                .otherwise(1)
-                .alias("run"),
-                F.greatest(
-                    acc["best"],
-                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(1),
-                ).alias("best"),
-            ),
-            lambda acc: acc["best"],
-        )
-
-    top_c = max_run(F.array_sort(toks))
+    top_c = _max_run(F.array_sort(toks))
     stat = docs.select(
         "doc_id",
         "source",
@@ -542,6 +520,11 @@ def t31_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
     packed = global_cumsum(docs, ["doc_id"], "n_tokens")
+    # guard the descending-sequence trap locally instead of leaning on
+    # the fixture: n_tokens = 0 at a 512-multiple offset would make
+    # sequence(k, k-1) — DESCENDING in Spark (two phantom chunk rows),
+    # EMPTY in DuckDB's generate_series (t34 has the same guard)
+    packed = packed.filter(F.col("n_tokens") >= 1)
     spans = packed.select(
         "cum_before",
         "n_tokens",
