@@ -48,6 +48,7 @@ def capped_band_self_join(
     cap: int = 10_000,
     payload: str | None = None,
     pair_filter: Callable[[Column, Column], Column] | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Candidate pairs (doc1 < doc2) sharing a band key, with per-band
     work capped. Output matches the uncapped self-join exactly (pairs
@@ -71,8 +72,15 @@ def capped_band_self_join(
     NULL for them in every orientation, so they can never pair — but
     the hot leg's cross-group keep-filter passed them through its
     `gid != gid` disjunct, emitting bogus (x, x) self-pairs with
-    swapped payloads."""
-    bands = bands.filter(F.col(id_col).isNotNull()).cache()
+    swapped payloads.
+
+    `cache=False` skips the internal cache: callers who already cache
+    the input (st15 pins each micro-batch's bands and unpersists after
+    absorb) must own the ONE cache — a second internal entry per call
+    would leak block-manager state nothing releases."""
+    bands = bands.filter(F.col(id_col).isNotNull())
+    if cache:
+        bands = bands.cache()
     cols = [id_col] + ([payload] if payload else [])
 
     def _pair_cond(p1: Column, p2: Column) -> Column:

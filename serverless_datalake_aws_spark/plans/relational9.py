@@ -269,7 +269,8 @@ _Q80 = """
            count(DISTINCT user_id) OVER w AS users_exact,
            (abs(approx_count_distinct(user_id) OVER w
                 - count(DISTINCT user_id) OVER w)
-            <= greatest(2, CAST(0.10 * (count(DISTINCT user_id) OVER w) AS BIGINT)))
+            <= greatest(2, CAST(floor(0.10 * (count(DISTINCT user_id) OVER w))
+                                AS BIGINT)))
              AS sketch_within_10pct
     FROM base
     WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
@@ -306,7 +307,11 @@ def q80_running_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rsd=0.01 (q38 convention): at the default 5% rsd the 10% bound is
     # ~2 sigma and flakes at sf0.1; at 1% it is 10 sigma — deterministic
     sketch = F.approx_count_distinct("user_id", rsd=0.01).over(w)
-    bound = F.greatest(F.lit(2).cast("long"), (0.10 * exact).cast("long"))
+    # explicit floor on BOTH sides: DuckDB CAST(double AS BIGINT)
+    # rounds, Spark's truncates (e18/q83 share the rule)
+    bound = F.greatest(
+        F.lit(2).cast("long"), F.floor(0.10 * exact).cast("long")
+    )
     return ev.select(
         "event_id",
         "event_type",
@@ -604,7 +609,7 @@ _Q83 = """
     SELECT event_type, strftime(h, '%Y-%m-%d %H:00') AS hour,
            max(cum_exact) AS users_exact,
            (abs(max(cum_est) - max(cum_exact))
-            <= greatest(2, CAST(0.05 * max(cum_exact) AS BIGINT)))
+            <= greatest(2, CAST(floor(0.05 * max(cum_exact)) AS BIGINT)))
              AS sketch_within_5pct
     FROM cum
     GROUP BY event_type, h
@@ -650,7 +655,8 @@ def q83_reach_curve_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.max("cum").alias("users_exact"))
     )
     bound = F.greatest(
-        F.lit(2).cast("long"), (0.05 * F.col("users_exact")).cast("long")
+        F.lit(2).cast("long"),
+        F.floor(0.05 * F.col("users_exact")).cast("long"),
     )
     return (
         exact.join(est, ["event_type", "h"])

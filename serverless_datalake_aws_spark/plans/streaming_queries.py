@@ -43,6 +43,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     type — a hardcoded int64 schema silently mis-scales µs data by
     1000×.
     """
+    # full catalog.table conf block, INCLUDING the UTC pin: the external
+    # driver runs a plain session, and an _events_stream entry executing
+    # before any catalog.table call would otherwise image its window/\
+    # session timestamps in the JVM zone while the oracle is naive-UTC
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -115,7 +120,12 @@ def st03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "2 hours")
-        .dropDuplicatesWithinWatermark(["event_id"])
+        # dedup WITHIN type, matching the oracle's per-type DISTINCT:
+        # a bare ["event_id"] dedup keeps one arbitrary winner
+        # corpus-wide, so an id shared across types would credit a
+        # nondeterministic type (vacuous on unique-id fixtures, wrong
+        # the moment real duplicates appear)
+        .dropDuplicatesWithinWatermark(["event_type", "event_id"])
         .groupBy("event_type")
         .agg(F.count("*").alias("n_unique"))
         .writeStream.outputMode("complete")
@@ -128,17 +138,31 @@ def st03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _round4(x: float) -> float:
+    """4dp HALF-AWAY-FROM-ZERO round on the exact binary value — what
+    Spark's F.round and DuckDB's round() both compute. Python's builtin
+    round() is banker's (half-EVEN), so rounding per-engine inside a
+    stateful UDF with it is the recorded 'never re-round floats built
+    per-engine' parity trap (0.15625 -> 0.1562 vs 0.1563)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(x).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+    )
+
+
 def _user_stats_fn(key, pdfs, state):
     """Custom stateful operator body: accumulate (count, total) per
     user across micro-batches in GroupState, emit the running totals
-    each batch."""
+    each batch. State and emission stay UNROUNDED (a per-batch re-round
+    would compound); the query rounds once, JVM-side, at the end."""
     n, total = state.get if state.exists else (0, 0.0)
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
-    state.update((n, round(total, 4)))
+    state.update((n, total))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
     )
 
 
@@ -179,7 +203,11 @@ def st04_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _drain(q, 300)
-    return spark.table(name)
+    # one JVM-side round (HALF_UP, matching the oracle) — never inside
+    # the Python state fn, whose builtin round() is half-even
+    return spark.table(name).select(
+        "user_id", "n_events", F.round("total_value", 4).alias("total_value")
+    )
 
 
 @query(
@@ -693,7 +721,11 @@ def st11_stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN value = 0 THEN CAST(0 AS BIGINT)
                     ELSE CAST(ceil(round(ln(abs(value)) / ln(1.02), 9)) AS BIGINT)
                END AS bin
-        FROM events),
+        FROM events
+        -- the Spark side (qh_partial) drops NULL/NaN values before
+        -- binning; an unfiltered NULL here would form a phantom group
+        -- that inflates n and shifts every ceil(q*n) rank
+        WHERE value IS NOT NULL AND NOT isnan(value)),
     sketch AS (
         SELECT event_type, sign, bin, count(*) AS cnt FROM binned GROUP BY 1, 2, 3),
     reps AS (
@@ -1051,7 +1083,12 @@ def st15_stream_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             high = ept.committed()
             old_bands = ept.read("bands", upto=high)
             old_toks = ept.read("toks", upto=high)
-            within = capped_band_self_join(bands_b, "band_key", "doc_id")
+            # cache=False: this absorb owns the ONE cache on bands_b
+            # (the helper's internal cache leaked one block-manager
+            # entry per epoch that nothing released)
+            within = capped_band_self_join(
+                bands_b, "band_key", "doc_id", cache=False
+            )
             if old_bands is not None:
                 cross = (
                     bands_b.join(
@@ -1086,11 +1123,13 @@ def st15_stream_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("_jac_raw") >= 0.6)
                 .select("doc1", "doc2", F.round("_jac_raw", 4).alias("jac"))
             )
-            ept.write(pairs, "pairs", eid)
-            ept.write(bands_b, "bands", eid)
-            ept.write(toks_b, "toks", eid)
-            ept.commit(eid)
-            bands_b.unpersist()
+            try:
+                ept.write(pairs, "pairs", eid)
+                ept.write(bands_b, "bands", eid)
+                ept.write(toks_b, "toks", eid)
+                ept.commit(eid)
+            finally:
+                bands_b.unpersist()  # even when a write/commit raises
 
         stream = (
             spark.readStream.format("parquet")
@@ -1137,13 +1176,16 @@ def _top_user_fn(key, pdfs, state):
     state.update(
         (uids, [acc[u][0] for u in uids], [acc[u][1] for u in uids])
     )
-    top = min(acc.items(), key=lambda kv: (-round(kv[1][1], 4), kv[0]))
+    # the ROUNDED total is the rank key (oracle orders by round(sum,4)),
+    # so the round must happen in-Python here — _round4's half-away,
+    # never builtin round()'s half-even
+    top = min(acc.items(), key=lambda kv: (-_round4(kv[1][1]), kv[0]))
     yield pd.DataFrame(
         {
             "event_type": [key[0]],
             "top_user": [top[0]],
             "n_events": [top[1][0]],
-            "total_value": [round(top[1][1], 4)],
+            "total_value": [_round4(top[1][1])],
         }
     )
 

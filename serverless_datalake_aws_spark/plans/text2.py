@@ -483,15 +483,23 @@ def t18_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All array-local per row — no explode, no shuffle; hashes are
     md5-affine (TX.token_hash) so DuckDB reproduces them bit-for-bit."""
-    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 8)
+    # filter on length(text) itself, not the n_chars column: the t09
+    # CASE-guard rule (Spark's sequence(1, n) counts DOWN when n < 1)
+    # must not lean on the fixture invariant n_chars == length(text) —
+    # a doc where the two drift would emit descending-sequence garbage
+    # here while DuckDB's generate_series is empty
+    docs = table(spark, sf_dir, "documents").filter(
+        (F.col("n_chars") >= 8) & (F.length("text") >= 8)
+    )
     hs = F.expr(
-        "transform(sequence(1, greatest(length(text) - 4, 0)),"
+        "transform(sequence(1, length(text) - 4),"
         " i -> cast(conv(substr(md5(substring(text, i, 5)), 1, 14), 16, 10)"
         "      as bigint) % 1000000007)"
     )
     w = docs.select("doc_id", hs.alias("hs")).select(
         "doc_id",
         F.size("hs").alias("n_grams"),
+        # length >= 8 ⇒ size(hs) >= 4 ⇒ the inner sequence ascends
         F.array_distinct(
             F.expr("transform(sequence(1, size(hs) - 3),"
                    " j -> array_min(slice(hs, j, 4)))")
