@@ -47,6 +47,18 @@ except Exception:  # pragma: no cover
     pass
 
 
+def np_round6(a):
+    """6dp HALF-AWAY-FROM-ZERO round — what Spark's F.round and
+    DuckDB's round() compute. np.round is half-EVEN (banker's), which
+    resolves an exact .5 boundary the other way and can flip an encode
+    argmin / top-k membership on one engine only. Signed form so
+    cosines (negative-capable) round identically to distances."""
+    import numpy as np
+
+    a = np.asarray(a)
+    return np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+
+
 @dataclass
 class PQCodebooks:
     """Driver-held quantizers: coarse centroids + per-subspace PQ
@@ -117,15 +129,14 @@ def ivf_pq_encode(
             if not len(pdf):
                 continue
             V = np.stack(pdf[emb_col].values).astype(np.float64)
-            cd2 = np.round(((V[:, None, :] - CC[None, :, :]) ** 2).sum(2), 6)
+            cd2 = np_round6(((V[:, None, :] - CC[None, :, :]) ** 2).sum(2))
             cid = ccids[np.argmin(cd2, axis=1)]  # ties → smallest ccid
             Vm = V.reshape(len(pdf), m, sub)
-            d2 = np.round(
+            d2 = np_round6(
                 (
                     (Vm[:, :, None, :] - Cm.transpose(1, 0, 2)[None, :, :, :])
                     ** 2
-                ).sum(axis=3),
-                6,
+                ).sum(axis=3)
             )
             codes = d2.argmin(axis=2).astype(np.int32)  # ties → smallest k
             yield pd.DataFrame(
@@ -153,10 +164,10 @@ def ivf_pq_probe(
 
     ccids, CC, Cm = cb.ccids, cb.CC, cb.Cm
     Q = np.stack([np.asarray(q[1], dtype=np.float64) for q in queries])
-    qd2c = np.round(((Q[:, None, :] - CC[None, :, :]) ** 2).sum(2), 6)
+    qd2c = np_round6(((Q[:, None, :] - CC[None, :, :]) ** 2).sum(2))
     Qm = Q.reshape(len(queries), cb.m, cb.sub)
-    dtab = np.round(
-        ((Qm[:, None, :, :] - Cm[None, :, :, :]) ** 2).sum(axis=3), 6
+    dtab = np_round6(
+        ((Qm[:, None, :, :] - Cm[None, :, :, :]) ** 2).sum(axis=3)
     )  # (NQ, K, M)
     probe_rows = []
     for qi, (qid, _) in enumerate(queries):

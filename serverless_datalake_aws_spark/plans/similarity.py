@@ -289,7 +289,10 @@ def s17_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding").collect():
         v = np.asarray(r["embedding"], dtype=np.float64)
         vn = float(np.linalg.norm(v))
-        sims_q = np.round((C @ v) / (Cn * vn), 6)
+        # half-away round (Spark/DuckDB rule), not np.round's half-even
+        from serverless_datalake_aws_spark.operators.ann import np_round6
+
+        sims_q = np_round6((C @ v) / (Cn * vn))
         order = np.lexsort((cids, -sims_q))  # sim desc, cid asc — oracle's rn
         for cid in cids[order[:2]]:
             probes.append(

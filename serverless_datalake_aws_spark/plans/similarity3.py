@@ -179,10 +179,18 @@ def s12_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"src": [], "dst": [], "label": [], "cos": []}
             ).astype({"src": "int64", "dst": "int64", "label": "int32",
                       "cos": "float64"})
-        top = np.argpartition(-S, k - 1, axis=1)[:, :k]
+        ids = pdf["vec_id"].values
+        # (cos DESC, dst ASC) preselect — NOT bare argpartition: with a
+        # block of exact-duplicate embeddings every pairwise cosine is
+        # bit-identical and an unordered partition keeps an arbitrary
+        # k, dropping the smallest-dst neighbors the final rounded
+        # Spark/oracle ranking would have kept
+        order = np.lexsort(
+            (np.broadcast_to(ids, S.shape), -S), axis=1
+        )
+        top = order[:, :k]
         rows = np.repeat(np.arange(n), k)
         cols = top.ravel()
-        ids = pdf["vec_id"].values
         return pd.DataFrame(
             {
                 "src": ids[rows],
@@ -344,8 +352,14 @@ def s13_kmeans_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DQ_ORACLE = """
         list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
-            x -> lo + round((x - lo) / (hi - lo) * 255) * (hi - lo) / 255)
+            x -> CASE WHEN hi = lo THEN lo
+                 ELSE lo + round((x - lo) / (hi - lo) * 255)
+                      * (hi - lo) / 255 END)
 """
+# hi = lo guard on BOTH sides (the s24 convention): a constant vector
+# divides 0/0, which Spark's non-ANSI division answers NULL and
+# DuckDB answers NaN — the two sort differently under DESC and poison
+# every cosine the vector touches
 
 
 @query(
@@ -407,8 +421,9 @@ def s14_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("embedding").cast("double").alias("hi"),
     )
     dq = F.expr(
-        "transform(e, x -> lo + round((x - lo) / (hi - lo) * 255)"
-        " * (hi - lo) / 255)"
+        "transform(e, x -> CASE WHEN hi = lo THEN lo"
+        " ELSE lo + round((x - lo) / (hi - lo) * 255)"
+        " * (hi - lo) / 255 END)"
     )
     v = base.select(
         "vec_id",

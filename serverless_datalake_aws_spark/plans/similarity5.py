@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from serverless_datalake_aws_spark.catalog import table
+from serverless_datalake_aws_spark.operators.ann import np_round6
 from serverless_datalake_aws_spark.plans import query
 
 try:  # UDF closures must survive worker-side import (cwd ≠ repo root)
@@ -124,8 +125,8 @@ def _pq_scored(
     # may yield fewer than _PQ_K stride hits — SQL's LIMIT caps the same way
     # query ADC tables, rounded like the encode distances: (Q, M, K)
     Qm = Q.reshape(len(qids), M, S)
-    dtab = np.round(
-        ((Qm[:, None, :, :] - Cm[None, :, :, :]) ** 2).sum(axis=3), 6
+    dtab = np_round6(
+        ((Qm[:, None, :, :] - Cm[None, :, :, :]) ** 2).sum(axis=3)
     ).transpose(0, 2, 1)
 
     def _encode_adc(it):
@@ -136,11 +137,10 @@ def _pq_scored(
             Vm = V.reshape(len(pdf), M, S)
             # (n, M, K) squared distances, rounded before argmin so
             # ties resolve to the smallest code in both engines
-            d2 = np.round(
+            d2 = np_round6(
                 ((Vm[:, :, None, :] - Cm.transpose(1, 0, 2)[None, :, :, :]) ** 2).sum(
                     axis=3
-                ),
-                6,
+                )
             )
             codes = d2.argmin(axis=2)  # (n, M); first occurrence = smallest k
             acc = np.zeros((len(pdf), len(qids)), dtype=np.float64)
@@ -151,7 +151,7 @@ def _pq_scored(
                 {
                     "neighbor_id": np.repeat(pdf["vec_id"].values, len(qids)),
                     "query_id": np.tile(qids, n),
-                    "approx_d2": np.round(acc, 6).ravel(),
+                    "approx_d2": np_round6(acc).ravel(),
                 }
             )
 
@@ -300,7 +300,11 @@ def s20_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         VX.brute_scores(emb, qrows, metric="l2")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", F.round("d2", 6).alias("d2"))
-    )
+    ).cache()
+    # cache+count: exact feeds TWO consumers (exact-top window + the
+    # rerank join) and pq_rk feeds two more — unmaterialized, the
+    # O(N*Q) BLAS pass would execute twice (the d05 trap)
+    exact.count()
     we = W.partitionBy("query_id").orderBy("d2", "neighbor_id")
     exact_top = (
         exact.withColumn("rk", F.row_number().over(we))
@@ -310,7 +314,8 @@ def s20_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     wpq = W.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
     pq_rk = _pq_scored(spark, sf_dir, qrows=qrows).withColumn(
         "rk", F.row_number().over(wpq)
-    )
+    ).cache()
+    pq_rk.count()
     pq_top = pq_rk.filter(F.col("rk") <= _PQ_TOPK).select(
         "query_id", "neighbor_id"
     )
@@ -335,11 +340,15 @@ def s20_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return (
+    out = (
         _recall(pq_top, "recall_pq")
         .join(_recall(rerank_top, "recall_rerank"), "query_id")
         .orderBy("query_id")
     )
+    rows = out.collect()  # per-query rows: tiny
+    exact.unpersist()
+    pq_rk.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 _IVFPQ_C = 8  # coarse cells (first C vectors = centroids, s05 convention)
@@ -642,7 +651,7 @@ def s22_ivfpq_residual_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     K_eff, M, S = len(pq_rows), _PQ_M, _PQ_SUB
 
     def _assign(V):  # rounded-d2 argmin over coarse cells (ties→smallest)
-        cd2 = np.round(((V[:, None, :] - CC[None, :, :]) ** 2).sum(2), 6)
+        cd2 = np_round6(((V[:, None, :] - CC[None, :, :]) ** 2).sum(2))
         return np.argmin(cd2, axis=1)
 
     # residual codebook: each stride-sampled vector's residual w.r.t.
@@ -657,12 +666,11 @@ def s22_ivfpq_residual_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             V = np.stack(pdf["embedding"].values).astype(np.float64)
             ai = _assign(V)
             R = (V - CC[ai]).reshape(len(pdf), M, S)
-            d2 = np.round(
+            d2 = np_round6(
                 (
                     (R[:, :, None, :] - CmR.transpose(1, 0, 2)[None, :, :, :])
                     ** 2
-                ).sum(axis=3),
-                6,
+                ).sum(axis=3)
             )
             yield pd.DataFrame(
                 {
@@ -679,14 +687,14 @@ def s22_ivfpq_residual_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-(query, probed cell) ADC tables over the QUERY's residual
     # w.r.t. that cell
     Q = np.stack([np.asarray(q[1], dtype=np.float64) for q in qrows])
-    qd2c = np.round(((Q[:, None, :] - CC[None, :, :]) ** 2).sum(2), 6)
+    qd2c = np_round6(((Q[:, None, :] - CC[None, :, :]) ** 2).sum(2))
     probe_rows = []
     for qi, (qid, _) in enumerate(qrows):
         order = sorted(range(len(ccids)), key=lambda j: (qd2c[qi, j], ccids[j]))
         for j in order[:_IVFPQ_NPROBE]:
             qr = (Q[qi] - CC[j]).reshape(M, S)
-            dtab = np.round(
-                ((qr[None, :, :] - CmR) ** 2).sum(axis=2), 6
+            dtab = np_round6(
+                ((qr[None, :, :] - CmR) ** 2).sum(axis=2)
             )  # (K, M)
             probe_rows.append(
                 (int(qid), int(ccids[j]), dtab.T.ravel().tolist())
@@ -823,7 +831,6 @@ def s23_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rerank tail — shortlist by ADC order, exact-L2 re-sort,
     recall vs exact top-k; bit-identical through the 6-dp rounding
     convention."""
-    from pyspark.sql import Window as W
 
     from serverless_datalake_aws_spark.functions import vector as VX
     from serverless_datalake_aws_spark.operators.ann import (
@@ -852,7 +859,8 @@ def s23_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         VX.brute_scores(emb, qrows, metric="l2")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", F.round("d2", 6).alias("exact_d2"))
-    )
+    ).cache()  # feeds the rerank join AND the exact-top window
+    exact.count()
     rerank = shortlist.join(exact, ["query_id", "neighbor_id"])
     wr = W.partitionBy("query_id").orderBy("exact_d2", "neighbor_id")
     topr = (
@@ -875,8 +883,11 @@ def s23_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k")
         )
     )
-    return (
+    out = (
         topr.join(recall, "query_id")
         .select("query_id", "neighbor_id", "exact_d2", "rk", "recall_at_k")
         .orderBy("query_id", "rk")
     )
+    rows = out.collect()  # topk*NQ rows: tiny
+    exact.unpersist()
+    return spark.createDataFrame(rows, out.schema)

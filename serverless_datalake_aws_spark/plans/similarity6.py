@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from serverless_datalake_aws_spark.catalog import table
+from serverless_datalake_aws_spark.functions import vector as VX
 from serverless_datalake_aws_spark.plans import query
 
 try:  # UDF closures must survive worker-side import (cwd ≠ repo root)
@@ -74,10 +75,6 @@ _SQ_ORACLE = f"""
 """
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda u, v: u * v), F.lit(0.0), lambda acc, x: acc + x
-    )
 
 
 @query("s24_sq8_ann_rerank", oracle=_SQ_ORACLE)
@@ -149,9 +146,9 @@ def s24_sq8_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                _dot(F.col("qv"), F.col("qv"))
-                - 2 * _dot(F.col("qv"), F.col("xhat"))
-                + _dot(F.col("xhat"), F.col("xhat")),
+                VX.dot(F.col("qv"), F.col("qv"))
+                - 2 * VX.dot(F.col("qv"), F.col("xhat"))
+                + VX.dot(F.col("xhat"), F.col("xhat")),
                 6,
             ).alias("approx_d2"),
         )
@@ -168,9 +165,9 @@ def s24_sq8_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             "approx_d2",
             F.round(
-                _dot(F.col("qv"), F.col("qv"))
-                - 2 * _dot(F.col("qv"), F.col("v"))
-                + _dot(F.col("v"), F.col("v")),
+                VX.dot(F.col("qv"), F.col("qv"))
+                - 2 * VX.dot(F.col("qv"), F.col("v"))
+                + VX.dot(F.col("v"), F.col("v")),
                 6,
             ).alias("exact_d2"),
         )
