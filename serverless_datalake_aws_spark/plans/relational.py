@@ -38,9 +38,17 @@ def _r4(col):
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 4)                                        AS sum_qty,
-           round(sum(l_extendedprice), 4)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+           -- scaled-integer sums: these reach multi-1e9 by sf0.1, where a
+           -- double sum's 4th decimal flips with accumulation order
+           -- (parity-trap "big double sums"); round-to-integer of the
+           -- SAME double product is order-free and engine-identical
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100                                                        AS sum_base_price,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS DOUBLE) / 10000                     AS sum_disc_price,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                               * (1 + l_tax) * 1000000)
+                         AS BIGINT)) AS DOUBLE) / 1000000                   AS sum_charge,
            round(avg(l_quantity), 4)                                        AS avg_qty,
            round(avg(l_extendedprice), 4)                                   AS avg_price,
            round(avg(l_discount), 4)                                        AS avg_disc,
@@ -65,9 +73,27 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _r4(F.sum("l_quantity")).alias("sum_qty"),
-            _r4(F.sum("l_extendedprice")).alias("sum_base_price"),
-            _r4(F.sum(disc_price)).alias("sum_disc_price"),
-            _r4(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            # scaled-integer sums (see oracle note): exact BIGINT
+            # accumulation, one deterministic int->double cast at the end
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+                .cast("double")
+                / 100
+            ).alias("sum_base_price"),
+            (
+                F.sum(F.round(disc_price * 10000, 0).cast("long"))
+                .cast("double")
+                / 10000
+            ).alias("sum_disc_price"),
+            (
+                F.sum(
+                    F.round(
+                        disc_price * (1 + F.col("l_tax")) * 1000000, 0
+                    ).cast("long")
+                )
+                .cast("double")
+                / 1000000
+            ).alias("sum_charge"),
             _r4(F.avg("l_quantity")).alias("avg_qty"),
             _r4(F.avg("l_extendedprice")).alias("avg_price"),
             _r4(F.avg("l_discount")).alias("avg_disc"),
@@ -131,7 +157,10 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # no broadcast hint: customer scales with the fact side (150k
+        # rows x SF) — at the 100 TB target the hint would exceed the
+        # broadcast limit; small SFs auto-broadcast under AQE anyway
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -356,7 +385,10 @@ def q12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = orders.filter(F.col("o_totalprice") > 400000).select(
         F.col("o_custkey").alias("c_custkey")
     )
-    return a.intersect(b).union(c).distinct().exceptAll(d.distinct())
+    # plain set EXCEPT: the left side is already distinct, so
+    # .subtract(d) ≡ the old .exceptAll(d.distinct()) minus d's
+    # redundant extra hash-aggregate
+    return a.intersect(b).union(c).distinct().subtract(d)
 
 
 @query(
@@ -467,7 +499,11 @@ def q17_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("p_name").alias("name_lower"),
         F.upper("p_brand").alias("brand_upper"),
         F.substring("p_type", 1, 5).alias("type_prefix"),
-        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        # F.concat (NULL-propagating) matches SQL concat; concat_ws
+        # silently SKIPS a NULL operand and would emit ':TYPE'
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias(
+            "brand_type"
+        ),
         F.regexp_replace("p_name", " ", "_").alias("name_underscored"),
         F.length("p_name").alias("name_len"),
         F.round(F.col("p_retailprice") * 1.1, 2).alias("price_with_tax"),

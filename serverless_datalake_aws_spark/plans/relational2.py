@@ -20,7 +20,10 @@ from serverless_datalake_aws_spark.plans import query
     oracle="""
     SELECT l_returnflag,
            round(stddev_samp(l_extendedprice), 4) AS std_price,
-           round(var_samp(l_extendedprice), 2) AS var_price,
+           -- variance ~9e8: scale to millions before rounding — a 2dp
+           -- round demanded ~1e-11 relative agreement between two
+           -- differently-ordered M2 accumulations
+           round(var_samp(l_extendedprice) / 1e6, 4) AS var_price_mm,
            round(min(l_extendedprice), 4) AS min_price,
            round(max(l_extendedprice), 4) AS max_price,
            round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
@@ -34,7 +37,7 @@ def q22_stat_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
-        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.var_samp("l_extendedprice") / 1e6, 4).alias("var_price_mm"),
         F.round(F.min("l_extendedprice"), 4).alias("min_price"),
         F.round(F.max("l_extendedprice"), 4).alias("max_price"),
         F.round(F.percentile("l_extendedprice", 0.5), 4).alias("median_price"),
@@ -132,7 +135,11 @@ def q25_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q26_union_all_stats",
     oracle="""
-    SELECT side, count(*) AS n, round(sum(amount), 4) AS total
+    -- integer cents: sum(amount) reaches ~3e10 by sf0.1 where a double
+    -- sum's 4th decimal flips with accumulation order (parity-trap)
+    SELECT side, count(*) AS n,
+           CAST(sum(CAST(round(amount * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS total
     FROM (
         SELECT 'order' AS side, o_totalprice AS amount FROM orders
         UNION ALL
@@ -152,7 +159,14 @@ def q26_union_all_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.unionAll(lines)
         .groupBy("side")
-        .agg(F.count("*").alias("n"), F.round(F.sum("amount"), 4).alias("total"))
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.round(F.col("amount") * 100, 0).cast("long"))
+                .cast("double")
+                / 100
+            ).alias("total"),
+        )
     )
 
 
@@ -230,5 +244,16 @@ def q28_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prev_view_ts", F.last("view_ts", ignorenulls=True).over(w)
         )
         .filter(F.col("is_purchase") == 1)
-        .select("event_id", "user_id", "ts", "prev_view_ts")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            # ASOF's user equality never matches NULL; the window's
+            # NULL partition would have paired NULL-user rows
+            F.when(
+                F.col("user_id").isNull(), F.lit(None).cast("timestamp")
+            )
+            .otherwise(F.col("prev_view_ts"))
+            .alias("prev_view_ts"),
+        )
     )

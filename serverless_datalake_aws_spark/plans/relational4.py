@@ -46,7 +46,8 @@ def q34_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales with SF: shuffle-join it (see q03 note)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
             F.broadcast(supp),
             (li.l_suppkey == supp.s_suppkey)
@@ -91,7 +92,8 @@ def q35_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales with SF: shuffle-join it (see q03 note)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(rev.alias("_rev"))
