@@ -15,12 +15,23 @@ near-dups, and the exact-Jaccard verify runs on candidates only.
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from serverless_datalake_aws_spark.catalog import table
 from serverless_datalake_aws_spark.functions import text as TX
 from serverless_datalake_aws_spark.plans import query
+
+try:  # UDF closures must survive worker-side import (cwd ≠ repo root):
+    # the shared shingle_pair_scores rides into applyInPandas closures
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
+
 
 _MINHASH_ORACLE = f"""
     WITH d AS (
@@ -122,6 +133,54 @@ def d02_fingerprint_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shingle_pair_scores(pdf, denom: str, out_col: str):
+    """Within-block all-pairs 3-gram-shingle similarity via ONE 0/1
+    incidence-matrix matmul — the shared machinery behind d03 (Jaccard:
+    intersection/union) and d09 (containment: intersection/min). One
+    body: the vocab-chunked slab bound, the zero-denominator guard, and
+    the 0.2 threshold stay in lockstep for both queries (each has a
+    DuckDB oracle replaying exactly this arithmetic).
+
+    `denom`: "union" or "min". Returns (doc1, doc2, <out_col>) with
+    doc1 < doc2 in block doc_id order."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    sets = []
+    vocab: dict[str, int] = {}
+    for t in pdf["text"]:
+        toks = t.split(" ")
+        s = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        sets.append(np.array(
+            [vocab.setdefault(g, len(vocab)) for g in s], dtype=np.int64
+        ))
+    n, v = len(sets), len(vocab)
+    # vocab-chunked accumulation: the full n x v incidence is ~n*v*4
+    # bytes (1.5 GB at the 10x block size) — chunking bounds the
+    # transient to n*32k*4 while the matmul result is identical
+    inter = np.zeros((n, n), dtype=np.float64)
+    chunk = 32768
+    for lo in range(0, v, chunk):
+        A = np.zeros((n, min(chunk, v - lo)), dtype=np.float32)
+        for r, idx in enumerate(sets):
+            sel = idx[(idx >= lo) & (idx < lo + chunk)] - lo
+            A[r, sel] = 1.0
+        inter += A @ A.T
+    sizes = np.array([len(s) for s in sets], dtype=np.int64)
+    if denom == "union":
+        den = sizes[:, None] + sizes[None, :] - inter
+    else:  # "min" — containment
+        den = np.minimum(sizes[:, None], sizes[None, :]).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        score = np.where(den > 0, inter / den, 0.0)
+    i, j = np.nonzero(np.triu(score >= 0.2, 1))
+    ids = pdf["doc_id"].values
+    return pd.DataFrame(
+        {"doc1": ids[i], "doc2": ids[j], out_col: score[i, j]}
+    )
+
+
 @query(
     "d03_ngram_jaccard_pairs",
     oracle="""
@@ -139,7 +198,11 @@ def d02_fingerprint_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (len(d1.sh) + len(d2.sh) - len(list_intersect(d1.sh, d2.sh))), 4)
                AS jac
     FROM d d1 JOIN d d2 ON d1.source = d2.source AND d1.doc_id < d2.doc_id
-    WHERE len(list_intersect(d1.sh, d2.sh))::DOUBLE
+    -- empty-union guard mirrors the UDF's union > 0: duckdb's 0/0 is
+    -- version-dependent (NULL on 1.0, NaN under ieee ops — and
+    -- NaN >= 0.2 is TRUE), so never let the division see a 0
+    WHERE (len(d1.sh) + len(d2.sh) - len(list_intersect(d1.sh, d2.sh))) > 0
+      AND len(list_intersect(d1.sh, d2.sh))::DOUBLE
           / (len(d1.sh) + len(d2.sh) - len(list_intersect(d1.sh, d2.sh))) >= 0.2
     """,
 )
@@ -156,42 +219,8 @@ def d03_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection and union are integers, so jac is the same float64
     rational in both engines. Intersection counts stay exact in
     float32 up to 2^24 shingles per doc."""
-    import numpy as np
-    import pandas as pd
-
-    def _jaccard_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        sets = []
-        vocab: dict[str, int] = {}
-        for t in pdf["text"]:
-            toks = t.split(" ")
-            s = {
-                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
-            }
-            sets.append(np.array(
-                [vocab.setdefault(g, len(vocab)) for g in s], dtype=np.int64
-            ))
-        n, v = len(sets), len(vocab)
-        # vocab-chunked accumulation: the full n x v incidence is
-        # ~n*v*4 bytes (1.5 GB at the 10x block size) — chunking bounds
-        # the transient to n*32k*4 while the matmul result is identical
-        inter = np.zeros((n, n), dtype=np.float64)
-        chunk = 32768
-        for lo in range(0, v, chunk):
-            A = np.zeros((n, min(chunk, v - lo)), dtype=np.float32)
-            for r, idx in enumerate(sets):
-                sel = idx[(idx >= lo) & (idx < lo + chunk)] - lo
-                A[r, sel] = 1.0
-            inter += A @ A.T
-        sizes = np.array([len(s) for s in sets], dtype=np.int64)
-        union = sizes[:, None] + sizes[None, :] - inter
-        with np.errstate(divide="ignore", invalid="ignore"):
-            jac = np.where(union > 0, inter / union, 0.0)
-        i, j = np.nonzero(np.triu(jac >= 0.2, 1))
-        ids = pdf["doc_id"].values
-        return pd.DataFrame(
-            {"doc1": ids[i], "doc2": ids[j], "jac_raw": jac[i, j]}
-        )
+    def _jaccard_pairs(pdf):
+        return shingle_pair_scores(pdf, denom="union", out_col="jac_raw")
 
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"

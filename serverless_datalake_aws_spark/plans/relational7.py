@@ -6,12 +6,22 @@ cut points + range join" scale path documented for t12 in SCALE.md.
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from serverless_datalake_aws_spark.catalog import register_views, table
-from serverless_datalake_aws_spark.functions import text as TX
 from serverless_datalake_aws_spark.plans import query
+
+try:  # UDF closures must survive worker-side import (cwd ≠ repo root):
+    # the shared shingle_pair_scores rides into applyInPandas closures
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
+
 
 
 @query(
@@ -93,7 +103,7 @@ def e08_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized variant is a windowed collect_list + one weighted
     fold — array-local math after a single per-key window, so it
     scales like any partitioned window. Truncation error is (1-α)^20
-    ≈ 0.08%% of the weight mass."""
+    ≈ 0.08% of the weight mass."""
     ev = table(spark, sf_dir, "events")
     from pyspark.sql.window import Window as W
 
@@ -135,7 +145,11 @@ def e08_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             / least(len(d1.sh), len(d2.sh)), 4) AS containment
     FROM d d1 JOIN d d2
       ON d1.source = d2.source AND d1.doc_id < d2.doc_id
-    WHERE CAST(len(list_intersect(d1.sh, d2.sh)) AS DOUBLE)
+    -- zero-shingle guard mirrors the UDF's mn > 0: duckdb's 0/0 is
+    -- version-dependent (NULL on 1.0, NaN under ieee ops — and
+    -- NaN >= 0.2 is TRUE), so never let the division see a 0
+    WHERE least(len(d1.sh), len(d2.sh)) > 0
+      AND CAST(len(list_intersect(d1.sh, d2.sh)) AS DOUBLE)
           / least(len(d1.sh), len(d2.sh)) >= 0.2
     """,
 )
@@ -149,39 +163,12 @@ def d09_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     min keeps the ratio the same float64 in both engines — membership
     decided in the UDF with no epsilon. The sketch path at scale is
     the same MinHash bands (containment ≈ jaccard·(|A|+|B|)/2min)."""
-    import numpy as np
-    import pandas as pd
+    from serverless_datalake_aws_spark.plans.dedup import (
+        shingle_pair_scores,
+    )
 
-    def _containment_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        sets = []
-        vocab: dict[str, int] = {}
-        for t in pdf["text"]:
-            toks = t.split(" ")
-            s = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
-            sets.append(np.array(
-                [vocab.setdefault(g, len(vocab)) for g in s], dtype=np.int64
-            ))
-        n, v = len(sets), len(vocab)
-        # vocab-chunked accumulation (see d03): bounds the transient
-        # incidence slab to n x 32k regardless of block vocabulary
-        inter = np.zeros((n, n), dtype=np.float64)
-        chunk = 32768
-        for lo in range(0, v, chunk):
-            A = np.zeros((n, min(chunk, v - lo)), dtype=np.float32)
-            for r, idx in enumerate(sets):
-                sel = idx[(idx >= lo) & (idx < lo + chunk)] - lo
-                A[r, sel] = 1.0
-            inter += A @ A.T
-        sizes = np.array([len(s) for s in sets], dtype=np.int64)
-        mn = np.minimum(sizes[:, None], sizes[None, :])
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cont = np.where(mn > 0, inter / mn, 0.0)
-        i, j = np.nonzero(np.triu(cont >= 0.2, 1))
-        ids = pdf["doc_id"].values
-        return pd.DataFrame(
-            {"doc1": ids[i], "doc2": ids[j], "cont_raw": cont[i, j]}
-        )
+    def _containment_pairs(pdf):
+        return shingle_pair_scores(pdf, denom="min", out_col="cont_raw")
 
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"

@@ -171,16 +171,20 @@ def q55_regexp_token_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q56_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LATERAL VIEW posexplode (Presto UNNEST WITH ORDINALITY): the
     first five whitespace tokens of every document with their 1-based
-    positions, keeping only tokens longer than 3 chars. The position
-    filter applies before the length filter generates rows, so the
-    explode emits ≤5 rows/doc regardless of document length."""
+    positions, keeping only tokens longer than 3 chars. The array is
+    SLICED to 5 elements before the explode — Catalyst cannot push a
+    filter on a generator's ordinal below the Generate, so a
+    post-explode pos filter would still materialize one row per token
+    per document; the slice makes ≤5 rows/doc true in the plan."""
     docs = table(spark, sf_dir, "documents")
     return (
         docs.select(
             "doc_id",
-            F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok"),
+            F.posexplode(
+                F.slice(F.split(F.col("text"), " "), 1, 5)
+            ).alias("pos0", "tok"),
         )
         .withColumn("pos", (F.col("pos0") + 1).cast("long"))
-        .filter((F.col("pos") <= 5) & (F.length("tok") > 3))
+        .filter(F.length("tok") > 3)
         .select("doc_id", "pos", "tok")
     )

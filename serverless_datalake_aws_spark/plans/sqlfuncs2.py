@@ -79,11 +79,16 @@ def q58_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _ser(mcol):
+        # sort the STRUCT entries (orders by the key field alone,
+        # matching the oracle's ORDER BY event_type) BEFORE serializing:
+        # sorting the 'k:v' strings would order 'view2:7' before
+        # 'view:9' the moment one key is a prefix of another followed
+        # by a character below ':'
         entries = F.transform(
-            F.map_entries(mcol),
+            F.array_sort(F.map_entries(mcol)),
             lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
         )
-        return F.array_join(F.array_sort(entries), ";")
+        return F.array_join(entries, ";")
 
     hot = F.map_filter(F.col("m"), lambda k, v: v >= 12)
     return m.select(

@@ -16,11 +16,21 @@ boundaries + a range join, same shape as q38's sketch contract).
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from serverless_datalake_aws_spark.catalog import register_views, table
 from serverless_datalake_aws_spark.plans import query
+
+try:  # UDF closures must survive worker-side import (cwd ≠ repo root)
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
+
 
 
 @query(

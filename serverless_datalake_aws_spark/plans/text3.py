@@ -10,12 +10,22 @@ shuffle beyond the profile aggregation.
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from serverless_datalake_aws_spark.catalog import table
 from serverless_datalake_aws_spark.plans import query
+
+try:  # UDF closures must survive worker-side import (cwd ≠ repo root)
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
+
 
 _TOPK = 20
 _CHUNK = 200
