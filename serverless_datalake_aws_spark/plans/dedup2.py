@@ -357,7 +357,11 @@ def d11_simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((n_chars - avg(n_chars) OVER (PARTITION BY lang))
                  / stddev_samp(n_chars) OVER (PARTITION BY lang), 4) AS zscore
     FROM documents
-    QUALIFY abs((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+    -- stddev > 0 guard: an all-equal group divides 0/0, which is NULL
+    -- on duckdb 1.0 but NaN under IEEE ops — and abs(NaN) > 1.5 is
+    -- TRUE, while the pandas side's NaN > 1.5 is False
+    QUALIFY stddev_samp(n_chars) OVER (PARTITION BY lang) > 0
+        AND abs((n_chars - avg(n_chars) OVER (PARTITION BY lang))
                 / stddev_samp(n_chars) OVER (PARTITION BY lang)) > 1.5
     """,
 )
@@ -406,11 +410,16 @@ _D10_ORACLE = f"""
                        % {TX.MINHASH_P}))) AS sg
         FROM h
     ), bands AS (
+        -- len(toks) > 0 guard: DuckDB's concat SKIPS NULL minima, so an
+        -- empty-shingle doc would get the same 'b-' key in every band
+        -- (all-pairs candidate) while Spark's null-propagating F.concat
+        -- gives it no key at all
         SELECT doc_id, b,
                concat(CAST(b AS VARCHAR), '-',
                       array_to_string(list_slice(sg, b * 4 + 1, b * 4 + 4), '-'))
                    AS band_key
-        FROM sig, generate_series(0, {TX.MINHASH_BANDS - 1}) AS gs(b)
+        FROM (SELECT * FROM sig WHERE len(toks) > 0),
+             generate_series(0, {TX.MINHASH_BANDS - 1}) AS gs(b)
     ), cand AS (
         SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
         FROM bands b1 JOIN bands b2
@@ -462,9 +471,13 @@ def d10_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     d.count()  # materialize: bands + two signature legs read it
+    # band keys from the CACHED sg array: element access on the
+    # InMemoryRelation is a read — rebuilding minhash_mins(hs) here
+    # would re-run all 32 permutation passes per banding row
+    sg_mins = [F.col("sg")[i] for i in range(TX.MINHASH_K)]
     bands = d.select(
         "doc_id",
-        F.explode(TX.lsh_band_keys(TX.minhash_mins(F.col("hs")))).alias("band_key"),
+        F.explode(TX.lsh_band_keys(sg_mins)).alias("band_key"),
     )
     b1, b2 = bands.alias("b1"), bands.alias("b2")
     cand = (
@@ -484,8 +497,7 @@ def d10_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("size(filter(zip_with(sg1, sg2, (x, y) -> x = y), b -> b))")
         / float(TX.MINHASH_K)
     )
-    inter = F.size(F.array_intersect("t1", "t2")).cast("double")
-    jac = inter / (F.size("t1") + F.size("t2") - inter)
+    jac = TX.jaccard(F.col("t1"), F.col("t2"))
     return (
         cand.join(s1, "doc1")
         .join(s2, "doc2")
@@ -597,10 +609,9 @@ def d13_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits its bucket ±1, the other its bucket). Candidates are an
     equi-join on the bucket key; the exact distance verifies only
     candidates. levenshtein is JVM-codegen, not a UDF."""
-    from serverless_datalake_aws_spark.catalog import table as _table
 
     names = (
-        _table(spark, sf_dir, "part")
+        table(spark, sf_dir, "part")
         .select("p_name")
         .distinct()
         .withColumn("bk", F.floor(F.length("p_name") / 4))
@@ -820,9 +831,14 @@ def d15_source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT cluster_id,
            count(*) AS cluster_size,
-           arg_max(node, n_chars * 10000000 - node) AS canonical_doc_id,
+           -- longest text, ties to smallest doc_id — as max-window +
+           -- filtered min, NOT arithmetic packing (n_chars*1e7 - node
+           -- collides once doc_ids pass 1e7, making arg_max/max_by
+           -- tie-break arbitrarily and diverge across engines)
+           min(node) FILTER (WHERE n_chars = mx) AS canonical_doc_id,
            count(*) - 1 AS n_dropped
-    FROM scored
+    FROM (SELECT *, max(n_chars) OVER (PARTITION BY cluster_id) AS mx
+          FROM scored)
     GROUP BY cluster_id
     ORDER BY cluster_id
     """,
@@ -845,14 +861,20 @@ def d16_cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = labels.join(
         docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
     )
-    # canonical = max n_chars, ties to smallest doc_id: min_by on the
-    # composite (-n_chars, node) expressed as max_by(node, struct)
+    # canonical = max n_chars, ties to smallest doc_id — window-max +
+    # filtered min, never arithmetic packing (n_chars*1e7 - node
+    # collides once doc_ids pass 1e7 and the tie-break goes arbitrary)
+    from pyspark.sql.window import Window as W
+
+    scored = scored.withColumn(
+        "mx", F.max("n_chars").over(W.partitionBy("label"))
+    )
     return (
         scored.groupBy(F.col("label").alias("cluster_id"))
         .agg(
             F.count("*").alias("cluster_size"),
-            F.max_by(
-                "node", F.col("n_chars") * 10000000 - F.col("node")
+            F.min(
+                F.when(F.col("n_chars") == F.col("mx"), F.col("node"))
             ).alias("canonical_doc_id"),
             (F.count("*") - 1).alias("n_dropped"),
         )
@@ -932,6 +954,8 @@ def d17_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split",
         F.when(h < 80, "train").when(h < 90, "val").otherwise("test"),
     ).cache()
+    assigned.count()  # materialize: the leak join's two legs + the
+    # split rollup would otherwise race-fill the cache (the d05 2x)
     leak = (
         edges.join(
             assigned.select(F.col("doc_id").alias("a"), F.col("split").alias("sa")),
@@ -1101,11 +1125,16 @@ def d19_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
             "doc_id",
             F.split("text", " ").alias("w"),
         )
+        # short-doc guard: a <=7-token doc makes sequence(1, 0) DESCEND
+        # in Spark and slice(w, 0, 8) ABORT the job
+        # (INVALID_PARAMETER_VALUE.START); the oracle's generate_series
+        # is simply empty there
+        .filter(F.size("w") >= 8)
         .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, greatest(size(w) - 7, 0)), "
+                    "transform(sequence(1, size(w) - 7), "
                     "i -> md5(array_join(slice(w, i, 8), ' ')))"
                 )
             ).alias("g"),
