@@ -29,7 +29,10 @@ from serverless_datalake_aws_spark.plans import query
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+           -- exact decimal image: the day-per-type float sum is
+           -- order-dependent at the 4dp rounding scale (e10 discipline)
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+               AS sum_value
     FROM events
     WHERE ts >= (SELECT MIN(ts) + INTERVAL 1 DAY FROM events)
       AND ts <  (SELECT MIN(ts) + INTERVAL 2 DAY FROM events)
@@ -79,7 +82,11 @@ def m07_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type")
             .agg(
                 F.count("*").alias("n_events"),
-                F.round(F.sum("value"), 4).alias("sum_value"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,6)")), 4
+                )
+                .cast("double")
+                .alias("sum_value"),
             )
             .orderBy("event_type")
         )
@@ -178,7 +185,6 @@ def m10_hidden_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     3/days × 1/8 of the table's directories; predicate injection is
     plan-time metadata work. Pruning effectiveness is plan-gated in
     tests/test_partitioning.py (this entry's contract is equality)."""
-    import datetime as dt
 
     from serverless_datalake_aws_spark.operators.partitioning import (
         PartitionField,
@@ -290,8 +296,12 @@ def m11_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="m11_")
     try:
         root = f"{work}/orders_v"
-        assert write_versioned(v1, root) == 1
-        assert write_versioned(v2, root) == 2
+        # unconditional writes with explicit checks: an assert's side
+        # effect vanishes under python -O, leaving no versions at all
+        for expect, df in ((1, v1), (2, v2)):
+            got = write_versioned(df, root)
+            if got != expect:
+                raise RuntimeError(f"versioned publish returned {got}")
         out = diff_versions(spark, root, old=1, new=2, key="id").orderBy("id")
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)

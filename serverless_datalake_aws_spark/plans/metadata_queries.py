@@ -69,9 +69,14 @@ def m03_existence_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataType, index-data-lambda.py:326-335,386) — the per-type dict loop
     collapses to one hash aggregation."""
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users")
+    # split the DISTINCT into its own leg: mixing count(*) with
+    # count(DISTINCT) in one agg() plans an Expand that doubles every
+    # scanned row (the q38/m05 rule, SCALE.md plan-pathology log)
+    base = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    dst = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
     )
+    return base.join(dst, "event_type")
 
 
 @query(

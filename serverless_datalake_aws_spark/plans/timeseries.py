@@ -19,7 +19,12 @@ from serverless_datalake_aws_spark.plans import query
     "e07_linear_interpolation",
     oracle="""
     WITH hourly AS (
-      SELECT user_id, date_trunc('hour', ts) AS h, avg(value) AS v
+      -- exact-decimal sum / count instead of avg(double): the
+      -- interpolation hits .xxx5 midpoints systematically and a 1-ulp
+      -- accumulation-order difference in v would flip the 3dp round
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(value) AS v
       FROM events WHERE user_id < 5 GROUP BY 1, 2
     ),
     bounds AS (
@@ -76,7 +81,12 @@ def e07_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         ev.filter(F.col("user_id") < 5)
         .groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
-        .agg(F.avg("value").alias("v"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("value")
+            ).alias("v")
+        )
     )
     grid = (
         hourly.groupBy("user_id")
@@ -243,9 +253,7 @@ def s07_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb")
     )
-    cos = VX.dot(F.col("q_emb"), F.col("embedding")) / (
-        VX.norm(F.col("q_emb")) * VX.norm(F.col("embedding"))
-    )
+    cos = VX.cosine(F.col("q_emb"), F.col("embedding"))
     return (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))
@@ -317,7 +325,10 @@ def e09_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
            arg_max(value, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
                    || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
            count(*) AS n,
-           round(sum(value), 4) AS volume
+           -- exact decimal image for the order-dependent float sum
+           -- (the e10 discipline)
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+               AS volume
     FROM events
     GROUP BY 1, 2
     """,
@@ -350,7 +361,9 @@ def e11_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low"),
         F.max_by("value", tie).alias("close"),
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 4).alias("volume"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("volume"),
     )
 
 
