@@ -226,8 +226,10 @@ class DataLakeEngine:
         return f"{self.root}/_changelog"
 
     # -- ingest (reference entry point 1, SURVEY §3.1) ----------------------
-    def ingest(self, record: dict[str, Any] | None = None, **meta: Any) -> str:
-        """Ingest one JSON record; returns its id. Sugar over
+    def ingest(self, record: dict[str, Any] | None = None, **meta: Any) -> str | None:
+        """Ingest one JSON record; returns its id, or None when
+        validation quarantined it (the batch API signals this by
+        omission; indexing ids[0] crashed with IndexError). Sugar over
         `ingest_batch` — see module docstring on small files.
 
         With no record (the reference's empty-body demo path,
@@ -236,7 +238,7 @@ class DataLakeEngine:
         if record is None:
             record = generate_sample_data(meta.get("data_type", "unknown"))
         ids = self.ingest_batch([record], **meta)
-        return ids[0]
+        return ids[0] if ids else None
 
     def ingest_batch(
         self,
@@ -486,7 +488,13 @@ class DataLakeEngine:
                     one = (F.col("data_type") == dt) & (F.col("ingest_date") == d)
                     part_pred = one if part_pred is None else (part_pred | one)
                 existing_raw = (
-                    self.spark.read.parquet(f"{raw_root}/records")
+                    # explicit schema: an all-quarantined first ingest
+                    # leaves raw/records with only _SUCCESS, and a
+                    # schema-less read of it raises
+                    # UNABLE_TO_INFER_SCHEMA instead of "no dupes"
+                    self.spark.read.schema(RECORD_SCHEMA).parquet(
+                        f"{raw_root}/records"
+                    )
                     .filter(part_pred)  # partition-pruned: DLQ-sized dirs only
                     .select("id")
                 )
@@ -934,12 +942,11 @@ class DataLakeEngine:
         so readers recover it from the table alone — `scan_hidden`
         never asks the caller to re-declare the scheme."""
         from serverless_datalake_aws_spark.operators.partitioning import (
+            clear_staged_spec,
             hidden_write,
-            save_spec,
-        )
-
-        from serverless_datalake_aws_spark.operators.partitioning import (
             load_spec,
+            save_spec,
+            stage_spec,
         )
 
         if self.is_remote:
@@ -978,11 +985,6 @@ class DataLakeEngine:
         # footer-metadata count of what LANDED (before/after delta on
         # append) — never re-execute the input plan just to log lineage
         before = _footer_rows() if mode == "append" and Path(path).exists() else 0
-        from serverless_datalake_aws_spark.operators.partitioning import (
-            clear_staged_spec,
-            stage_spec,
-        )
-
         # stage the spec at a sibling BEFORE the data write: overwrite
         # deletes the in-dir spec with the dir, and a crash before
         # save_spec would otherwise leave an unreadable table
@@ -1234,9 +1236,7 @@ class DataLakeEngine:
         fresh lineage replays the whole changelog and its first absorb
         REPLACES this summary instead of merging on top of it, so the
         restart converges instead of double-counting.)"""
-        out_dir = Path(f"{self.zone('curated')}/daily_summary")
-        marker = out_dir / "_absorbed_epoch"
-        saved_marker = marker.read_text() if marker.exists() else None
+        out = f"{self.zone('curated')}/daily_summary"
         gold = (
             self.records("processed")
             # partition-value inference reads ingest_date back as DATE;
@@ -1250,12 +1250,32 @@ class DataLakeEngine:
                 F.sum(F.octet_length("payload")).alias("total_bytes"),
             )
         )
-        gold.write.mode("overwrite").partitionBy("data_type").parquet(
-            str(out_dir)
-        )
+        if self.is_remote:
+            # object stores: no rename swap, no marker protocol —
+            # plain overwrite (at-least-once, as elsewhere)
+            gold.write.mode("overwrite").partitionBy("data_type").parquet(out)
+            return self.spark.read.parquet(out)
+        # staged swap: the old in-place overwrite deleted the summary
+        # dir — and the stream's _absorbed_epoch marker WITH it — at
+        # job start, so a crash before the marker restore left a
+        # marker-less summary that the continuing incremental lineage
+        # would then replace with one delta (reset-to-one-delta loss).
+        # Staging under the SAME .curate.tmp name curate_incremental's
+        # entry recovery already rolls forward keeps every crash point
+        # healable: the marker is copied into the stage before publish.
+        out_dir = Path(out)
+        marker = out_dir / "_absorbed_epoch"
+        saved_marker = marker.read_text() if marker.exists() else None
+        tmp = Path(out + ".curate.tmp")
+        if tmp.exists():
+            shutil.rmtree(tmp)  # stale stage from a pre-publish crash
+        gold.write.mode("overwrite").partitionBy("data_type").parquet(str(tmp))
         if saved_marker is not None:
-            marker.write_text(saved_marker)
-        return self.spark.read.parquet(str(out_dir))
+            (tmp / "_absorbed_epoch").write_text(saved_marker)
+        if out_dir.exists():
+            shutil.rmtree(out_dir)
+        shutil.move(str(tmp), out)
+        return self.spark.read.parquet(out)
 
     def curate_incremental(
         self, timeout_s: int = 600, trigger: dict | None = None
@@ -1443,6 +1463,14 @@ class DataLakeEngine:
         report route past ~10^8 objects is documented in SCALE.md)."""
         from pyspark.errors import AnalysisException
 
+        if self.is_remote:
+            # fail-closed like every other local-FS-walking op: the
+            # pathlib walk answers 0 files for every URI, so a populated
+            # S3 lake would silently report as EMPTY
+            raise NotImplementedError(
+                "lake_report() walks local directories; object stores "
+                "route through LIST/inventory (documented in SCALE.md)"
+            )
         rows = []
         for z in self.ZONES:
             root = Path(self.zone(z)) / "records"
@@ -1652,10 +1680,28 @@ class DataLakeEngine:
         for feed in (self.metrics_path, self.stream_metrics_path):
             fdir = Path(feed)
             tmp = Path(str(fdir) + ".compact.tmp")
+            old = Path(str(fdir) + ".compact.old")
             with FileLock(str(fdir) + ".lock", ttl=60.0):
-                if tmp.exists() and not fdir.exists():
-                    tmp.rename(fdir)  # heal a crash between rmtree+move
-                shutil.rmtree(tmp, ignore_errors=True)
+                # heal compact()'s rename swap. `old` present means a
+                # swap was in flight; whether it FINISHED is decided by
+                # the _COMPACT_DONE flag that rides inside the stage:
+                #  - fdir carries the flag → publish completed, old is
+                #    a pre-compact duplicate → delete it
+                #  - fdir absent or flag-less (a post-crash flush
+                #    recreated it with only new rows) → old is the one
+                #    full history → fold the new flush files into old
+                #    and republish it; losing only the compaction
+                if old.exists():
+                    if fdir.exists() and (fdir / "_COMPACT_DONE").exists():
+                        shutil.rmtree(old)
+                    else:
+                        if fdir.exists():
+                            for f in fdir.iterdir():
+                                if not f.name.startswith(("_", ".")):
+                                    f.rename(old / f.name)
+                            shutil.rmtree(fdir)
+                        old.rename(fdir)
+                shutil.rmtree(tmp, ignore_errors=True)  # stage duplicate
                 if not fdir.exists():
                     continue
                 files = list_parquet_files(fdir)
@@ -1760,6 +1806,11 @@ class DataLakeEngine:
         # partitions this loop just deleted (from its pre-delete
         # snapshot), silently undoing retention
         with self._zone_lock(zone):
+            # heal a crashed swap FIRST: with records/ hidden mid-swap
+            # the glob below finds nothing, retention silently skips,
+            # and the staged copy later resurfaces the expired
+            # partitions intact
+            self._recover_zone_swap_locked(zone)
             for type_dir in sorted(root.glob("data_type=*")):
                 for part in sorted(type_dir.glob("ingest_date=*")):
                     day = part.name.split("=", 1)[1]
@@ -2004,19 +2055,32 @@ class DataLakeEngine:
     def _publish_meta_swap(self, tmp: Path) -> None:
         """Publish a flag-complete staged `_meta` rewrite (K7 commit
         step). Also the roll-forward half of crash recovery."""
+        # `old` names are UNDERSCORE-prefixed: Spark's partition
+        # discovery skips _/. entries, so a reader planning while this
+        # publish is between renames can never double-read a partition
+        # as the phantom value "X.old". (The converse window — the
+        # partition briefly absent between dst.rename(old) and
+        # src.rename(dst) — remains: it is two metadata renames wide;
+        # readers needing strict isolation take the commit lock.)
         for src in sorted(tmp.glob("data_type=*")):
             dst = Path(self.meta_path) / src.name
-            old = Path(self.meta_path) / (src.name + ".old")
+            old = Path(self.meta_path) / ("_old." + src.name)
             if not old.exists() and dst.exists():
                 dst.rename(old)
             if not dst.exists():
                 src.rename(dst)
             if old.exists():
                 shutil.rmtree(old)
-        # A crash between `src.rename(dst)` and `rmtree(old)` strands a
-        # .old dir whose stage entry is gone; Spark's partition discovery
-        # would otherwise parse it as partition value "X.old".
-        for old in Path(self.meta_path).glob("data_type=*.old"):
+        # A crash between `src.rename(dst)` and `rmtree(old)` strands an
+        # _old dir whose stage entry is gone (legacy ".old" suffix names
+        # from pre-r9 swaps are reclaimed the same way).
+        for old in Path(self.meta_path).glob("_old.data_type=*"):
+            dst = old.with_name(old.name[len("_old."):])
+            if dst.exists():
+                shutil.rmtree(old)
+            else:
+                old.rename(dst)
+        for old in Path(self.meta_path).glob("data_type=*.old"):  # legacy
             dst = old.with_name(old.name[: -len(".old")])
             if dst.exists():
                 shutil.rmtree(old)
@@ -2034,20 +2098,29 @@ class DataLakeEngine:
 
         if FileLock(self.meta_path + ".lock").held_elsewhere():
             # A LIVE writer owns the stage: rolling its uncommitted tmp
-            # back now would destroy work in flight. Visible _meta is
-            # still consistent (the swap hasn't started until the flag
-            # lands), so a reader simply proceeds; true crash leftovers
-            # are reclaimed once the dead owner's lock goes stale.
+            # back now would destroy work in flight. Before the
+            # _SWAP_READY flag lands the visible _meta is untouched; a
+            # committed publish in flight exposes only the two-rename
+            # gap per partition (the _old prefix keeps discovery from
+            # double-reading it) — readers needing strict isolation
+            # take the commit lock. Crash leftovers are reclaimed once
+            # the dead owner's lock goes stale.
             return
         tmp = Path(self.meta_path + ".mark.tmp")
         if tmp.exists() and (tmp / _SWAP_READY).exists():
             self._publish_meta_swap(tmp)
             return
         # no committed stage: anything half-swapped rolls back
-        for old in Path(self.meta_path).glob("data_type=*.old"):
-            dst = old.with_name(old.name[: -len(".old")])
+        for old in Path(self.meta_path).glob("_old.data_type=*"):
+            dst = old.with_name(old.name[len("_old."):])
             if dst.exists():
                 shutil.rmtree(old)  # swap of this partition had finished
+            else:
+                old.rename(dst)
+        for old in Path(self.meta_path).glob("data_type=*.old"):  # legacy
+            dst = old.with_name(old.name[: -len(".old")])
+            if dst.exists():
+                shutil.rmtree(old)
             else:
                 old.rename(dst)
         if tmp.exists():
@@ -2108,6 +2181,7 @@ class DataLakeEngine:
         to_append = pending
         from pyspark.errors import AnalysisException
 
+        already = None
         try:
             already = (
                 self.spark.read.parquet(self.search_index_path)
@@ -2126,7 +2200,18 @@ class DataLakeEngine:
         self._tokenize(new_recs).write.mode("append").partitionBy(
             "data_type"
         ).parquet(self.search_index_path)
-        self._mark_indexed(pending)
+        # stamp only ids that are actually SEARCHABLE: the ones whose
+        # tokens just landed plus the crash-convergence set already in
+        # the index. A pending id whose raw record no longer exists
+        # (expire() keeps _meta as the audit trail) must stay
+        # indexed=false — stamping it would assert searchability for a
+        # record with zero index tokens, forever.
+        stampable = self._pin_ids(new_recs.select("id"))
+        if already is not None:
+            stampable = stampable.unionByName(
+                pending.join(already, "id", "left_semi")
+            )
+        self._mark_indexed(stampable)
         return n
 
     def index_cdc(self, timeout_s: int = 600, trigger: dict | None = None):
@@ -2228,7 +2313,13 @@ class DataLakeEngine:
             idx = idx.filter(F.col("data_type") == data_type)
         if term is None:
             return idx
-        tokens = [t for t in term.lower().split() if t]
+        # tokenize the QUERY exactly as _tokenize tokenizes the index
+        # ([^a-z0-9]+): a whitespace split left 'hello-world' or
+        # 'user@example.com' unsplit, matching nothing even though the
+        # content is indexed as its constituent tokens
+        import re as _re
+
+        tokens = [t for t in _re.split(r"[^a-z0-9]+", term.lower()) if t]
         if rank == "tf":
             return (
                 idx.filter(F.col("token").isin(tokens))

@@ -94,11 +94,20 @@ def compact(
     # Rewrite in the table's own format — compaction must never change
     # what extension-dispatched readers see afterwards.
     write_any(df.coalesce(n_files), tmp, fmt=fmt)
-    # atomic-ish swap (local fs); object stores would write then repoint
+    # completion flag rides INSIDE the stage (published with it): the
+    # heal in engine.maintain uses it to tell a finished swap (old is
+    # a duplicate — delete) from a mid-publish crash (old is the only
+    # full history — republish it, folding in any post-crash flushes)
+    (Path(tmp) / "_COMPACT_DONE").write_text("1")
+    # rename-based swap: the old rmtree(path)+move left a window where
+    # the ENTIRE feed existed only in tmp; a post-crash flush then
+    # recreated path and the old heal deleted tmp — all history gone
     import shutil
 
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    old = Path(str(path) + ".compact.old")
+    path.rename(old)
+    shutil.move(tmp, str(path))
+    shutil.rmtree(old)
     return n_files
 
 

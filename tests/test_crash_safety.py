@@ -327,3 +327,88 @@ def test_requeue_swap_crash_heals(spark, tmp_path):
     # crash before publishing: only the hidden old dir remains
     q.rename(str(q) + ".requeue.old")
     assert lake.quarantine().count() == 1  # rolled back
+
+
+def test_maintain_heals_mid_publish_compact_with_recreated_feed(
+    spark, tmp_path
+):
+    """compact() dying between its two publish renames leaves the feed's
+    ONLY full history in .compact.old; a later flush recreates the feed
+    dir with just new rows. maintain() must fold the new rows into the
+    old history and republish — the previous heal deleted the stage and
+    kept only the post-crash rows (total telemetry loss)."""
+    from serverless_datalake_aws_spark.engine import DataLakeEngine
+
+    eng = DataLakeEngine(spark, tmp_path / "lake")
+    fdir = Path(eng.metrics_path)
+    # simulate: old = pre-crash history, fdir = post-crash flush only,
+    # tmp = compacted duplicate carrying the _COMPACT_DONE flag
+    spark.range(5).selectExpr("id AS x").write.parquet(
+        str(fdir) + ".compact.old"
+    )
+    spark.range(100, 102).selectExpr("id AS x").write.parquet(str(fdir))
+    spark.range(5).selectExpr("id AS x").write.parquet(
+        str(fdir) + ".compact.tmp"
+    )
+    (Path(str(fdir) + ".compact.tmp") / "_COMPACT_DONE").write_text("1")
+    eng.maintain(zones=())
+    got = {r["x"] for r in spark.read.parquet(str(fdir)).collect()}
+    assert got == set(range(5)) | {100, 101}  # history + new flushes
+    assert not Path(str(fdir) + ".compact.old").exists()
+    assert not Path(str(fdir) + ".compact.tmp").exists()
+
+
+def test_maintain_reclaims_completed_compact_old(spark, tmp_path):
+    """The converse: publish finished (feed carries _COMPACT_DONE) but
+    the crash hit before rmtree(old) — old is a duplicate and must be
+    deleted, NOT merged (merging would double every pre-compact row)."""
+    from serverless_datalake_aws_spark.engine import DataLakeEngine
+
+    eng = DataLakeEngine(spark, tmp_path / "lake")
+    fdir = Path(eng.metrics_path)
+    spark.range(5).selectExpr("id AS x").write.parquet(str(fdir))
+    (fdir / "_COMPACT_DONE").write_text("1")
+    spark.range(5).selectExpr("id AS x").write.parquet(
+        str(fdir) + ".compact.old"
+    )
+    eng.maintain(zones=())
+    got = sorted(r["x"] for r in spark.read.parquet(str(fdir)).collect())
+    assert got == [0, 1, 2, 3, 4]  # no duplication
+    assert not Path(str(fdir) + ".compact.old").exists()
+
+
+def test_curate_crash_mid_swap_is_recoverable(spark, tmp_path, monkeypatch):
+    """curate() dying between rmtree(out) and the stage publish must
+    leave a state curate_incremental's entry recovery rolls forward —
+    the old in-place overwrite deleted the _absorbed_epoch marker at
+    job start, and a crash then reset the incremental summary to one
+    delta."""
+    import shutil as _sh
+
+    from serverless_datalake_aws_spark.engine import DataLakeEngine
+
+    eng = DataLakeEngine(spark, tmp_path / "lake")
+    eng.ingest_batch([{"x": i} for i in range(6)], data_type="t1")
+    want = {
+        (r["data_type"], r["ingest_date"]): r["n_records"]
+        for r in eng.curate_incremental().collect()
+    }
+    eng.process()
+
+    real_move = _sh.move
+    def exploding_move(src, dst):
+        if str(dst).endswith("daily_summary"):
+            raise OSError("simulated crash before stage publish")
+        return real_move(src, dst)
+
+    monkeypatch.setattr(_sh, "move", exploding_move)
+    with pytest.raises(OSError, match="simulated crash"):
+        eng.curate()
+    monkeypatch.setattr(_sh, "move", real_move)
+    # the marker rode the stage: the next incremental drain recovers the
+    # summary instead of resetting history to one delta
+    got = {
+        (r["data_type"], r["ingest_date"]): r["n_records"]
+        for r in eng.curate_incremental().collect()
+    }
+    assert got == want

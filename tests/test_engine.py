@@ -775,3 +775,91 @@ def test_stats_root_scopes_to_records_on_remote_uri(spark, tmp_path):
     # and without a records table the zone root is the scan root
     eng2 = DataLakeEngine(spark, f"file://{tmp_path}/rlake2")
     assert eng2._stats_root("processed").endswith("/processed")
+
+
+def test_ingest_single_quarantined_returns_none(engine):
+    # a quarantined single-record ingest must signal by returning None,
+    # not crash with IndexError on ids[0]
+    rid = engine.ingest(
+        {"v": -5},
+        data_type="sales",
+        validate=[
+            ("nonneg", "CAST(get_json_object(payload, '$.v') AS INT) >= 0")
+        ],
+    )
+    assert rid is None
+    ok = engine.ingest(
+        {"v": 5},
+        data_type="sales",
+        validate=[
+            ("nonneg", "CAST(get_json_object(payload, '$.v') AS INT) >= 0")
+        ],
+    )
+    assert isinstance(ok, str)
+
+
+def test_search_tokenizes_query_like_index(engine):
+    # the index splits payloads on [^a-z0-9]+; the query side must too —
+    # a whitespace split made 'hello-world' unmatchable forever
+    engine.ingest_batch(
+        [{"name": "hello-world", "mail": "user@example.com"}],
+        data_type="notes",
+    )
+    engine.process()
+    assert engine.search(term="hello-world").count() > 0
+    assert engine.search(term="user@example.com").count() > 0
+    assert engine.search(term="hello-world", rank="bm25").count() > 0
+
+
+def test_requeue_after_all_quarantined_first_ingest(engine):
+    # first-ever ingest where ALL records fail leaves raw/records with
+    # no data files; the redrive used to crash on a schema-less read
+    ids = engine.ingest_batch(
+        [{"v": -1}, {"v": -2}],
+        data_type="sales",
+        validate=[
+            ("nonneg", "CAST(get_json_object(payload, '$.v') AS INT) >= 0")
+        ],
+    )
+    assert ids == []
+    out = engine.requeue_quarantined()  # accept-all redrive
+    assert out["requeued"] == 2 and out["still_quarantined"] == 0
+    assert engine.records("raw").count() == 2
+
+
+def test_index_incremental_skips_payloadless_meta(engine, spark):
+    import shutil as _sh
+    from pathlib import Path as _P
+
+    ids = engine.ingest_batch(SAMPLES[:2], data_type="sales")
+    # drop the raw partitions before any indexing ran (_meta rows are
+    # kept by design — expire()'s audit-trail contract)
+    _sh.rmtree(_P(engine.zone("raw")) / "records")
+    engine.ingest_batch([{"product": "Cam", "quantity": 1}], data_type="gear")
+    n = engine.index_incremental()
+    assert n >= 1
+    meta = {r["id"]: r["indexed"] for r in engine.meta().collect()}
+    for i in ids:  # payload-less ids must NOT claim searchability
+        assert not meta[i], i
+
+
+def test_lake_report_remote_fails_closed(spark, tmp_path):
+    eng = DataLakeEngine(spark, f"file://{tmp_path}/lake")
+    with pytest.raises(NotImplementedError):
+        eng.lake_report()
+
+
+def test_expire_heals_crashed_swap_first(engine, spark):
+    from pathlib import Path as _P
+
+    engine.ingest_batch(SAMPLES, data_type="sales")
+    # simulate a dedup/optimize crash between the two publish renames:
+    # records/ hidden, complete staged copy present
+    root = _P(engine.zone("raw"))
+    (root / "records").rename(root / "records.dedup.tmp")
+    dropped = engine.expire("raw", keep_days=0, today="2099-01-01")
+    # heal ran first: the staged copy was republished and the expired
+    # partitions actually dropped (previously the glob saw nothing and
+    # retention silently skipped)
+    assert dropped != []
+    assert engine.meta().count() == 3  # audit rows intact
