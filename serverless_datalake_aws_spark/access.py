@@ -6,6 +6,17 @@ property as POLICY-RESOLVED VIEWS — the idiomatic Spark shape (Unity /
 Ranger / Lake Formation all compile grants down to column-pruned,
 row-filtered views at resolution time).
 
+TRUST BOUNDARY (the deliberate gap vs the reference): this module is
+AUTHORIZATION only. Principals are asserted by the caller of
+`as_principal(p)` — there is no authentication step, no token
+verification, no session binding. The reference authenticates at the
+edge (Cognito user pool + API-Gateway authorizer) BEFORE its IAM roles
+apply; a library embedded in a Spark driver has no edge, so the
+identity the process asserts is the identity this module scopes. Wire
+a real authenticator (Kerberos, OAuth token validation at the job
+gateway, Databricks/Unity identity passthrough) in front when the
+caller is not already trusted to name itself.
+
 Model:
 - A `Grant` is (principal, dataset, cols, row_filter): which columns of
   which dataset a principal may read, optionally behind a row predicate.

@@ -310,3 +310,23 @@ def test_every_registered_query_is_decimal_checked():
     src = inspect.getsource(testing.check_query)
     # the schema gate must run before the rows-only early return
     assert src.index("decimal_columns") < src.index("if oracle is None")
+
+
+def test_x11_stemming_is_load_bearing(spark):
+    """The analyzer must be what produces the matches: un-stemmed
+    search for the inflected query terms returns ZERO rows on this
+    corpus (all-singular vocabulary), while the stemmed query matches
+    plenty — the OpenSearch-analyzer-parity claim is real, not
+    decorative."""
+    docs = table(spark, SF_DIR, "documents")
+    raw_hits = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok").isin("queries", "merges", "columns"))
+        .count()
+    )
+    assert raw_hits == 0
+    out = all_queries()["x11_stemmed_search"](spark, SF_DIR)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {r.stem for r in rows} <= {"query", "merge", "column"}
+    assert all(r.tf >= 1 for r in rows)
