@@ -324,7 +324,11 @@ def q09_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 4) AS total_price
+           -- integer cents: the GRAND-TOTAL group sums every order
+           -- (~3.8e9 at sf0.01, ~3.8e10 at sf0.1) where a double
+           -- sum's 4th decimal moves with accumulation order
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS total_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -334,7 +338,12 @@ def q10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        _r4(F.sum("o_totalprice")).alias("total_price"),
+        # integer cents (see oracle note): exact BIGINT accumulation
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("double")
+            / 100
+        ).alias("total_price"),
     )
 
 

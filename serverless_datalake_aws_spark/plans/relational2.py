@@ -49,7 +49,10 @@ def q22_stat_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q23_grouping_sets",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           round(sum(o_totalprice), 4) AS total
+           -- integer cents: the () grouping set is the global orders
+           -- total (order-sensitive at the 4dp scale — see q10)
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -60,7 +63,8 @@ def q23_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-               round(sum(o_totalprice), 4) AS total
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100 AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
