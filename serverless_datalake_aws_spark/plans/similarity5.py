@@ -808,30 +808,15 @@ _S23_ORACLE = _S21_ORACLE[: _S21_ORACLE.index("    topk AS (")] + f"""    shortl
 """
 
 
-@query("s23_ivfpq_rerank", oracle=_S23_ORACLE)
-def s23_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ + exact rerank — the complete FAISS serving shape, each
-    stage earning its place (measured at 2M vectors in SCALE.md r7:
-    raw ADC recall@5 = 0.05 because 16 codewords/subspace cannot
-    separate near-identical cluster members; exact rerank of the ADC
-    top-{_S23_R} recovers 1.00 for NQ × {_S23_R} exact distances —
-    corpus-size-independent):
+def s23_serving_plan(spark: SparkSession, sf_dir: str):
+    """Build s23's LAZY serving plan; returns (out, exact_cached).
 
-    1. s21's cell-restricted ADC scan produces a top-{_S23_R}
-       SHORTLIST per query (IVF bounds the scan, PQ bounds memory).
-    2. The shortlist joins back to true embeddings for exact L2 —
-       |shortlist| lookups, never a corpus rescan at serving time
-       (here the exact leg reuses the recall audit's brute pass, so
-       one plan serves rerank and truth; the probe measured the
-       candidates-only variant).
-    3. Final order and recall@{_PQ_TOPK} come from EXACT distances —
-       PQ quantization error cannot reorder the returned page.
-
-    Oracle: s21's replayed CTE chain (cells, codes, probes, ADC) with
-    the rerank tail — shortlist by ADC order, exact-L2 re-sort,
-    recall vs exact top-k; bit-identical through the 6-dp rounding
-    convention."""
-
+    Split out so the plan gate (tests/test_plans.py::
+    test_s23_rerank_joins_shortlist_not_corpus) can explain the real
+    join structure: the registered query materializes the tiny result
+    and unpersists the cached exact leg, which leaves only a
+    Scan ExistingRDD behind — invisible to a plan audit. The caller
+    owns `exact_cached` and must unpersist it after materializing."""
     from serverless_datalake_aws_spark.functions import vector as VX
     from serverless_datalake_aws_spark.operators.ann import (
         ivf_pq_encode,
@@ -888,6 +873,33 @@ def s23_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "exact_d2", "rk", "recall_at_k")
         .orderBy("query_id", "rk")
     )
+    return out, exact
+
+
+@query("s23_ivfpq_rerank", oracle=_S23_ORACLE)
+def s23_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact rerank — the complete FAISS serving shape, each
+    stage earning its place (measured at 2M vectors in SCALE.md r7:
+    raw ADC recall@5 = 0.05 because 16 codewords/subspace cannot
+    separate near-identical cluster members; exact rerank of the ADC
+    top-{_S23_R} recovers 1.00 for NQ × {_S23_R} exact distances —
+    corpus-size-independent):
+
+    1. s21's cell-restricted ADC scan produces a top-{_S23_R}
+       SHORTLIST per query (IVF bounds the scan, PQ bounds memory).
+    2. The shortlist joins back to true embeddings for exact L2 —
+       |shortlist| lookups, never a corpus rescan at serving time
+       (here the exact leg reuses the recall audit's brute pass, so
+       one plan serves rerank and truth; the probe measured the
+       candidates-only variant).
+    3. Final order and recall@{_PQ_TOPK} come from EXACT distances —
+       PQ quantization error cannot reorder the returned page.
+
+    Oracle: s21's replayed CTE chain (cells, codes, probes, ADC) with
+    the rerank tail — shortlist by ADC order, exact-L2 re-sort,
+    recall vs exact top-k; bit-identical through the 6-dp rounding
+    convention."""
+    out, exact = s23_serving_plan(spark, sf_dir)
     rows = out.collect()  # topk*NQ rows: tiny
     exact.unpersist()
     return spark.createDataFrame(rows, out.schema)

@@ -547,8 +547,22 @@ def test_x10_fuzzy_candidates_via_broadcast_key_join(spark):
 def test_s23_rerank_joins_shortlist_not_corpus(spark):
     """The rerank stage must keep the cell-restricted probe join (cid)
     of s21 AND join the exact leg on (query_id, neighbor_id) — no
-    cartesian, no nested loop anywhere in the serving plan."""
-    plan = _plan(spark, "s23_ivfpq_rerank")
+    cartesian, no nested loop anywhere in the serving plan.
+
+    Uses the LAZY serving plan: the registered query materializes its
+    tiny result (to safely unpersist the cached exact leg), which
+    leaves only Scan ExistingRDD behind — opaque to a plan audit."""
+    from serverless_datalake_aws_spark.plans.similarity5 import (
+        s23_serving_plan,
+    )
+
+    out, exact = s23_serving_plan(spark, SF_DIR)
+    try:
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        exact.unpersist()
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
     blocks = plan.split("\n\n")
