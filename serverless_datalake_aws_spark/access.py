@@ -408,13 +408,24 @@ class PrincipalSession:
         """A masked lookup key would make an equality/join against raw
         values ALWAYS empty — indistinguishable from 'record does not
         exist'. Fail loud instead (same philosophy as unknown mask
-        columns erroring rather than flowing unmasked)."""
+        columns erroring rather than flowing unmasked). A grant whose
+        column list EXCLUDES the key is refused the same way: the
+        filter/join would otherwise surface as a raw AnalysisException
+        (unresolved column) instead of a policy decision."""
         g = self._grants().get(dataset)
-        if g is not None and g.masks and key in g.masks:
+        if g is None:
+            return  # _secured() raises the no-grant PermissionError
+        if g.masks and key in g.masks:
             raise PermissionError(
                 f"principal {self.principal!r} sees {dataset}.{key} only "
                 f"{g.masks[key]}-masked; keyed lookups on a masked "
                 "column cannot match and are refused"
+            )
+        if g.cols is not None and key not in g.cols:
+            raise PermissionError(
+                f"principal {self.principal!r} has no grant on "
+                f"{dataset}.{key}; keyed lookups need the key column "
+                "visible"
             )
 
     def query_by_id(self, data_id: str) -> DataFrame:

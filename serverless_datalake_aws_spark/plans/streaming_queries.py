@@ -1322,3 +1322,150 @@ def st18_stream_observed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(totals.items()), "metric string, value long"
     )
+
+
+@query(
+    "st19_stream_ivf_cell_index",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id AS cid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings WHERE vec_id < 8),
+    e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    sims AS (
+        SELECT e.vec_id, c.cid,
+               round(CASE WHEN sqrt(list_dot_product(e.v, e.v)) = 0 THEN 0
+                     ELSE list_dot_product(c.cv, e.v)
+                          / (sqrt(list_dot_product(c.cv, c.cv))
+                             * sqrt(list_dot_product(e.v, e.v))) END,
+                     6) AS sim
+        FROM e CROSS JOIN c),
+    assign AS (
+        SELECT vec_id, cid, sim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cid) AS rn
+        FROM sims),
+    cells AS (SELECT vec_id, cid, CAST(sim AS DECIMAL(18,6)) AS simd
+              FROM assign WHERE rn = 1)
+    SELECT cid, count(*) AS n_vecs,
+           CAST(sum(simd) AS DOUBLE) AS sum_sim,
+           CAST(min(simd) AS DOUBLE) AS min_sim,
+           CAST(max(simd) AS DOUBLE) AS max_sim
+    FROM cells GROUP BY cid ORDER BY cid
+    """,
+)
+def st19_stream_ivf_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of an IVF vector index: embeddings land in
+    micro-batches and each batch is coarse-quantized to its nearest of
+    8 frozen centroids (s05's codebook convention — the first 8
+    vectors) by the SAME map-only vectorized assign the batch IVF
+    queries use, then absorbed into a MaintainedRollup keyed by cell —
+    per-cell population and cohesion (cosine-to-centroid) stats stay
+    fresh as the corpus streams in, instead of by a nightly re-index.
+    This is the vector twin of st13/st15 (maintained dedup indexes):
+    the index an ANN serving path probes is MAINTAINED BY the ingest
+    stream, which is how a 100 TB embedding corpus keeps its IVF lists
+    current without ever re-scanning history.
+
+    Exactness: per-row cosines are rounded to 6 dp and ride a
+    DECIMAL(18,6) image through the rollup merges, so per-cell sums
+    are bit-identical regardless of which of the 4 micro-batches
+    merged first (the st10 order-independence convention); the RESULT
+    surfaces as double (no DecimalType may escape a registered query —
+    tests/test_invariants.py). The oracle is the from-scratch batch
+    assignment + aggregate; equality proves the maintained index
+    equals a full re-index, per batch count.
+
+    Scale: each micro-batch pays one Arrow-batched BLAS pass over ITS
+    rows (the codebook rides the closure) plus a |cells|-row merge;
+    embeddings never shuffle — only (cid, sim) pairs reach the rollup;
+    history is never re-read. Centroid REFRESH (drifted codebook) is
+    the s04/s09 k-means step composed on top, swapping the frozen
+    codebook between epochs."""
+    import shutil
+    import tempfile
+
+    from serverless_datalake_aws_spark.catalog import table
+    from serverless_datalake_aws_spark.functions import vector as VX
+    from serverless_datalake_aws_spark.operators.incremental import (
+        MaintainedRollup,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cent_rows = sorted(
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    # literal codebook (cids are dense 0..7 after the sort, so
+    # element_at(cid+1) is the centroid lookup) — rides the plan like
+    # every trained-index-in-closure ANN entry
+    cent_arrs = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in emb_vals])
+            for _cid, emb_vals in cent_rows
+        ]
+    )
+    cent_norms = F.array(
+        *[
+            F.lit(float(sum(float(x) * float(x) for x in emb_vals) ** 0.5))
+            for _cid, emb_vals in cent_rows
+        ]
+    )
+
+    def _assign_batch(batch: DataFrame) -> DataFrame:
+        assigned = VX.nearest_centroid(batch, cent_rows)
+        idx = (F.col("cid") + 1).cast("int")
+        cv = F.element_at(cent_arrs, idx)
+        cn = F.element_at(cent_norms, idx)
+        sim = F.when(F.col("nrm") == 0.0, F.lit(0.0)).otherwise(
+            VX.dot(F.col("embedding"), cv) / (F.col("nrm") * cn)
+        )
+        return assigned.select(
+            "cid", F.round(sim, 6).cast("decimal(18,6)").alias("sim")
+        )
+
+    work = tempfile.mkdtemp(prefix="st19_")
+    try:
+        src = f"{work}/emb_shards"
+        emb.select("vec_id", "embedding").repartition(4).write.parquet(src)
+        rollup = MaintainedRollup(
+            spark, f"{work}/cells", keys=["cid"], measures=["sim"]
+        )
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch, eid: rollup.apply(
+                    _assign_batch(batch), epoch_id=eid
+                )
+            )
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, 300)
+        out = (
+            rollup.read()
+            .select(
+                "cid",
+                F.col("n_rows").alias("n_vecs"),
+                # exact decimal internally; DOUBLE at the result surface
+                F.col("sum_sim").cast("decimal(18,6)").cast("double")
+                .alias("sum_sim"),
+                F.col("min_sim").cast("double").alias("min_sim"),
+                F.col("max_sim").cast("double").alias("max_sim"),
+            )
+            .orderBy("cid")
+        )
+        rows = out.collect()  # materialize before the workdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -327,3 +327,21 @@ def test_masked_key_lookups_refused(lake):
     lake.grant("hank", "raw", masks={"id": "hash"})
     with pytest.raises(PermissionError, match="masked"):
         lake.as_principal("hank").get_content("whatever")
+
+
+def test_keyed_lookup_without_key_column_refused(lake):
+    """A grant whose column list excludes the id key refuses keyed
+    lookups with a POLICY error — not the raw unresolved-column
+    AnalysisException the filter/join would otherwise throw."""
+    lake.grant("iris", "meta", cols=["data_type"])
+    lake.grant("iris", "raw")
+    with pytest.raises(PermissionError, match="key column"):
+        lake.as_principal("iris").query_by_id("whatever")
+    with pytest.raises(PermissionError, match="key column"):
+        lake.as_principal("iris").get_content("whatever")
+    # raw grant missing id: content fetch refused the same way
+    lake.revoke("iris", "meta")
+    lake.grant("iris", "meta")
+    lake.grant("iris", "raw", cols=["payload"])
+    with pytest.raises(PermissionError, match="key column"):
+        lake.as_principal("iris").get_content("whatever")
