@@ -149,6 +149,9 @@ DRIVER_SAMPLE_ALIASES: dict[str, str] = {
     "a28_t18_winnowing_fingerprints": "t18_winnowing_fingerprints",
     "a29_q67_linenumber_bitmaps": "q67_linenumber_bitmaps",
     "a30_x05_proximity_search": "x05_proximity_search",
+    # round-9 session additions, never externally sampled
+    "a31_st19_stream_ivf_cell_index": "st19_stream_ivf_cell_index",
+    "a32_x11_stemmed_search": "x11_stemmed_search",
 }
 
 
