@@ -2366,3 +2366,134 @@ class DataLakeEngine:
             )
             .orderBy(F.col("score").desc(), "id")
         )
+
+    # -- vector search (knn twin of the text index; SURVEY §2.8 / §2.11) ----
+    def vector_index_path(self, name: str = "default") -> str:
+        return f"{self.root}/_vector_index/{name}"
+
+    def build_vector_index(
+        self,
+        df: DataFrame,
+        name: str = "default",
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+        n_cells: int = 8,
+    ) -> int:
+        """Build an IVF vector index over an embedding column: the knn
+        twin of `_rebuild_search_index` (the reference's OpenSearch bulk
+        index, lambda-function.py:105-131, carries text; production
+        vector stores carry embeddings the same way). Codebook = the
+        first `n_cells` vectors by id (the s05 deterministic
+        convention; swap in a k-means refresh — s09's step — when
+        drift matters), each row map-assigned to its highest-cosine
+        cell, and the index lands as parquet PARTITIONED BY cell id,
+        so a probe reads only its cells' files (partition pruning —
+        the on-disk analogue of OpenSearch's per-shard posting lists).
+        The codebook persists as a parquet table next to the cells
+        (works on any Hadoop FS, no driver-local JSON).
+
+        Scale: assignment is one Arrow-batched BLAS pass (codebook
+        rides the closure); the only data movement is the partitioned
+        write's shuffle on cid. At 100 TB: raise n_cells so cells stay
+        file-sized (~sqrt(N) cells), bucket within cells if needed."""
+        src = df.select(
+            F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+        )
+        cent_rows = [
+            (r["vec_id"], r["embedding"])
+            for r in src.orderBy("vec_id").limit(n_cells).collect()
+        ]
+        if len(cent_rows) < 1:
+            raise ValueError("cannot build a vector index from zero rows")
+        from serverless_datalake_aws_spark.functions import vector as VX
+
+        assigned = VX.nearest_centroid(src, cent_rows)
+        path = self.vector_index_path(name)
+        assigned.write.partitionBy("cid").mode("overwrite").parquet(
+            f"{path}/cells"
+        )
+        self.spark.createDataFrame(
+            cent_rows, "cid long, embedding array<float>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+        n = self.spark.read.parquet(f"{path}/cells").count()  # footer count
+        self._log_lineage("build_vector_index", "-", f"{path}/cells", n)
+        return n
+
+    def add_to_vector_index(self, df: DataFrame, name: str = "default",
+                            id_col: str = "vec_id",
+                            emb_col: str = "embedding") -> int:
+        """Append new vectors under the EXISTING codebook (the st19
+        streaming-maintenance shape as a batch API): assign against the
+        persisted centroids, append into the cell partitions. History
+        is never re-read; a codebook refresh is a rebuild."""
+        path = self.vector_index_path(name)
+        cent_rows = [
+            (r["cid"], r["embedding"])
+            for r in self.spark.read.parquet(f"{path}/codebook").collect()
+        ]
+        from serverless_datalake_aws_spark.functions import vector as VX
+
+        src = df.select(
+            F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+        )
+        assigned = VX.nearest_centroid(src, sorted(cent_rows))
+        assigned.write.partitionBy("cid").mode("append").parquet(
+            f"{path}/cells"
+        )
+        n = src.count()
+        self._log_lineage("add_to_vector_index", "-", f"{path}/cells", n)
+        return n
+
+    def vector_search(
+        self,
+        query_vec: list[float],
+        k: int = 5,
+        nprobe: int = 2,
+        name: str = "default",
+    ) -> DataFrame:
+        """Cosine top-k over the IVF index: rank cells by
+        query-centroid cosine (codebook is a handful of rows —
+        collected, like any ANN library's in-memory coarse quantizer),
+        then scan ONLY the `nprobe` nearest cells' partitions. Exact
+        cosine on the candidates, deterministic (score DESC, id)
+        order — s05's serving path as an engine API. nprobe=n_cells
+        degrades gracefully to exact brute force."""
+        import math
+
+        qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+        if qn == 0.0:
+            raise ValueError("zero-norm query vector has no cosine order")
+        path = self.vector_index_path(name)
+        cb = self.spark.read.parquet(f"{path}/codebook").collect()
+        ranked = sorted(
+            (
+                -round(
+                    sum(float(a) * float(b) for a, b in zip(r["embedding"], query_vec))
+                    / (
+                        (math.sqrt(sum(float(x) ** 2 for x in r["embedding"])) * qn)
+                        or float("inf")
+                    ),
+                    6,
+                ),
+                r["cid"],
+            )
+            for r in cb
+        )
+        probe = [cid for _negcos, cid in ranked[:nprobe]]
+        qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+        from serverless_datalake_aws_spark.functions import vector as VX
+
+        cells = self.spark.read.parquet(f"{path}/cells").filter(
+            F.col("cid").isin(probe)  # partition-pruned scan
+        )
+        cos = VX.dot(F.col("embedding"), qarr) / (F.col("nrm") * F.lit(qn))
+        return (
+            cells.filter(F.col("nrm") > 0.0)
+            .select(
+                "vec_id",
+                "cid",
+                F.round(cos, 6).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), "vec_id")
+            .limit(k)
+        )
