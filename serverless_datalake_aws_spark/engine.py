@@ -2371,6 +2371,22 @@ class DataLakeEngine:
     def vector_index_path(self, name: str = "default") -> str:
         return f"{self.root}/_vector_index/{name}"
 
+    def _vector_current(self, name: str) -> str:
+        """Resolve the live index version through the `_LATEST` pointer
+        (the _EpochStateStore convention: versioned dirs + atomic
+        fsync'd pointer swap, so cells and codebook publish TOGETHER
+        or not at all)."""
+        import json
+
+        path = self.vector_index_path(name)
+        ptr = Path(path, "_LATEST")
+        if not ptr.exists():
+            raise FileNotFoundError(
+                f"no vector index {name!r} at {path} (build_vector_index "
+                "first)"
+            )
+        return f"{path}/{json.loads(ptr.read_text())['version']}"
+
     def build_vector_index(
         self,
         df: DataFrame,
@@ -2389,13 +2405,31 @@ class DataLakeEngine:
         cell, and the index lands as parquet PARTITIONED BY cell id,
         so a probe reads only its cells' files (partition pruning —
         the on-disk analogue of OpenSearch's per-shard posting lists).
-        The codebook persists as a parquet table next to the cells
-        (works on any Hadoop FS, no driver-local JSON).
+
+        Cells and codebook are COUPLED artifacts (cids mean nothing
+        without the centroids that minted them), so both land in one
+        versioned dir published by an atomic `_LATEST` pointer swap —
+        a crashed rebuild leaves the previous version live, never a
+        new-cells/old-codebook hybrid. Local-FS roots only: the
+        pointer needs rename atomicity; on an object store use a
+        conditional PUT of the pointer object (documented refusal, the
+        dedup_zone pattern).
 
         Scale: assignment is one Arrow-batched BLAS pass (codebook
         rides the closure); the only data movement is the partitioned
         write's shuffle on cid. At 100 TB: raise n_cells so cells stay
         file-sized (~sqrt(N) cells), bucket within cells if needed."""
+        import json
+        import os
+        import shutil
+        import uuid
+
+        if self.is_remote:
+            raise NotImplementedError(
+                "build_vector_index publishes via rename-swap pointer; "
+                "object-store roots need a conditional-PUT pointer "
+                "(not implemented)"
+            )
         src = df.select(
             F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
         )
@@ -2407,16 +2441,28 @@ class DataLakeEngine:
             raise ValueError("cannot build a vector index from zero rows")
         from serverless_datalake_aws_spark.functions import vector as VX
 
-        assigned = VX.nearest_centroid(src, cent_rows)
         path = self.vector_index_path(name)
-        assigned.write.partitionBy("cid").mode("overwrite").parquet(
-            f"{path}/cells"
-        )
+        version = f"v-{uuid.uuid4().hex[:12]}"
+        base = f"{path}/{version}"
+        assigned = VX.nearest_centroid(src, cent_rows)
+        assigned.write.partitionBy("cid").parquet(f"{base}/cells")
         self.spark.createDataFrame(
             cent_rows, "cid long, embedding array<float>"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
-        n = self.spark.read.parquet(f"{path}/cells").count()  # footer count
-        self._log_lineage("build_vector_index", "-", f"{path}/cells", n)
+        ).coalesce(1).write.parquet(f"{base}/codebook")
+        n = self.spark.read.parquet(f"{base}/cells").count()  # footer count
+        prev = None
+        ptr = Path(path, "_LATEST")
+        if ptr.exists():
+            prev = json.loads(ptr.read_text())["version"]
+        tmp = Path(path, f"._LATEST.{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            json.dump({"version": version}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, ptr)
+        if prev and prev != version:  # GC the superseded version
+            shutil.rmtree(Path(path, prev), ignore_errors=True)
+        self._log_lineage("build_vector_index", "-", f"{base}/cells", n)
         return n
 
     def add_to_vector_index(self, df: DataFrame, name: str = "default",
@@ -2424,24 +2470,32 @@ class DataLakeEngine:
                             emb_col: str = "embedding") -> int:
         """Append new vectors under the EXISTING codebook (the st19
         streaming-maintenance shape as a batch API): assign against the
-        persisted centroids, append into the cell partitions. History
-        is never re-read; a codebook refresh is a rebuild."""
-        path = self.vector_index_path(name)
+        persisted centroids, append into the live version's cell
+        partitions — safe without a version bump because the codebook
+        is unchanged. History is never re-read; a codebook refresh is
+        a rebuild."""
+        base = self._vector_current(name)
         cent_rows = [
             (r["cid"], r["embedding"])
-            for r in self.spark.read.parquet(f"{path}/codebook").collect()
+            for r in self.spark.read.parquet(f"{base}/codebook").collect()
         ]
         from serverless_datalake_aws_spark.functions import vector as VX
 
         src = df.select(
             F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
         )
-        assigned = VX.nearest_centroid(src, sorted(cent_rows))
-        assigned.write.partitionBy("cid").mode("append").parquet(
-            f"{path}/cells"
-        )
-        n = src.count()
-        self._log_lineage("add_to_vector_index", "-", f"{path}/cells", n)
+        # persist so the written rows and the returned count are the
+        # SAME evaluation (a non-deterministic input re-executed for
+        # the count could disagree with what landed)
+        assigned = VX.nearest_centroid(src, sorted(cent_rows)).persist()
+        try:
+            assigned.write.partitionBy("cid").mode("append").parquet(
+                f"{base}/cells"
+            )
+            n = assigned.count()
+        finally:
+            assigned.unpersist()
+        self._log_lineage("add_to_vector_index", "-", f"{base}/cells", n)
         return n
 
     def vector_search(
@@ -2460,11 +2514,13 @@ class DataLakeEngine:
         degrades gracefully to exact brute force."""
         import math
 
+        if nprobe < 1:
+            raise ValueError(f"nprobe must be >= 1, got {nprobe}")
         qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
         if qn == 0.0:
             raise ValueError("zero-norm query vector has no cosine order")
-        path = self.vector_index_path(name)
-        cb = self.spark.read.parquet(f"{path}/codebook").collect()
+        base = self._vector_current(name)
+        cb = self.spark.read.parquet(f"{base}/codebook").collect()
         ranked = sorted(
             (
                 -round(
@@ -2483,7 +2539,7 @@ class DataLakeEngine:
         qarr = F.array(*[F.lit(float(x)) for x in query_vec])
         from serverless_datalake_aws_spark.functions import vector as VX
 
-        cells = self.spark.read.parquet(f"{path}/cells").filter(
+        cells = self.spark.read.parquet(f"{base}/cells").filter(
             F.col("cid").isin(probe)  # partition-pruned scan
         )
         cos = VX.dot(F.col("embedding"), qarr) / (F.col("nrm") * F.lit(qn))

@@ -900,6 +900,9 @@ def s23_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs exact top-k; bit-identical through the 6-dp rounding
     convention."""
     out, exact = s23_serving_plan(spark, sf_dir)
-    rows = out.collect()  # topk*NQ rows: tiny
-    exact.unpersist()
+    try:
+        rows = out.collect()  # topk*NQ rows: tiny
+    finally:
+        exact.unpersist()  # release even when collect fails (bench
+        # loops catch per-query errors and keep the session alive)
     return spark.createDataFrame(rows, out.schema)

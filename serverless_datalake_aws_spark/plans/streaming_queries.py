@@ -1400,9 +1400,15 @@ def st19_stream_ivf_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )
-    # literal codebook (cids are dense 0..7 after the sort, so
-    # element_at(cid+1) is the centroid lookup) — rides the plan like
-    # every trained-index-in-closure ANN entry
+    # element_at(cid+1) below indexes the literal codebook POSITIONALLY,
+    # which is only the centroid lookup when the cids are exactly the
+    # dense set 0..7 — assert it instead of silently pairing rows with
+    # wrong centroids if the fixture's id space ever shifts
+    if [cid for cid, _ in cent_rows] != list(range(len(cent_rows))):
+        raise AssertionError(
+            f"st19 expects dense centroid ids 0..{len(cent_rows) - 1}, "
+            f"got {[cid for cid, _ in cent_rows]}"
+        )
     cent_arrs = F.array(
         *[
             F.array(*[F.lit(float(x)) for x in emb_vals])

@@ -9,14 +9,11 @@ from __future__ import annotations
 import pytest
 
 from serverless_datalake_aws_spark.plans import all_queries
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, plan_of
 
 
 def _plan(spark, name: str, mode: str = "formatted") -> str:
-    df = all_queries()[name](spark, SF_DIR)
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), mode
-    )
+    return plan_of(all_queries()[name](spark, SF_DIR), mode)
 
 
 def test_q01_filter_pushdown(spark):
@@ -558,9 +555,7 @@ def test_s23_rerank_joins_shortlist_not_corpus(spark):
 
     out, exact = s23_serving_plan(spark, SF_DIR)
     try:
-        plan = out._sc._jvm.PythonSQLUtils.explainString(
-            out._jdf.queryExecution(), "formatted"
-        )
+        plan = plan_of(out)
     finally:
         exact.unpersist()
     assert "CartesianProduct" not in plan, plan[:1500]

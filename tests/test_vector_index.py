@@ -10,7 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from serverless_datalake_aws_spark.engine import DataLakeEngine
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, plan_of
 
 
 @pytest.fixture()
@@ -55,9 +55,7 @@ def test_probe_reads_only_probed_cells(spark, engine):
     # partition pruning: the cid predicate must land in the scan's
     # PartitionFilters (inputFiles() lists the relation UNPRUNED, so
     # the plan is the only honest witness)
-    plan = out._sc._jvm.PythonSQLUtils.explainString(
-        out._jdf.queryExecution(), "formatted"
-    )
+    plan = plan_of(out)
     part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert part_lines and "cid" in part_lines[0], plan[:2000]
     # and the probed cell count is what nprobe asked for
@@ -80,3 +78,43 @@ def test_zero_norm_query_refused(spark, engine):
     engine.build_vector_index(_emb(spark), n_cells=2)
     with pytest.raises(ValueError, match="zero-norm"):
         engine.vector_search([0.0] * 64)
+
+
+def test_nprobe_must_be_positive(spark, engine):
+    engine.build_vector_index(_emb(spark), n_cells=2)
+    with pytest.raises(ValueError, match="nprobe"):
+        engine.vector_search([1.0] * 64, nprobe=0)
+
+
+def test_rebuild_publishes_atomically_and_gcs_old_version(spark, engine):
+    emb = _emb(spark)
+    engine.build_vector_index(emb, n_cells=2)
+    v1 = engine._vector_current("default")
+    engine.build_vector_index(emb, n_cells=4)
+    v2 = engine._vector_current("default")
+    assert v1 != v2
+    import pathlib
+
+    assert not pathlib.Path(v1).exists()  # superseded version GC'd
+    # the live version is self-consistent: cells' cids == codebook cids
+    cells_cids = {
+        r["cid"]
+        for r in spark.read.parquet(f"{v2}/cells").select("cid").distinct().collect()
+    }
+    cb_cids = {
+        r["cid"] for r in spark.read.parquet(f"{v2}/codebook").collect()
+    }
+    assert cells_cids <= cb_cids and len(cb_cids) == 4
+
+
+def test_search_before_build_fails_loudly(spark, engine):
+    with pytest.raises(FileNotFoundError, match="no vector index"):
+        engine.vector_search([1.0] * 64)
+
+
+def test_remote_root_refused(spark):
+    from serverless_datalake_aws_spark.engine import DataLakeEngine
+
+    eng = DataLakeEngine(spark, "s3a://bucket/lake")
+    with pytest.raises(NotImplementedError, match="conditional-PUT"):
+        eng.build_vector_index(_emb(spark))
