@@ -389,3 +389,113 @@ def m12_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_M13_NQ = 5
+_M13_CELLS = 8
+_M13_NPROBE = 2
+_M13_TOPK = 5
+
+
+@query(
+    "m13_vector_index_search",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id AS cid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings WHERE vec_id < {_M13_CELLS}),
+    en AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+        FROM (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings)),
+    asims AS (
+        SELECT en.vec_id, c.cid,
+               round(CASE WHEN en.nrm = 0 THEN 0
+                     ELSE list_dot_product(c.cv, en.v)
+                          / (sqrt(list_dot_product(c.cv, c.cv)) * en.nrm)
+                     END, 6) AS sim
+        FROM en CROSS JOIN c),
+    assign AS (
+        SELECT vec_id, cid FROM asims
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, cid) = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+          FROM en WHERE vec_id < {_M13_NQ}),
+    probes AS (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY round(list_dot_product(c.cv, q.qv)
+                       / (sqrt(list_dot_product(c.cv, c.cv)) * q.qn), 6)
+                       DESC, c.cid) AS pr
+        FROM q CROSS JOIN c),
+    cand AS (
+        SELECT p.query_id, en.vec_id, a.cid,
+               round(list_dot_product(en.v, q.qv) / (en.nrm * q.qn), 6)
+                   AS score
+        FROM assign a
+        JOIN (SELECT query_id, cid FROM probes WHERE pr <= {_M13_NPROBE}) p
+          ON a.cid = p.cid
+        JOIN en ON en.vec_id = a.vec_id
+        JOIN q ON q.query_id = p.query_id
+        WHERE en.nrm > 0)
+    SELECT query_id, vec_id, cid, score, rk
+    FROM (SELECT query_id, vec_id, cid, score,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, vec_id) AS BIGINT) AS rk
+          FROM cand)
+    WHERE rk <= {_M13_TOPK}
+    ORDER BY query_id, rk
+    """,
+)
+def m13_vector_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's IVF knn surface end-to-end, value-oracled:
+    build_vector_index lands the embeddings as cell-partitioned parquet
+    behind an atomic versioned pointer, then {_M13_NQ} queries each
+    probe their {_M13_NPROBE} nearest cells and return exact-cosine
+    top-{_M13_TOPK} — the m07 pattern (engine API exercised inside a
+    registered query) applied to vector search. The oracle replays the
+    whole path in SQL: s05's rounded-cosine cell assignment, the
+    per-query cell ranking, and the probe-restricted exact scoring —
+    matching rows prove the pointer resolution, partition layout, cell
+    routing, and scoring all compose correctly, not just each piece in
+    isolation (tests/test_vector_index.py covers those).
+
+    Scale: the probe scan reads only the probed cells' partitions
+    (PartitionFilters, plan-asserted); per-query cost ∝ probed-cell
+    population. The build is the one corpus-wide pass (the m10/m12
+    registration-wall convention: in-query table builds are the
+    measured cost, the serving legs are sub-second)."""
+    from serverless_datalake_aws_spark.engine import DataLakeEngine
+    from pyspark.sql.window import Window as W
+
+    emb = table(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="m13_")
+    try:
+        eng = DataLakeEngine(spark, work)
+        eng.build_vector_index(emb, n_cells=_M13_CELLS)
+        qrows = sorted(
+            (r["vec_id"], r["embedding"])
+            for r in emb.filter(F.col("vec_id") < _M13_NQ)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        parts = [
+            eng.vector_search(
+                [float(x) for x in qv], k=_M13_TOPK, nprobe=_M13_NPROBE
+            ).withColumn("query_id", F.lit(qid))
+            for qid, qv in qrows
+        ]
+        unioned = parts[0]
+        for p in parts[1:]:
+            unioned = unioned.unionByName(p)
+        w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
+        out = (
+            unioned.select("query_id", "vec_id", "cid", "score")
+            .withColumn("rk", F.row_number().over(w).cast("long"))
+            .orderBy("query_id", "rk")
+        )
+        rows = out.collect()  # materialize before the workdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
