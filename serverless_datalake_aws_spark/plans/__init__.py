@@ -152,6 +152,8 @@ DRIVER_SAMPLE_ALIASES: dict[str, str] = {
     # round-9 session additions, never externally sampled
     "a31_st19_stream_ivf_cell_index": "st19_stream_ivf_cell_index",
     "a32_x11_stemmed_search": "x11_stemmed_search",
+    "a33_st20_stream_semantic_dedup": "st20_stream_semantic_dedup",
+    "a34_m13_vector_index_search": "m13_vector_index_search",
 }
 
 

@@ -1475,3 +1475,160 @@ def st19_stream_ivf_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_ST20_STRIDE = 256  # s18's seed convention: every 256th vec_id
+_ST20_THR = 0.40  # within-cluster cosine threshold (s18's _EPS)
+
+
+@query(
+    "st20_stream_semantic_dedup",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings),
+    n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+    seeds AS (SELECT vec_id AS cluster, e AS c, nrm AS cnrm
+              FROM n WHERE vec_id % {_ST20_STRIDE} = 0),
+    best AS (
+      SELECT vec_id, cluster, e, nrm FROM (
+        SELECT n.vec_id, s.cluster, n.e, n.nrm,
+               round(list_dot_product(n.e, s.c) / (n.nrm * s.cnrm), 6) AS cs
+        FROM n, seeds s)
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, cluster) = 1)
+    SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+           round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos
+    FROM best a JOIN best b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE a.nrm > 0 AND b.nrm > 0
+      AND round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6)
+          >= {_ST20_THR}
+    ORDER BY vec1, vec2
+    """,
+)
+def st20_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup on ingest — the EMBEDDING member of the
+    maintained-dedup trio (st13 exact hashes, st15 MinHash text,
+    st20 embedding cosine = SemDeDup's pair discovery as a stream):
+    each embedding micro-batch cluster-assigns against s18's frozen
+    stride seeds, probes the persisted per-cluster index for
+    cross-batch ε-similar pairs, self-joins within the batch, and
+    appends its vectors to the index — every semantic duplicate pair
+    is known the moment its SECOND member arrives, history never
+    re-embedded or re-scanned.
+
+    State rides EpochPartitionedTable (st15's machinery): absorption
+    idempotent per epoch, a crash mid-absorb leaves the uncommitted
+    epoch invisible. Each unordered pair surfaces exactly once (when
+    its later shard lands), so the union of per-epoch pair sets must
+    equal the from-scratch SemDeDup pair set — the oracle replays
+    s18's assignment + within-cluster pairwise cosine in SQL.
+
+    Scale: the cluster key bounds the candidate join exactly as s18's
+    clusters bound the batch op (cost Σ|c_batch|·|c_index|, never
+    all-pairs); at production width feed the candidates through s18's
+    per-cluster applyInPandas matmul instead of the expression-level
+    dot used here at fixture scale."""
+    import shutil
+    import tempfile
+
+    from serverless_datalake_aws_spark.catalog import table
+    from serverless_datalake_aws_spark.functions import vector as VX
+    from serverless_datalake_aws_spark.operators.incremental import (
+        EpochPartitionedTable,
+    )
+
+    work = tempfile.mkdtemp(prefix="st20_")
+    try:
+        emb = table(spark, sf_dir, "embeddings")
+        seeds = [
+            (r["vec_id"], r["embedding"])
+            for r in emb.filter(F.col("vec_id") % _ST20_STRIDE == 0)
+            .select("vec_id", "embedding")
+            .collect()
+        ]
+        src = f"{work}/emb_shards"
+        emb.select("vec_id", "embedding").repartition(4).write.parquet(src)
+        ept = EpochPartitionedTable(spark, f"{work}/state")
+
+        def _pairs(left: DataFrame, right: DataFrame) -> DataFrame:
+            """ε-similar (vec1 < vec2) pairs across two assigned sides,
+            joined on the cluster key only."""
+            a = left.select(
+                F.col("cid").alias("_cid"),
+                F.col("vec_id").alias("_id1"),
+                F.col("embedding").alias("_e1"),
+                F.col("nrm").alias("_n1"),
+            )
+            b = right.select(
+                F.col("cid").alias("_cid"),
+                F.col("vec_id").alias("_id2"),
+                F.col("embedding").alias("_e2"),
+                F.col("nrm").alias("_n2"),
+            )
+            cos = F.round(
+                VX.dot(F.col("_e1"), F.col("_e2"))
+                / (F.col("_n1") * F.col("_n2")),
+                6,
+            )
+            return (
+                a.join(b, "_cid")
+                .filter(
+                    (F.col("_id1") != F.col("_id2"))
+                    & (F.col("_n1") > 0)
+                    & (F.col("_n2") > 0)
+                )
+                .select(
+                    F.least("_id1", "_id2").alias("vec1"),
+                    F.greatest("_id1", "_id2").alias("vec2"),
+                    cos.alias("cos"),
+                )
+                .filter(F.col("cos") >= _ST20_THR)
+                .dropDuplicates(["vec1", "vec2"])
+            )
+
+        def _absorb(batch: DataFrame, eid: int) -> None:
+            if eid <= ept.committed():
+                return  # retry of an absorbed epoch
+            assigned = VX.nearest_centroid(batch, seeds).cache()
+            try:
+                old = ept.read("vecs", upto=ept.committed())
+                pairs = _pairs(assigned, assigned)
+                if old is not None:
+                    pairs = pairs.unionByName(
+                        _pairs(assigned, old)
+                    ).dropDuplicates(["vec1", "vec2"])
+                ept.write(pairs, "pairs", eid)
+                ept.write(
+                    assigned.select("vec_id", "embedding", "nrm", "cid"),
+                    "vecs",
+                    eid,
+                )
+                ept.commit(eid)
+            finally:
+                assigned.unpersist()
+
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(_absorb)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, 300)
+        out = ept.read("pairs", upto=ept.committed())
+        if out is None:
+            return spark.createDataFrame(
+                [], "vec1 long, vec2 long, cos double"
+            )
+        out = out.orderBy("vec1", "vec2")
+        rows = out.collect()  # materialize before the workdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
