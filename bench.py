@@ -65,6 +65,12 @@ HEADLINE = (
     "s24_sq8_ann_rerank",
     "m07_stats_pruned_scan",
     "d20_repeated_substring_spans",
+    # round-9 additions (m13/st19/st20) are deliberately NOT headline
+    # rows: m13's 12 s wall is 5 sequential serving calls each paying
+    # the per-call job-dispatch floor (the API's real shape, measured
+    # properly at 2M vectors in tools/probe_vector_index.py), and the
+    # st entries are stream drains — both would read as plan cost in a
+    # throughput table. Correctness rides the oracle gate instead.
 )
 
 # The round-over-round continuity subset (VERDICT r8 item 8): the 28

@@ -118,3 +118,28 @@ def test_remote_root_refused(spark):
     eng = DataLakeEngine(spark, "s3a://bucket/lake")
     with pytest.raises(NotImplementedError, match="conditional-PUT"):
         eng.build_vector_index(_emb(spark))
+
+
+def test_crashed_rebuild_leaves_previous_version_live(spark, engine):
+    """A rebuild that dies after writing its version dir but BEFORE the
+    pointer swap must leave the old index fully serving (the reason the
+    publish is pointer-based at all)."""
+    import json
+    import pathlib
+    import uuid
+
+    emb = _emb(spark)
+    engine.build_vector_index(emb, n_cells=2)
+    v1 = engine._vector_current("default")
+    ptr = pathlib.Path(engine.vector_index_path("default"), "_LATEST")
+    before = json.loads(ptr.read_text())
+    # simulate the crash window: an orphan version dir with data but no
+    # pointer swap (exactly what a killed build_vector_index leaves)
+    orphan = pathlib.Path(
+        engine.vector_index_path("default"), f"v-{uuid.uuid4().hex[:12]}"
+    )
+    (orphan / "cells").mkdir(parents=True)
+    assert json.loads(ptr.read_text()) == before  # pointer untouched
+    assert engine._vector_current("default") == v1
+    q = [float(x) for x in emb.first()["embedding"]]
+    assert engine.vector_search(q, k=3, nprobe=2).count() == 3
