@@ -2387,6 +2387,24 @@ class DataLakeEngine:
             )
         return f"{path}/{json.loads(ptr.read_text())['version']}"
 
+    def _vector_codebook(self, base: str) -> list:
+        """Codebook rows for a RESOLVED version path, cached driver-side:
+        version dirs are immutable (a rebuild mints a new dir and swaps
+        the pointer), so the cache key — the versioned path itself —
+        can never serve stale centroids. Saves one Spark job per
+        serving call (the probe's ~1.3 s per-call floor was half this
+        read on local[32])."""
+        cache = getattr(self, "_vector_cb_cache", None)
+        if cache is None:
+            cache = self._vector_cb_cache = {}
+        if base not in cache:
+            if len(cache) > 8:  # a handful of live (name, version) pairs
+                cache.clear()
+            cache[base] = self.spark.read.parquet(
+                f"{base}/codebook"
+            ).collect()
+        return cache[base]
+
     def build_vector_index(
         self,
         df: DataFrame,
@@ -2520,7 +2538,7 @@ class DataLakeEngine:
         if qn == 0.0:
             raise ValueError("zero-norm query vector has no cosine order")
         base = self._vector_current(name)
-        cb = self.spark.read.parquet(f"{base}/codebook").collect()
+        cb = self._vector_codebook(base)
         ranked = sorted(
             (
                 -round(
