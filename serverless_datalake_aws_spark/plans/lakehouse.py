@@ -467,7 +467,6 @@ def m13_vector_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     registration-wall convention: in-query table builds are the
     measured cost, the serving legs are sub-second)."""
     from serverless_datalake_aws_spark.engine import DataLakeEngine
-    from pyspark.sql.window import Window as W
 
     emb = table(spark, sf_dir, "embeddings")
     work = tempfile.mkdtemp(prefix="m13_")
@@ -480,21 +479,11 @@ def m13_vector_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "embedding")
             .collect()
         )
-        parts = [
-            eng.vector_search(
-                [float(x) for x in qv], k=_M13_TOPK, nprobe=_M13_NPROBE
-            ).withColumn("query_id", F.lit(qid))
-            for qid, qv in qrows
-        ]
-        unioned = parts[0]
-        for p in parts[1:]:
-            unioned = unioned.unionByName(p)
-        w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
-        out = (
-            unioned.select("query_id", "vec_id", "cid", "score")
-            .withColumn("rk", F.row_number().over(w).cast("long"))
-            .orderBy("query_id", "rk")
-        )
+        out = eng.vector_search_batch(
+            [(qid, qv) for qid, qv in qrows],
+            k=_M13_TOPK,
+            nprobe=_M13_NPROBE,
+        ).select("query_id", "vec_id", "cid", "score", "rk")
         rows = out.collect()  # materialize before the workdir vanishes
         return spark.createDataFrame(rows, out.schema)
     finally:

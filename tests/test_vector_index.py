@@ -143,3 +143,26 @@ def test_crashed_rebuild_leaves_previous_version_live(spark, engine):
     assert engine._vector_current("default") == v1
     q = [float(x) for x in emb.first()["embedding"]]
     assert engine.vector_search(q, k=3, nprobe=2).count() == 3
+
+
+def test_batch_search_matches_per_query_search(spark, engine):
+    """vector_search_batch must reproduce vector_search row-for-row per
+    query — one job, same cell routing, scoring, and order."""
+    emb = _emb(spark)
+    engine.build_vector_index(emb, n_cells=4)
+    queries = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    ]
+    batch = {
+        (r["query_id"], r["rk"]): (r["vec_id"], r["score"])
+        for r in engine.vector_search_batch(queries, k=3, nprobe=2).collect()
+    }
+    for qid, qv in queries:
+        per = engine.vector_search(qv, k=3, nprobe=2).collect()
+        for i, r in enumerate(per, start=1):
+            assert batch[(qid, i)] == (r["vec_id"], r["score"])
+    with pytest.raises(ValueError, match="empty"):
+        engine.vector_search_batch([])
+    with pytest.raises(ValueError, match="query_id=9"):
+        engine.vector_search_batch([(9, [0.0] * 64)])
