@@ -29,10 +29,12 @@ from serverless_datalake_aws_spark.plans import query
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           -- exact decimal image: the day-per-type float sum is
-           -- order-dependent at the 4dp rounding scale (e10 discipline)
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
-               AS sum_value
+           -- scaled-integer sum: the day-per-type float sum is
+           -- order-dependent at the 4dp rounding scale; q01's
+           -- floor(x*scale + 0.5) BIGINT pattern is order-free and
+           -- bit-identical across engines without the DECIMAL detour
+           CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 10000 AS sum_value
     FROM events
     WHERE ts >= (SELECT MIN(ts) + INTERVAL 1 DAY FROM events)
       AND ts <  (SELECT MIN(ts) + INTERVAL 2 DAY FROM events)
@@ -60,9 +62,6 @@ def m07_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = table(spark, sf_dir, "events")
-    min_ts = ev.agg(F.min("ts")).first()[0]
-    lo = min_ts + dt.timedelta(days=1)
-    hi = min_ts + dt.timedelta(days=2)
     work = tempfile.mkdtemp(prefix="m07_")
     try:
         # sticky like catalog.table's conf pins: the driver's plain
@@ -76,17 +75,37 @@ def m07_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             8, "ts"
         ).write.parquet(f"{work}/events")
         stats = collect_file_stats(spark, f"{work}/events")
+        # materialize the index ONCE: collect_file_stats is a lazy
+        # mapInPandas plan, and every downstream action (the min below,
+        # prune_files inside pruned_scan) would re-run the whole footer
+        # pass through fresh Python workers. The index is metadata-scale
+        # (#files × #cols rows) so a local copy is the honest analogue
+        # of persisting the stats table next to the data.
+        stats = spark.createDataFrame(stats.collect(), stats.schema)
+        # the zone maps already hold the global min(ts) — read it from
+        # the metadata-scale stats table (min over #files rows) instead
+        # of paying a second full scan of events just to place the day
+        # window (footer min is the exact column min; ts canonicalizes
+        # to unix micros per collect_file_stats)
+        min_us = (
+            stats.filter(F.col("column") == "ts")
+            .agg(F.min(F.col("min_v").cast("long")))
+            .first()[0]
+        )
+        min_ts = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=min_us)
+        lo = min_ts + dt.timedelta(days=1)
+        hi = min_ts + dt.timedelta(days=2)
         out = (
             pruned_scan(spark, f"{work}/events", stats, "ts", lo=lo, hi=hi)
             .filter(F.col("ts") < F.lit(hi))
             .groupBy("event_type")
             .agg(
                 F.count("*").alias("n_events"),
-                F.round(
-                    F.sum(F.col("value").cast("decimal(18,6)")), 4
-                )
-                .cast("double")
-                .alias("sum_value"),
+                (
+                    F.sum(F.floor(F.col("value") * 10000 + 0.5).cast("long"))
+                    .cast("double")
+                    / 10000
+                ).alias("sum_value"),
             )
             .orderBy("event_type")
         )

@@ -40,14 +40,17 @@ def _r4(col):
            round(sum(l_quantity), 4)                                        AS sum_qty,
            -- scaled-integer sums: these reach multi-1e9 by sf0.1, where a
            -- double sum's 4th decimal flips with accumulation order
-           -- (parity-trap "big double sums"); round-to-integer of the
-           -- SAME double product is order-free and engine-identical
-           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
-               / 100                                                        AS sum_base_price,
-           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
-                         AS BIGINT)) AS DOUBLE) / 10000                     AS sum_disc_price,
-           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
-                               * (1 + l_tax) * 1000000)
+           -- (parity-trap "big double sums"); floor(x*scale + 0.5) is pure
+           -- IEEE FP (bit-identical in both engines) and integer
+           -- accumulation is order-free. floor+0.5 instead of round():
+           -- Spark's round(double) detours through BigDecimal per row
+           -- (measured ~1.6x on this scan-agg), floor stays in codegen.
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100                                            AS sum_base_price,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                               + 0.5) AS BIGINT)) AS DOUBLE) / 10000        AS sum_disc_price,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                               * (1 + l_tax) * 1000000 + 0.5)
                          AS BIGINT)) AS DOUBLE) / 1000000                   AS sum_charge,
            round(avg(l_quantity), 4)                                        AS avg_qty,
            round(avg(l_extendedprice), 4)                                   AS avg_price,
@@ -74,21 +77,23 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             _r4(F.sum("l_quantity")).alias("sum_qty"),
             # scaled-integer sums (see oracle note): exact BIGINT
-            # accumulation, one deterministic int->double cast at the end
+            # accumulation, one deterministic int->double cast at the end;
+            # floor(x+0.5) not round() — round(double) leaves whole-stage
+            # codegen for a per-row BigDecimal detour
             (
-                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+                F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
                 .cast("double")
                 / 100
             ).alias("sum_base_price"),
             (
-                F.sum(F.round(disc_price * 10000, 0).cast("long"))
+                F.sum(F.floor(disc_price * 10000 + 0.5).cast("long"))
                 .cast("double")
                 / 10000
             ).alias("sum_disc_price"),
             (
                 F.sum(
-                    F.round(
-                        disc_price * (1 + F.col("l_tax")) * 1000000, 0
+                    F.floor(
+                        disc_price * (1 + F.col("l_tax")) * 1000000 + 0.5
                     ).cast("long")
                 )
                 .cast("double")

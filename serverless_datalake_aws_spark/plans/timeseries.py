@@ -19,12 +19,16 @@ from serverless_datalake_aws_spark.plans import query
     "e07_linear_interpolation",
     oracle="""
     WITH hourly AS (
-      -- exact-decimal sum / count instead of avg(double): the
+      -- scaled-integer sum / count instead of avg(double): the
       -- interpolation hits .xxx5 midpoints systematically and a 1-ulp
-      -- accumulation-order difference in v would flip the 3dp round
+      -- accumulation-order difference in v would flip the 3dp round.
+      -- floor(x*1e6 + 0.5) is pure IEEE FP (bit-identical in both
+      -- engines, stays in codegen) and the BIGINT sum is order-free —
+      -- same pattern as q01; the DECIMAL(18,6) image it replaces paid
+      -- a per-row BigDecimal detour
       SELECT user_id, date_trunc('hour', ts) AS h,
-             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                 / count(value) AS v
+             CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 1000000 / count(value) AS v
       FROM events WHERE user_id < 5 GROUP BY 1, 2
     ),
     bounds AS (
@@ -56,13 +60,13 @@ from serverless_datalake_aws_spark.plans import query
     )
     SELECT user_id, strftime(h, '%Y-%m-%dT%H:%M:%S') AS hour,
            (v IS NULL) AS interpolated,
-           CAST(round(CAST(CASE
+           CAST(CAST(floor((CASE
              WHEN v IS NOT NULL THEN v
              WHEN prev_v IS NULL THEN next_v
              WHEN next_v IS NULL THEN prev_v
              WHEN next_p = prev_p THEN prev_v
              ELSE prev_v + (next_v - prev_v) * (pos - prev_p) / (next_p - prev_p)
-           END AS DECIMAL(18,6)), 3) AS DOUBLE) AS v_filled
+           END) * 1000 + 0.5) AS BIGINT) AS DOUBLE) / 1000 AS v_filled
     FROM w
     """,
 )
@@ -83,7 +87,9 @@ def e07_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
         .agg(
             (
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                F.sum(F.floor(F.col("value") * 1000000 + 0.5).cast("long"))
+                .cast("double")
+                / 1000000
                 / F.count("value")
             ).alias("v")
         )
@@ -130,10 +136,14 @@ def e07_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("h", "yyyy-MM-dd'T'HH:mm:ss").alias("hour"),
         F.col("v").isNull().alias("interpolated"),
-        # rounding-rule parity: HALF_UP on an exact decimal image of the
-        # double (a bare round() on doubles disagrees between engines at
-        # .xxx5 midpoints, which interpolation hits systematically)
-        F.round(filled.cast("decimal(18,6)"), 3).cast("double").alias("v_filled"),
+        # rounding-rule parity: floor(x*1000 + 0.5) is the same IEEE op
+        # chain in both engines, so the 3dp round can't diverge at .xxx5
+        # midpoints (a bare round() on doubles disagrees between engines
+        # there; a DECIMAL image agrees but pays a per-row BigDecimal
+        # detour outside codegen)
+        (F.floor(filled * 1000 + 0.5).cast("long").cast("double") / 1000).alias(
+            "v_filled"
+        ),
     )
 
 
@@ -325,10 +335,12 @@ def e09_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
            arg_max(value, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
                    || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
            count(*) AS n,
-           -- exact decimal image for the order-dependent float sum
-           -- (the e10 discipline)
-           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
-               AS volume
+           -- scaled-integer sum for the order-dependent float sum: the
+           -- q01 floor(x*scale + 0.5) pattern — exact BIGINT
+           -- accumulation, bit-identical per-row image in both engines,
+           -- no per-row DECIMAL detour
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 10000 AS volume
     FROM events
     GROUP BY 1, 2
     """,
@@ -361,9 +373,11 @@ def e11_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low"),
         F.max_by("value", tie).alias("close"),
         F.count("*").alias("n"),
-        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
-        .cast("double")
-        .alias("volume"),
+        (
+            F.sum(F.floor(F.col("value") * 10000 + 0.5).cast("long"))
+            .cast("double")
+            / 10000
+        ).alias("volume"),
     )
 
 
