@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import shutil
+import time as _time
 import uuid
 from datetime import datetime, timezone
 from pathlib import Path
@@ -2433,6 +2434,16 @@ class DataLakeEngine:
         conditional PUT of the pointer object (documented refusal, the
         dedup_zone pattern).
 
+        Superseded versions are NOT deleted at swap time:
+        `vector_search` returns lazy DataFrames, and a reader that
+        resolved the old pointer may still be mid-scan when the swap
+        lands — deleting under it turns a rebuild into the reader's
+        FileNotFoundException (the Delta VACUUM-retention rationale).
+        Publish instead sweeps versions via `vacuum_vector_index`,
+        which reclaims only unreferenced dirs whose newest write is
+        older than the grace window; call it with `grace_seconds=0`
+        for immediate reclaim when no reader can be live.
+
         Scale: assignment is one Arrow-batched BLAS pass (codebook
         rides the closure); the only data movement is the partitioned
         write's shuffle on cid. At 100 TB: raise n_cells so cells stay
@@ -2457,6 +2468,19 @@ class DataLakeEngine:
         ]
         if len(cent_rows) < 1:
             raise ValueError("cannot build a vector index from zero rows")
+        # quantize the centroids to the PERSISTED precision (the
+        # codebook lands as array<float>) before assignment, so build,
+        # append (which re-reads the codebook), and serving's cell
+        # ranking all share one quantization — with float64 source
+        # embeddings, assigning against full-precision centroids here
+        # could route a near-tie vector to a cell the float32-ranked
+        # query side disagrees with
+        import numpy as _np
+
+        cent_rows = [
+            (cid, [float(_np.float32(x)) for x in emb])
+            for cid, emb in cent_rows
+        ]
         from serverless_datalake_aws_spark.functions import vector as VX
 
         path = self.vector_index_path(name)
@@ -2468,20 +2492,86 @@ class DataLakeEngine:
             cent_rows, "cid long, embedding array<float>"
         ).coalesce(1).write.parquet(f"{base}/codebook")
         n = self.spark.read.parquet(f"{base}/cells").count()  # footer count
-        prev = None
         ptr = Path(path, "_LATEST")
-        if ptr.exists():
-            prev = json.loads(ptr.read_text())["version"]
         tmp = Path(path, f"._LATEST.{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
             json.dump({"version": version}, fh)
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, ptr)
-        if prev and prev != version:  # GC the superseded version
-            shutil.rmtree(Path(path, prev), ignore_errors=True)
+        # grace-based sweep, never an immediate delete of the
+        # superseded version (live readers — see docstring); also
+        # reclaims aged-out crash orphans and stale pointer temps the
+        # old previous-pointer-only GC leaked forever
+        self.vacuum_vector_index(name)
         self._log_lineage("build_vector_index", "-", f"{base}/cells", n)
         return n
+
+    # reader grace before a superseded/orphaned index version is
+    # reclaimed: a lazy DataFrame resolved against the old version must
+    # get this long to finish its scan after a rebuild (consume search
+    # results within this window of a rebuild, or re-plan). Matches the
+    # zone-table convention (sources/versioning._CLAIM_TTL).
+    VECTOR_GC_GRACE = 3600.0
+
+    def vacuum_vector_index(
+        self, name: str = "default", grace_seconds: float | None = None
+    ) -> list[str]:
+        """Reclaim vector-index versions no longer referenced by the
+        `_LATEST` pointer — superseded versions left for reader grace,
+        crashed-build orphans that never published, and stale
+        `._LATEST.*` pointer temps. A dir is reclaimed only when its
+        NEWEST write (max mtime across the tree) is older than
+        `grace_seconds`: a superseded version ages from its last write,
+        and a concurrent in-flight build keeps its dir's mtimes fresh,
+        so neither a live reader's grace window nor a live writer's
+        staging dir is pulled out from under them (the
+        sources/versioning claim-grace semantics, keyed on mtime
+        because builds here don't claim). Returns reclaimed paths."""
+        import os
+        import shutil
+
+        grace = self.VECTOR_GC_GRACE if grace_seconds is None else grace_seconds
+        path = Path(self.vector_index_path(name))
+        if not path.exists():
+            return []
+        current = None
+        ptr = path / "_LATEST"
+        if ptr.exists():
+            import json
+
+            current = json.loads(ptr.read_text())["version"]
+        now = _time.time()
+
+        def _newest_mtime(p: Path) -> float:
+            newest = p.stat().st_mtime
+            for dirpath, _dirs, files in os.walk(p):
+                for f in files:
+                    try:
+                        newest = max(
+                            newest, os.stat(os.path.join(dirpath, f)).st_mtime
+                        )
+                    except FileNotFoundError:
+                        pass  # racing writer/cleaner; skip
+            return newest
+
+        reclaimed: list[str] = []
+        for entry in sorted(path.iterdir()):
+            if entry.name == current or entry.name == "_LATEST":
+                continue
+            is_version = entry.is_dir() and entry.name.startswith("v-")
+            is_ptr_tmp = entry.is_file() and entry.name.startswith("._LATEST.")
+            if not (is_version or is_ptr_tmp):
+                continue
+            age = now - (_newest_mtime(entry) if is_version else entry.stat().st_mtime)
+            if age < grace:
+                continue
+            if is_version:
+                shutil.rmtree(entry, ignore_errors=True)
+            else:
+                entry.unlink(missing_ok=True)
+            reclaimed.append(str(entry))
+        return reclaimed
 
     def add_to_vector_index(self, df: DataFrame, name: str = "default",
                             id_col: str = "vec_id",
@@ -2615,6 +2705,13 @@ class DataLakeEngine:
             raise ValueError(f"nprobe must be >= 1, got {nprobe}")
         if not queries:
             raise ValueError("empty query set")
+        qids = [int(qid) for qid, _qv in queries]
+        if len(set(qids)) != len(qids):
+            # two vectors under one id would silently interleave through
+            # the broadcast probe map and qtab joins (row_number then
+            # mixes both vectors' scores in one partition)
+            dups = sorted({q for q in qids if qids.count(q) > 1})
+            raise ValueError(f"duplicate query_id(s): {dups}")
         base = self._vector_current(name)
         cb = self._vector_codebook(base)
         probe_rows, q_rows = [], []

@@ -86,7 +86,7 @@ def test_nprobe_must_be_positive(spark, engine):
         engine.vector_search([1.0] * 64, nprobe=0)
 
 
-def test_rebuild_publishes_atomically_and_gcs_old_version(spark, engine):
+def test_rebuild_publishes_atomically_and_vacuum_gcs_old_version(spark, engine):
     emb = _emb(spark)
     engine.build_vector_index(emb, n_cells=2)
     v1 = engine._vector_current("default")
@@ -95,7 +95,13 @@ def test_rebuild_publishes_atomically_and_gcs_old_version(spark, engine):
     assert v1 != v2
     import pathlib
 
-    assert not pathlib.Path(v1).exists()  # superseded version GC'd
+    # reader grace: the swap must NOT delete the superseded version —
+    # a lazy DataFrame resolved against it may still be scanning
+    assert pathlib.Path(v1).exists()
+    reclaimed = engine.vacuum_vector_index(grace_seconds=0)
+    assert str(v1) in [str(pathlib.Path(p)) for p in reclaimed]
+    assert not pathlib.Path(v1).exists()  # explicit vacuum reclaims it
+    assert pathlib.Path(v2).exists()  # never the live version
     # the live version is self-consistent: cells' cids == codebook cids
     cells_cids = {
         r["cid"]
@@ -143,6 +149,51 @@ def test_crashed_rebuild_leaves_previous_version_live(spark, engine):
     assert engine._vector_current("default") == v1
     q = [float(x) for x in emb.first()["embedding"]]
     assert engine.vector_search(q, k=3, nprobe=2).count() == 3
+
+
+def test_reader_survives_rebuild(spark, engine):
+    """A DataFrame planned against the old version must still collect
+    after a rebuild publishes a new one (the Delta VACUUM-retention
+    rationale): GC is grace-based, not an immediate delete at swap."""
+    emb = _emb(spark)
+    engine.build_vector_index(emb, n_cells=2)
+    q = [float(x) for x in emb.first()["embedding"]]
+    old_reader = engine.vector_search(q, k=3, nprobe=2)  # lazy, old version
+    engine.build_vector_index(emb, n_cells=4)  # swap + grace sweep
+    assert old_reader.count() == 3  # old files still on disk
+
+
+def test_vacuum_honors_grace_and_sweeps_orphans(spark, engine):
+    """vacuum reclaims aged-out unreferenced version dirs and stale
+    pointer temps, but leaves anything younger than the grace window
+    (a fresh orphan may be a concurrent in-flight build)."""
+    import pathlib
+    import uuid
+
+    emb = _emb(spark)
+    engine.build_vector_index(emb, n_cells=2)
+    root = pathlib.Path(engine.vector_index_path("default"))
+    orphan = root / f"v-{uuid.uuid4().hex[:12]}"
+    (orphan / "cells").mkdir(parents=True)
+    (orphan / "cells" / "part-0.parquet").write_bytes(b"x")
+    stale_tmp = root / "._LATEST.deadbeef"
+    stale_tmp.write_text("{}")
+    # within grace: both survive (in-flight build / unexpired reader)
+    assert engine.vacuum_vector_index(grace_seconds=3600) == []
+    assert orphan.exists() and stale_tmp.exists()
+    # past grace: both reclaimed, live version untouched
+    reclaimed = {pathlib.Path(p).name for p in engine.vacuum_vector_index(grace_seconds=0)}
+    assert reclaimed == {orphan.name, stale_tmp.name}
+    assert not orphan.exists() and not stale_tmp.exists()
+    assert pathlib.Path(engine._vector_current("default")).exists()
+
+
+def test_batch_search_rejects_duplicate_query_ids(spark, engine):
+    emb = _emb(spark)
+    engine.build_vector_index(emb, n_cells=2)
+    q = [float(x) for x in emb.first()["embedding"]]
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        engine.vector_search_batch([(1, q), (1, q)], k=2)
 
 
 def test_batch_search_matches_per_query_search(spark, engine):
