@@ -65,12 +65,14 @@ HEADLINE = (
     "s24_sq8_ann_rerank",
     "m07_stats_pruned_scan",
     "d20_repeated_substring_spans",
-    # round-9 additions (m13/st19/st20) are deliberately NOT headline
-    # rows: m13's 12 s wall is 5 sequential serving calls each paying
-    # the per-call job-dispatch floor (the API's real shape, measured
-    # properly at 2M vectors in tools/probe_vector_index.py), and the
-    # st entries are stream drains — both would read as plan cost in a
-    # throughput table. Correctness rides the oracle gate instead.
+    # round-10: m13 joins the headline now that its serving side is ONE
+    # batched job (vector_search_batch) instead of 5 sequential calls
+    # each paying the job-dispatch floor; its number is dominated by the
+    # in-query index build (the m07/m10/m12 registration-wall
+    # convention). st19/st20 stay off the headline — stream drains read
+    # as plan cost in a throughput table; their drain times are recorded
+    # in SCALE.md and correctness rides the oracle gate.
+    "m13_vector_index_search",
 )
 
 # The round-over-round continuity subset (VERDICT r8 item 8): the 28
@@ -83,9 +85,9 @@ CONTINUITY_SUBSET = tuple(
     for n in HEADLINE
     if n
     not in (
-        "s24_sq8_ann_rerank",  # added r8
-        "m07_stats_pruned_scan",  # added r8
-        "d20_repeated_substring_spans",  # added r8
+        # (the r8 additions s24/m07/d20 joined the subset in r10, each
+        # carrying r8+r9 records to be continuous with)
+        "m13_vector_index_search",  # added r10, joins r11
     )
 )
 
@@ -175,6 +177,24 @@ def main() -> None:
             sum(timings[n] for n in CONTINUITY_SUBSET if n in timings), 3
         ),
         "continuity_subset_n": sum(1 for n in CONTINUITY_SUBSET if n in timings),
+        # apples-to-apples with the r7-r9 records: the same 28-query
+        # subset those rounds published, before s24/m07/d20 joined the
+        # subset in r10 (continuity_subset_n disambiguates which sum a
+        # record carries)
+        "continuity_subset_r9_total": round(
+            sum(
+                timings[n]
+                for n in CONTINUITY_SUBSET
+                if n in timings
+                and n
+                not in (
+                    "s24_sq8_ann_rerank",
+                    "m07_stats_pruned_scan",
+                    "d20_repeated_substring_spans",
+                )
+            ),
+            3,
+        ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": runs,
         "agg": "min",

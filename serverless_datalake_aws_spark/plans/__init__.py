@@ -114,46 +114,64 @@ def _load() -> None:
 # s24, Python-DataSource m09/st17, map-state st16, hidden-partition
 # m10, observed-quality st18, version-diff m11, MERGE-COW m12).
 DRIVER_SAMPLE_ALIASES: dict[str, str] = {
-    # Round-9 slate (VERDICT r8 #4): the 28 round-8-verified targets are
-    # retired; a06/a16 KEEP their round-8 names+targets so the external
-    # gate re-proves the decimal-output fix under the same row ids (a
-    # red row is retired by external proof, not rotation). The other 28
-    # slots rotate to never-externally-sampled representatives.
-    "a01_mm01_binary_metadata": "mm01_binary_metadata",
-    "a02_mm02_shard_distribution": "mm02_shard_distribution",
-    "a03_mm03_feature_extract": "mm03_feature_extract",
-    "a04_mm04_frame_sample": "mm04_frame_sample",
-    "a05_mm05_audio_chunk_windows": "mm05_audio_chunk_windows",
-    "a06_st10_stream_incremental_rollup": "st10_stream_incremental_rollup",
-    "a07_p01_sequence_packing": "p01_sequence_packing",
-    "a08_p02_pagerank": "p02_pagerank",
-    "a09_p05_training_data_pipeline": "p05_training_data_pipeline",
-    "a10_p07_dataset_datasheet": "p07_dataset_datasheet",
-    "a11_st04_stateful_user_stats": "st04_stateful_user_stats",
-    "a12_st05_stream_stream_join": "st05_stream_stream_join",
-    "a13_st07_stream_static_enrich": "st07_stream_static_enrich",
-    "a14_st11_stream_quality_monitor": "st11_stream_quality_monitor",
-    "a15_q38_approx_aggs": "q38_approx_aggs",
-    "a16_st14_stream_maintained_join": "st14_stream_maintained_join",
-    "a17_q70_variant_shred": "q70_variant_shred",
-    "a18_q82_dynamic_partition_pruning": "q82_dynamic_partition_pruning",
-    "a19_q84_bloom_runtime_filter": "q84_bloom_runtime_filter",
-    "a20_x03_bm25": "x03_bm25",
-    "a21_x09_hybrid_rrf": "x09_hybrid_rrf",
-    "a22_e05_funnel": "e05_funnel",
-    "a23_e16_rolling_wau": "e16_rolling_wau",
-    "a24_e22_funnel_pattern_regex": "e22_funnel_pattern_regex",
-    "a25_t31_sequence_packing": "t31_sequence_packing",
-    "a26_t33_token_runs_udtf": "t33_token_runs_udtf",
-    "a27_s10_mips_topk": "s10_mips_topk",
-    "a28_t18_winnowing_fingerprints": "t18_winnowing_fingerprints",
-    "a29_q67_linenumber_bitmaps": "q67_linenumber_bitmaps",
-    "a30_x05_proximity_search": "x05_proximity_search",
-    # round-9 session additions, never externally sampled
-    "a31_st19_stream_ivf_cell_index": "st19_stream_ivf_cell_index",
-    "a32_x11_stemmed_search": "x11_stemmed_search",
-    "a33_st20_stream_semantic_dedup": "st20_stream_semantic_dedup",
-    "a34_m13_vector_index_search": "m13_vector_index_search",
+    # Round-10 slate (VERDICT r9 #5): all 34 round-9 aliases are
+    # externally green in CORRECTNESS_r09.json — retired on proof. The
+    # slate expands to the full 50 driver-sample slots, every target
+    # drawn from the 108 registry entries with ZERO external driver
+    # rows through round 9 (union of CORRECTNESS_r0*.json, aNN_
+    # prefixes stripped), spanning every still-unsampled family:
+    # 12 q (windows/grouping-sets/percentiles/lateral/salted-join),
+    # 13 s (the ANN ladder's unsampled rungs), 5 st, 14 t, 6 x.
+    "a01_q22_stat_aggs": "q22_stat_aggs",
+    "a02_q23_grouping_sets": "q23_grouping_sets",
+    "a03_q24_rank_suite": "q24_rank_suite",
+    "a04_q31_argmax": "q31_argmax",
+    "a05_q34_local_supplier_volume": "q34_local_supplier_volume",
+    "a06_q42_month_spine_gapfill": "q42_month_spine_gapfill",
+    "a07_q46_market_share": "q46_market_share",
+    "a08_q52_higher_order_arrays": "q52_higher_order_arrays",
+    "a09_q53_exact_percentiles": "q53_exact_percentiles",
+    "a10_q59_lateral_topk": "q59_lateral_topk",
+    "a11_q65_running_distinct": "q65_running_distinct",
+    "a12_q68_salted_join": "q68_salted_join",
+    "a13_s03_embedding_neardup": "s03_embedding_neardup",
+    "a14_s04_label_centroids": "s04_label_centroids",
+    "a15_s06_quantization_error": "s06_quantization_error",
+    "a16_s07_range_search": "s07_range_search",
+    "a17_s08_pq_adc": "s08_pq_adc",
+    "a18_s09_kmeans_step": "s09_kmeans_step",
+    "a19_s11_ann_recall_audit": "s11_ann_recall_audit",
+    "a20_s12_knn_graph": "s12_knn_graph",
+    "a21_s13_kmeans_convergence": "s13_kmeans_convergence",
+    "a22_s14_quantized_recall": "s14_quantized_recall",
+    "a23_s15_coreset_prototypes": "s15_coreset_prototypes",
+    "a24_s16_bitext_mining": "s16_bitext_mining",
+    "a25_s17_ivf_multiprobe": "s17_ivf_multiprobe",
+    "a26_st02_stream_sessions": "st02_stream_sessions",
+    "a27_st03_stream_dedup": "st03_stream_dedup",
+    "a28_st06_stream_sliding_windows": "st06_stream_sliding_windows",
+    "a29_st08_stream_left_enrich_stub": "st08_stream_left_enrich_stub",
+    "a30_st09_stream_complete_counts": "st09_stream_complete_counts",
+    "a31_t01_token_stats": "t01_token_stats",
+    "a32_t02_term_frequencies": "t02_term_frequencies",
+    "a33_t03_quality_by_lang": "t03_quality_by_lang",
+    "a34_t05_bigram_counts": "t05_bigram_counts",
+    "a35_t08_hash_sample": "t08_hash_sample",
+    "a36_t11_bigram_pmi": "t11_bigram_pmi",
+    "a37_t13_stratified_split": "t13_stratified_split",
+    "a38_t15_bpe_pair_counts": "t15_bpe_pair_counts",
+    "a39_t17_unigram_perplexity": "t17_unigram_perplexity",
+    "a40_t20_trigram_langid": "t20_trigram_langid",
+    "a41_t23_count_min_heavy_hitters": "t23_count_min_heavy_hitters",
+    "a42_t25_quality_filter_report": "t25_quality_filter_report",
+    "a43_t28_pii_redaction": "t28_pii_redaction",
+    "a44_t32_lm_quality_score": "t32_lm_quality_score",
+    "a45_x01_term_search": "x01_term_search",
+    "a46_x02_tfidf": "x02_tfidf",
+    "a47_x04_phrase_match": "x04_phrase_match",
+    "a48_x06_fuzzy_match": "x06_fuzzy_match",
+    "a49_x07_search_highlight": "x07_search_highlight",
+    "a50_x08_boolean_retrieval": "x08_boolean_retrieval",
 }
 
 
