@@ -67,6 +67,21 @@ def test_remote_quarantine_read_and_validation(remote):
     assert remote.quarantine().count() == 1
 
 
+def test_remote_curate_full_rebuild_overwrite(remote):
+    """curate()'s remote branch: plain dynamic overwrite of the gold
+    summary (no rename swap, no marker protocol) — executed over a
+    file:// root, rebuild-after-growth included."""
+    remote.ingest_batch(SAMPLES, data_type="sales")
+    remote.process()
+    gold = remote.curate()
+    assert sum(r["n_records"] for r in gold.collect()) == 3
+    remote.ingest_batch([{"product": "Desk", "quantity": 1, "price": 5.0}],
+                        data_type="sales")
+    remote.process()
+    gold2 = remote.curate()  # full rebuild replaces, never accumulates
+    assert sum(r["n_records"] for r in gold2.collect()) == 4
+
+
 def test_remote_curate_incremental_merge_always(remote):
     """The remote curate branch (dynamic overwrite, merge-always,
     documented at-least-once) absorbs per-batch deltas correctly
