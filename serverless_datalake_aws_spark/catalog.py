@@ -64,29 +64,49 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Sessions from `session.get_session` already carry both, making
     this a no-op there.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # Spark ≥4.x infers tz-less parquet TIMESTAMP(MICROS) as TIMESTAMP_NTZ
-    # by default, which rejects unix_micros() and diverges from DuckDB's
-    # naive-UTC collation; pin the pre-4.x LTZ read so every timestamp
-    # column compares bit-identically with the oracle.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # conf must be pinned even on a scan-cache hit: it is read at
+    # execution time, and a later caller may execute the lazy plan
+    pin_parquet_confs(spark, events=(name == "events"))
     cache = _SCAN_CACHE.setdefault(spark, {})
     key = (sf_dir, name)
-    if name == "events":
-        # conf must be pinned even on a cache hit: it is read at
-        # execution time, and a later caller may execute the lazy plan
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        if key not in cache:
-            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-            if dict(df.dtypes).get("ts") == "bigint":
-                df = df.withColumn(
-                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
-                )
-            cache[key] = df
-        return cache[key]
     if key not in cache:
-        cache[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = normalize_events_ts(df)
+        cache[key] = df
     return cache[key]
+
+
+def pin_parquet_confs(spark: SparkSession, events: bool = False) -> None:
+    """The session confs every fixture read depends on, shared by the
+    batch path (`table`) and the streaming path
+    (`plans.streaming_queries._events_stream`) so the two can't drift:
+
+    - session.timeZone=UTC — the driver runs a plain session, and
+      window/session timestamps would otherwise image in the JVM zone
+      while the DuckDB oracle collates naive-UTC.
+    - inferTimestampNTZ=false — Spark ≥4.x infers tz-less parquet
+      TIMESTAMP(MICROS) as TIMESTAMP_NTZ by default, which rejects
+      unix_micros() and diverges from DuckDB.
+    - nanosAsLong=true (events only) — TIMESTAMP(NANOS) is rejected by
+      the vectorized reader outright.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    if events:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (reads as
+    int64 nanos under nanosAsLong) and TIMESTAMP(MICROS) (reads as
+    TimestampType) across driver rounds — sniff the read schema instead
+    of hardcoding either physical type, and truncate nanos to the
+    microsecond timestamps DuckDB's TIMESTAMP carries. A hardcoded
+    int64 branch would silently mis-scale µs data by 1000×."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(

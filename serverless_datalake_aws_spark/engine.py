@@ -75,6 +75,23 @@ RECORD_SCHEMA = T.StructType(
 _SWAP_READY = "_SWAP_READY"
 
 
+def _failed_rules_expr(validate: list[tuple[str, str]]):
+    """Array of the rule names a row FAILS (a NULL predicate counts as
+    a failure — fail-closed). One definition shared by the ingest gate
+    and the DLQ redrive so both classify a row identically; a one-sided
+    change to the NULL convention would otherwise let the redrive
+    accept rows the gate would quarantine."""
+    return F.filter(
+        F.array(
+            *[
+                F.when(~F.coalesce(F.expr(pred), F.lit(False)), F.lit(name))
+                for name, pred in validate
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+
 def generate_sample_data(data_type: str) -> dict[str, Any]:
     """Typed sample payload for empty ingests — API parity with the
     reference's demo-data branch (ingest-data-lambda.py:135-180): the
@@ -279,27 +296,20 @@ class DataLakeEngine:
         raw_root = self.zone("raw")
         quarantined_ids: list[str] = []
         if validate:
-            failed_rules = F.filter(
-                F.array(
-                    *[
-                        F.when(
-                            ~F.coalesce(F.expr(pred), F.lit(False)),
-                            F.lit(name),
-                        )
-                        for name, pred in validate
-                    ]
-                ),
-                lambda x: x.isNotNull(),
-            )
-            tagged = df.withColumn("failed_rules", failed_rules)
+            tagged = df.withColumn("failed_rules", _failed_rules_expr(validate))
             bad = tagged.filter(F.size("failed_rules") > 0)
-            # quarantine write first so a crash between the two writes
-            # can only lose bad rows to re-ingest, never double-accept
-            bad.write.mode("append").partitionBy(
-                "data_type", "ingest_date"
-            ).parquet(f"{self.root}/quarantine/records")
             bad_rows = bad.select("id").collect()
             quarantined_ids = [r["id"] for r in bad_rows]
+            # quarantine write first so a crash between the two writes
+            # can only lose bad rows to re-ingest, never double-accept —
+            # but ONLY when something actually failed: an unconditional
+            # append materializes an EMPTY quarantine dir (just
+            # _SUCCESS), after which every schema-less quarantine()/
+            # requeue read crashes with UNABLE_TO_INFER_SCHEMA
+            if quarantined_ids:
+                bad.write.mode("append").partitionBy(
+                    "data_type", "ingest_date"
+                ).parquet(f"{self.root}/quarantine/records")
             df = tagged.filter(F.size("failed_rules") == 0).drop("failed_rules")
             if quarantined_ids:
                 qmeta = bad.select(
@@ -433,19 +443,9 @@ class DataLakeEngine:
                 return {"requeued": 0, "still_quarantined": 0}
             q = self.spark.read.parquet(str(qpath))
             if validate:
-                failed = F.filter(
-                    F.array(
-                        *[
-                            F.when(
-                                ~F.coalesce(F.expr(pred), F.lit(False)),
-                                F.lit(name),
-                            )
-                            for name, pred in validate
-                        ]
-                    ),
-                    lambda x: x.isNotNull(),
+                q = q.drop("failed_rules").withColumn(
+                    "failed_rules", _failed_rules_expr(validate)
                 )
-                q = q.drop("failed_rules").withColumn("failed_rules", failed)
                 passing = q.filter(F.size("failed_rules") == 0)
                 staying = q.filter(F.size("failed_rules") > 0)
             else:
@@ -900,7 +900,20 @@ class DataLakeEngine:
         )
         out = f"{self.stats_path}/{zone}__bloom__{key}"
         idx.write.mode("overwrite").parquet(out)
-        return self.spark.read.parquet(out).count()
+        # footer-metadata count of what landed (the write_hidden
+        # convention) — a full Spark re-scan of the index just for the
+        # return value costs an extra job over up to num_bits/64 rows
+        # per indexed file
+        import pyarrow.parquet as pq
+
+        from serverless_datalake_aws_spark.sources.stats import (
+            list_parquet_files,
+        )
+
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in list_parquet_files(out)
+        )
 
     def scan_by_key(self, zone: str, key: str, value) -> DataFrame:
         """Point scan backed by the bloom index: opens ~fpp × #files
@@ -1474,6 +1487,12 @@ class DataLakeEngine:
             )
         rows = []
         for z in self.ZONES:
+            # heal a crashed dedup/optimize swap first, like every other
+            # zone reader — otherwise a zone whose records dir is hidden
+            # in .dedup.tmp/.old siblings reports as 0 files / 0 bytes
+            # (data-loss panic on the ops dashboard) until some other
+            # code path happens to recover it
+            self._recover_zone_swap(z)
             root = Path(self.zone(z)) / "records"
             files = list(root.rglob("*.parquet")) if root.exists() else []
             parts = {f.parent for f in files}
@@ -2251,6 +2270,7 @@ class DataLakeEngine:
             from pyspark.errors import AnalysisException
 
             to_append = ids
+            already = None
             try:
                 already = self.spark.read.parquet(
                     self.search_index_path
@@ -2267,14 +2287,22 @@ class DataLakeEngine:
             self._tokenize(new_recs).write.mode("append").partitionBy(
                 "data_type"
             ).parquet(self.search_index_path)
-            # stamp the ORIGINAL batch ids, not the anti-joined append
-            # set: after a crash between the index append and the stamp,
-            # redelivery finds the ids already indexed (empty append set)
-            # but they still carry indexed=False — stamping only
-            # `to_append` would leave them unstamped forever, and a later
-            # index_incremental would re-append their tokens. Stamping a
-            # stamped id is idempotent.
-            self._mark_indexed(ids)
+            # stamp only ids that are actually SEARCHABLE (the
+            # index_incremental invariant): the ones whose tokens just
+            # landed, plus the batch ids ALREADY in the index — the
+            # crash-redelivery set (a crash between the index append
+            # and the stamp redelivers the batch with an empty append
+            # set, and those ids must still converge to indexed=true).
+            # A batch id whose raw record no longer exists (expire()
+            # keeps _meta + changelog as the audit trail) appends zero
+            # tokens and must stay indexed=false — stamping it would
+            # assert searchability for a tokenless record, forever.
+            stampable = self._pin_ids(new_recs.select("id"))
+            if already is not None:
+                stampable = stampable.unionByName(
+                    ids.join(already, "id", "left_semi")
+                )
+            self._mark_indexed(stampable)
 
         if trigger is None:
             trigger = {"availableNow": True}

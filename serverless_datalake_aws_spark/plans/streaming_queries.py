@@ -34,22 +34,17 @@ except Exception:  # pragma: no cover
     pass
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table.
+    """File-source stream over the events table, sharing the batch
+    path's conf pins and ts-physical-type normalization
+    (catalog.pin_parquet_confs / normalize_events_ts) so the streaming
+    entries can never drift from the oracle-facing batch reads — the
+    testdata's ts encoding has already flipped twice across rounds."""
+    from serverless_datalake_aws_spark.catalog import (
+        normalize_events_ts,
+        pin_parquet_confs,
+    )
 
-    The driver's testdata has shipped `ts` as both TIMESTAMP(NANOS)
-    (reads as int64 under nanosAsLong) and TIMESTAMP(MICROS) (reads as
-    TimestampType once NTZ inference is pinned off) across rounds, so
-    sniff the batch-read schema instead of hardcoding either physical
-    type — a hardcoded int64 schema silently mis-scales µs data by
-    1000×.
-    """
-    # full catalog.table conf block, INCLUDING the UTC pin: the external
-    # driver runs a plain session, and an _events_stream entry executing
-    # before any catalog.table call would otherwise image its window/\
-    # session timestamps in the JVM zone while the oracle is naive-UTC
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    pin_parquet_confs(spark, events=True)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source needs a directory; scope it to the events
     # table with a glob (the F8 prefix-filter analogue)
@@ -59,9 +54,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":  # nanos-era testdata
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_events_ts(stream)
 
 
 @query(

@@ -863,3 +863,64 @@ def test_expire_heals_crashed_swap_first(engine, spark):
     # retention silently skipped)
     assert dropped != []
     assert engine.meta().count() == 3  # audit rows intact
+
+
+def test_all_pass_validation_leaves_no_quarantine(engine):
+    """A validated ingest where every row passes must not materialize
+    an EMPTY quarantine dir (just _SUCCESS) — a schema-less
+    quarantine()/requeue read of it crashes with UNABLE_TO_INFER_SCHEMA
+    and the DLQ surface would be permanently broken on a lake that
+    validated but never quarantined."""
+    from pathlib import Path as _P
+
+    ids = engine.ingest_batch(
+        [{"v": 5}, {"v": 7}],
+        data_type="sales",
+        validate=[
+            ("nonneg", "CAST(get_json_object(payload, '$.v') AS INT) >= 0")
+        ],
+    )
+    assert len(ids) == 2
+    assert not (_P(engine.root) / "quarantine").exists()
+    assert engine.requeue_quarantined() == {
+        "requeued": 0,
+        "still_quarantined": 0,
+    }
+
+
+def test_index_cdc_skips_vanished_records(engine, spark):
+    """The index_incremental invariant, on the CDC path: a changelog id
+    whose raw record no longer exists (expire keeps _meta + changelog
+    as audit) appends zero tokens and must stay indexed=false — the
+    old _handle stamped every batch id, permanently asserting
+    searchability for tokenless records."""
+    import shutil as _sh
+    from pathlib import Path as _P
+
+    ids = engine.ingest_batch(SAMPLES[:2], data_type="sales")
+    _sh.rmtree(_P(engine.zone("raw")) / "records")
+    engine.ingest_batch([{"product": "Cam", "quantity": 1}], data_type="gear")
+    engine.index_cdc()
+    meta = {r["id"]: bool(r["indexed"]) for r in engine.meta().collect()}
+    for i in ids:  # payload-less ids must NOT claim searchability
+        assert not meta[i], i
+    assert sum(meta.values()) == 1  # the survivor indexed and stamped
+
+
+def test_lake_report_heals_crashed_swap(engine, spark):
+    """lake_report must run swap recovery like every other zone reader:
+    a zone hidden in .dedup.tmp after a crashed dedup/optimize swap
+    previously reported 0 files / 0 bytes — data-loss panic on the ops
+    dashboard over a fully-populated zone."""
+    from pathlib import Path as _P
+
+    engine.ingest_batch(SAMPLES, data_type="sales")
+    root = _P(engine.zone("raw"))
+    (root / "records").rename(root / "records.dedup.tmp")
+    rpt = {
+        r["name"]: r
+        for r in engine.lake_report().collect()
+        if r["kind"] == "zone"
+    }
+    assert rpt["raw"]["n_items"] > 0
+    assert rpt["raw"]["bytes"] > 0
