@@ -330,3 +330,33 @@ def test_x11_stemming_is_load_bearing(spark):
     assert len(rows) > 0
     assert {r.stem for r in rows} <= {"query", "merge", "column"}
     assert all(r.tf >= 1 for r in rows)
+
+
+def test_x12_analyzer_chain_is_load_bearing(spark):
+    """x12's full analysis chain must be what produces (and suppresses)
+    the matches: un-analyzed search for every inflected query term
+    returns ZERO rows on this corpus; 'the' IS a corpus token yet
+    contributes zero result rows (stop-removal on both sides); each
+    Porter mechanism is exercised by a term that only matches through
+    it (double-consonant fixup for 'scanning'->'scan', 1a-meets-1c
+    'queries'/'query' -> 'queri')."""
+    from serverless_datalake_aws_spark.plans.search import _X12_TERMS
+
+    docs = table(spark, SF_DIR, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok")
+    )
+    inflected = [t for t in _X12_TERMS if t != "the"]
+    assert toks.filter(F.col("tok").isin(inflected)).count() == 0
+    assert toks.filter(F.col("tok") == "the").count() > 0  # real token
+    rows = all_queries()["x12_analyzed_search"](spark, SF_DIR).collect()
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r.raw_term, set()).add(r.stem)
+    assert "the" not in by_term  # stop-removed despite being a token
+    assert by_term["scanning"] == {"scan"}  # 1b double-consonant fixup
+    assert by_term["queries"] == {"queri"}  # 1a ies->i meets 1c y->i
+    assert by_term["merges"] == {"merge"}
+    assert by_term["sorted"] == {"sort"}
+    assert by_term["tables"] == {"table"}
+    assert all(r.tf >= 1 for r in rows)
