@@ -93,6 +93,15 @@ CONTINUITY_SUBSET = tuple(
 
 
 def main() -> None:
+    # loadavg BEFORE any work at all (even session startup + warmup load
+    # the box): the in-band env.loadavg below is read after the bench's
+    # own 32-thread execution has driven load to ~4 regardless of box
+    # state — this start value is the honest is-the-box-idle witness
+    # (VERDICT r9 #2)
+    try:
+        la0 = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        la0 = [-1.0, -1.0, -1.0]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_session(app_name="bench")
@@ -200,6 +209,7 @@ def main() -> None:
         "agg": "min",
         "env": {
             "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
+            "loadavg_start": la0,
             "cpus": os.cpu_count(),
             "spark_cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
             "running_procs": n_procs,
