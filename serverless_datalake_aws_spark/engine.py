@@ -2214,25 +2214,65 @@ class DataLakeEngine:
                 "Path does not exist" not in str(e)
             ):
                 raise
-        new_recs = self.records("raw").join(
-            F.broadcast(to_append), "id", "left_semi"
+        # the crash-convergence set (pending ids ALREADY carrying index
+        # tokens) must be pinned BEFORE the append below: the parquet
+        # relation re-lists files at action time, so evaluating this
+        # join after the append would sweep the freshly-appended ids in
+        # and double-count them
+        converged_rows = (
+            []
+            if already is None
+            else pending.join(already, "id", "left_semi")
+            .select("id")
+            .distinct()
+            .collect()
         )
-        self._tokenize(new_recs).write.mode("append").partitionBy(
-            "data_type"
-        ).parquet(self.search_index_path)
+        # persist so the id pin and the token append read the SAME raw
+        # pass (the add_to_vector_index convention) — re-deriving
+        # new_recs for the stamp was a second full raw scan per call
+        new_id_rows: list = []
+        try:
+            new_recs = self.records("raw").join(
+                F.broadcast(to_append), "id", "left_semi"
+            ).persist()
+            try:
+                new_id_rows = new_recs.select("id").distinct().collect()
+                if new_id_rows:
+                    # guard the append on non-empty: an unconditional
+                    # empty append materializes a schema-less
+                    # (_SUCCESS-only) index dir that breaks every later
+                    # schema-inferring read with UNABLE_TO_INFER_SCHEMA
+                    # (the quarantine-dir bug, same class)
+                    self._tokenize(new_recs).write.mode(
+                        "append"
+                    ).partitionBy("data_type").parquet(
+                        self.search_index_path
+                    )
+            finally:
+                new_recs.unpersist()
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and (
+                "Path does not exist" not in str(e)
+            ):
+                raise
+            # raw zone fully expired/absent: nothing is appendable; the
+            # pending ids stay indexed=false (audit-only metadata)
         # stamp only ids that are actually SEARCHABLE: the ones whose
-        # tokens just landed plus the crash-convergence set already in
-        # the index. A pending id whose raw record no longer exists
-        # (expire() keeps _meta as the audit trail) must stay
-        # indexed=false — stamping it would assert searchability for a
-        # record with zero index tokens, forever.
-        stampable = self._pin_ids(new_recs.select("id"))
-        if already is not None:
-            stampable = stampable.unionByName(
-                pending.join(already, "id", "left_semi")
-            )
+        # tokens just landed plus the pinned crash-convergence set. A
+        # pending id whose raw record no longer exists (expire() keeps
+        # _meta as the audit trail) must stay indexed=false — stamping
+        # it would assert searchability for a record with zero index
+        # tokens, forever.
+        stampable = self.spark.createDataFrame(
+            new_id_rows + converged_rows, "id string"
+        )
         self._mark_indexed(stampable)
-        return n
+        # return what this call actually made searchable-stamped (new
+        # tokens + crash-converged), NOT pending.count(): pending ids
+        # whose raw record vanished are deliberately never stamped, and
+        # reporting them as "newly indexed" forever would make a
+        # poll-until-zero caller loop indefinitely
+        return len(new_id_rows) + len(converged_rows)
 
     def index_cdc(self, timeout_s: int = 600, trigger: dict | None = None):
         """True CDC indexing (S11): a checkpointed file stream over the
@@ -2281,12 +2321,44 @@ class DataLakeEngine:
                     "Path does not exist" not in str(e)
                 ):
                     raise
-            new_recs = self.records("raw").join(
-                F.broadcast(to_append), "id", "left_semi"
+            # pin the crash-redelivery set BEFORE the append: the
+            # parquet relation re-lists files at action time, so
+            # evaluating ids∩already afterwards would also sweep in the
+            # freshly-appended ids (harmless for stamping, wrong as a
+            # converged-set definition)
+            converged_rows = (
+                []
+                if already is None
+                else ids.join(already, "id", "left_semi")
+                .select("id")
+                .distinct()
+                .collect()
             )
-            self._tokenize(new_recs).write.mode("append").partitionBy(
-                "data_type"
-            ).parquet(self.search_index_path)
+            # persist so the id pin and the token append read the SAME
+            # raw pass; guard the append on non-empty (an unconditional
+            # empty append materializes a schema-less _SUCCESS-only
+            # index dir that breaks every later schema-inferring read);
+            # a fully-absent raw zone means nothing is appendable
+            new_id_rows: list = []
+            try:
+                new_recs = self.records("raw").join(
+                    F.broadcast(to_append), "id", "left_semi"
+                ).persist()
+                try:
+                    new_id_rows = new_recs.select("id").distinct().collect()
+                    if new_id_rows:
+                        self._tokenize(new_recs).write.mode(
+                            "append"
+                        ).partitionBy("data_type").parquet(
+                            self.search_index_path
+                        )
+                finally:
+                    new_recs.unpersist()
+            except AnalysisException as e:
+                if "PATH_NOT_FOUND" not in str(e) and (
+                    "Path does not exist" not in str(e)
+                ):
+                    raise
             # stamp only ids that are actually SEARCHABLE (the
             # index_incremental invariant): the ones whose tokens just
             # landed, plus the batch ids ALREADY in the index — the
@@ -2297,11 +2369,9 @@ class DataLakeEngine:
             # keeps _meta + changelog as the audit trail) appends zero
             # tokens and must stay indexed=false — stamping it would
             # assert searchability for a tokenless record, forever.
-            stampable = self._pin_ids(new_recs.select("id"))
-            if already is not None:
-                stampable = stampable.unionByName(
-                    ids.join(already, "id", "left_semi")
-                )
+            stampable = self.spark.createDataFrame(
+                new_id_rows + converged_rows, "id string"
+            )
             self._mark_indexed(stampable)
 
         if trigger is None:
@@ -2521,12 +2591,22 @@ class DataLakeEngine:
         ).coalesce(1).write.parquet(f"{base}/codebook")
         n = self.spark.read.parquet(f"{base}/cells").count()  # footer count
         ptr = Path(path, "_LATEST")
+        prev = None
+        if ptr.exists():
+            prev = json.loads(ptr.read_text())["version"]
         tmp = Path(path, f"._LATEST.{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
             json.dump({"version": version}, fh)
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, ptr)
+        if prev and prev != version:
+            # tombstone the superseded version so the vacuum's grace
+            # clock starts at SUPERSESSION time — aging from the dir's
+            # last write would delete a long-lived old version the
+            # instant it is superseded, exactly when a reader may still
+            # hold a plan against it
+            Path(path, f".superseded.{prev}").touch()
         # grace-based sweep, never an immediate delete of the
         # superseded version (live readers — see docstring); also
         # reclaims aged-out crash orphans and stale pointer temps the
@@ -2550,12 +2630,15 @@ class DataLakeEngine:
         crashed-build orphans that never published, and stale
         `._LATEST.*` pointer temps. A dir is reclaimed only when its
         NEWEST write (max mtime across the tree) is older than
-        `grace_seconds`: a superseded version ages from its last write,
-        and a concurrent in-flight build keeps its dir's mtimes fresh,
-        so neither a live reader's grace window nor a live writer's
-        staging dir is pulled out from under them (the
-        sources/versioning claim-grace semantics, keyed on mtime
-        because builds here don't claim). Returns reclaimed paths."""
+        `grace_seconds`. The grace clock per dir: a SUPERSEDED version
+        ages from its `.superseded.<version>` tombstone (touched at
+        pointer-swap time — aging from the dir's last write would
+        delete a long-lived version the instant it was superseded,
+        under any reader still scanning it); an un-tombstoned orphan
+        (crashed build that never published) ages from its newest write
+        mtime, which a live in-flight writer keeps fresh — so neither a
+        reader's grace window nor a live writer's staging dir is pulled
+        out from under them. Returns reclaimed paths."""
         import os
         import shutil
 
@@ -2571,8 +2654,11 @@ class DataLakeEngine:
             current = json.loads(ptr.read_text())["version"]
         now = _time.time()
 
-        def _newest_mtime(p: Path) -> float:
-            newest = p.stat().st_mtime
+        def _newest_mtime(p: Path) -> float | None:
+            try:
+                newest = p.stat().st_mtime
+            except FileNotFoundError:
+                return None  # reclaimed by a concurrent vacuum
             for dirpath, _dirs, files in os.walk(p):
                 for f in files:
                     try:
@@ -2583,19 +2669,39 @@ class DataLakeEngine:
                         pass  # racing writer/cleaner; skip
             return newest
 
+        def _age_of(entry: Path, is_version: bool) -> float | None:
+            if is_version:
+                tomb = path / f".superseded.{entry.name}"
+                try:
+                    return now - tomb.stat().st_mtime
+                except FileNotFoundError:
+                    pass  # never published: fall through to write age
+                newest = _newest_mtime(entry)
+                return None if newest is None else now - newest
+            try:
+                return now - entry.stat().st_mtime
+            except FileNotFoundError:
+                return None  # reclaimed under us (concurrent vacuum)
+
         reclaimed: list[str] = []
         for entry in sorted(path.iterdir()):
             if entry.name == current or entry.name == "_LATEST":
                 continue
             is_version = entry.is_dir() and entry.name.startswith("v-")
             is_ptr_tmp = entry.is_file() and entry.name.startswith("._LATEST.")
+            if entry.is_file() and entry.name.startswith(".superseded."):
+                # tombstone whose version dir is already gone: debris
+                if not (path / entry.name[len(".superseded.") :]).exists():
+                    entry.unlink(missing_ok=True)
+                continue
             if not (is_version or is_ptr_tmp):
                 continue
-            age = now - (_newest_mtime(entry) if is_version else entry.stat().st_mtime)
-            if age < grace:
+            age = _age_of(entry, is_version)
+            if age is None or age < grace:
                 continue
             if is_version:
                 shutil.rmtree(entry, ignore_errors=True)
+                (path / f".superseded.{entry.name}").unlink(missing_ok=True)
             else:
                 entry.unlink(missing_ok=True)
             reclaimed.append(str(entry))

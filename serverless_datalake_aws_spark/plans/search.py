@@ -629,12 +629,18 @@ def x11_stemmed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x12: full analyzer chain — stop-words + Porter-style stemming
 # ---------------------------------------------------------------------------
 
-# Lucene's default English stop set (EnglishAnalyzer.ENGLISH_STOP_WORDS_SET)
-_STOPWORDS_SQL = (
-    "('a','an','and','are','as','at','be','but','by','for','if','in',"
-    "'into','is','it','no','not','of','on','or','such','that','the',"
-    "'their','then','there','these','they','this','to','was','will','with')"
+# Lucene's default English stop set (EnglishAnalyzer.ENGLISH_STOP_WORDS_SET).
+# The Python tuple is the single source of truth; the SQL literal the
+# oracle embeds is DERIVED from it, so the engine-side filter and the
+# oracle-side NOT IN can never drift (the pin_parquet_confs /
+# _failed_rules_expr discipline).
+_STOPWORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with",
 )
+_STOPWORDS_SQL = "(" + ",".join(f"'{w}'" for w in _STOPWORDS) + ")"
 
 
 def _has_vowel(e: str) -> str:
@@ -818,8 +824,6 @@ def x12_analyzed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     family)."""
     from serverless_datalake_aws_spark.catalog import table
 
-    stops = [s.strip("'") for s in _STOPWORDS_SQL.strip("()").split(",")]
-
     def _stem_expr(col: str) -> str:
         """All Porter stages as ONE expression, each stage wrapped in a
         single-element transform() so its input is a LAMBDA VARIABLE —
@@ -844,7 +848,9 @@ def x12_analyzed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         return e
 
     def _analyze(df: DataFrame) -> DataFrame:
-        df = df.filter((F.col("tok") != "") & ~F.col("tok").isin(stops))
+        df = df.filter(
+            (F.col("tok") != "") & ~F.col("tok").isin(list(_STOPWORDS))
+        )
         return df.withColumn("stem", F.expr(_stem_expr("tok")))
 
     docs = table(spark, sf_dir, "documents")

@@ -101,7 +101,14 @@ def _canon(value):
     if isinstance(value, _dt.datetime):
         if value.tzinfo is None:
             value = value.replace(tzinfo=_dt.timezone.utc)
-        return "int", int(value.timestamp() * 1_000_000)
+        # EXACT integer micros: datetime.timestamp() routes through a
+        # float64 whose ~0.24 µs resolution at current epochs can come
+        # back 1 µs low under int() truncation — a window bound built
+        # from this image would then disagree with an engine's exact
+        # MIN/MAX by one microsecond sliver. timedelta division is
+        # exact integer arithmetic.
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        return "int", (value - epoch) // _dt.timedelta(microseconds=1)
     if isinstance(value, _dt.date):
         return "int", (value - _dt.date(1970, 1, 1)).days
     if isinstance(value, int):
@@ -205,7 +212,10 @@ def collect_file_stats(
             if isinstance(value, _dt.datetime):
                 if value.tzinfo is None:
                     value = value.replace(tzinfo=_dt.timezone.utc)
-                return "int", int(value.timestamp() * 1_000_000)
+                # exact integer micros (see _canon): the float64
+                # timestamp() image can be 1 µs low after truncation
+                epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+                return "int", (value - epoch) // _dt.timedelta(microseconds=1)
             return "int", int(value)
         if lt.startswith("DATE"):
             if isinstance(value, _dt.datetime):

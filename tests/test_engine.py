@@ -924,3 +924,24 @@ def test_lake_report_heals_crashed_swap(engine, spark):
     }
     assert rpt["raw"]["n_items"] > 0
     assert rpt["raw"]["bytes"] > 0
+
+
+def test_index_incremental_never_creates_schemaless_index(engine, spark):
+    """An index pass where NOTHING is appendable (all pending records'
+    raw data vanished, index never built) must not materialize a
+    schema-less (_SUCCESS-only) index dir — the quarantine-dir bug
+    class: every later schema-inferring read of the path would die
+    with UNABLE_TO_INFER_SCHEMA, permanently breaking indexing AND
+    search. Also pins the return value: vanished ids are NOT 'newly
+    indexed' (a poll-until-zero caller must terminate)."""
+    import shutil as _sh
+    from pathlib import Path as _P
+
+    engine.ingest_batch(SAMPLES[:2], data_type="sales")
+    _sh.rmtree(_P(engine.zone("raw")) / "records")
+    assert engine.index_incremental() == 0
+    assert not _P(engine.search_index_path).exists()
+    # the surface is still fully usable afterwards
+    engine.ingest_batch([{"product": "Cam", "quantity": 1}], data_type="gear")
+    assert engine.index_incremental() == 1
+    assert engine.search(term="cam").count() == 1

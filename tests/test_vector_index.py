@@ -217,3 +217,32 @@ def test_batch_search_matches_per_query_search(spark, engine):
         engine.vector_search_batch([])
     with pytest.raises(ValueError, match="query_id=9"):
         engine.vector_search_batch([(9, [0.0] * 64)])
+
+
+def test_grace_counts_from_supersession_not_last_write(spark, engine):
+    """A version superseded long after its last write must still get
+    the full reader-grace window: the vacuum clock starts at the
+    pointer swap (the .superseded tombstone), not at the dir's newest
+    mtime — otherwise rebuilding an old index deletes the previous
+    version instantly, under any reader still scanning it."""
+    import os
+    import pathlib
+    import time
+
+    emb = _emb(spark)
+    engine.build_vector_index(emb, n_cells=2)
+    v1 = pathlib.Path(engine._vector_current("default"))
+    # age the version far past the grace window (a long-lived index)
+    old = time.time() - 2 * engine.VECTOR_GC_GRACE
+    for dirpath, _dirs, files in os.walk(v1):
+        os.utime(dirpath, (old, old))
+        for f in files:
+            os.utime(os.path.join(dirpath, f), (old, old))
+    os.utime(v1, (old, old))
+    engine.build_vector_index(emb, n_cells=4)  # swap + auto-vacuum
+    assert v1.exists()  # tombstone is fresh: full grace from NOW
+    tomb = v1.parent / f".superseded.{v1.name}"
+    assert tomb.exists()
+    # explicit vacuum past grace reclaims dir AND tombstone
+    engine.vacuum_vector_index(grace_seconds=0)
+    assert not v1.exists() and not tomb.exists()
