@@ -114,64 +114,67 @@ def _load() -> None:
 # s24, Python-DataSource m09/st17, map-state st16, hidden-partition
 # m10, observed-quality st18, version-diff m11, MERGE-COW m12).
 DRIVER_SAMPLE_ALIASES: dict[str, str] = {
-    # Round-10 slate (VERDICT r9 #5): all 34 round-9 aliases are
-    # externally green in CORRECTNESS_r09.json — retired on proof. The
-    # slate expands to the full 50 driver-sample slots, every target
-    # drawn from the 108 registry entries with ZERO external driver
-    # rows through round 9 (union of CORRECTNESS_r0*.json, aNN_
-    # prefixes stripped), spanning every still-unsampled family:
-    # 12 q (windows/grouping-sets/percentiles/lateral/salted-join),
-    # 13 s (the ANN ladder's unsampled rungs), 5 st, 14 t, 6 x.
-    "a01_q22_stat_aggs": "q22_stat_aggs",
-    "a02_q23_grouping_sets": "q23_grouping_sets",
-    "a03_q24_rank_suite": "q24_rank_suite",
-    "a04_q31_argmax": "q31_argmax",
-    "a05_q34_local_supplier_volume": "q34_local_supplier_volume",
-    "a06_q42_month_spine_gapfill": "q42_month_spine_gapfill",
-    "a07_q46_market_share": "q46_market_share",
-    "a08_q52_higher_order_arrays": "q52_higher_order_arrays",
-    "a09_q53_exact_percentiles": "q53_exact_percentiles",
-    "a10_q59_lateral_topk": "q59_lateral_topk",
-    "a11_q65_running_distinct": "q65_running_distinct",
-    "a12_q68_salted_join": "q68_salted_join",
-    "a13_s03_embedding_neardup": "s03_embedding_neardup",
-    "a14_s04_label_centroids": "s04_label_centroids",
-    "a15_s06_quantization_error": "s06_quantization_error",
-    "a16_s07_range_search": "s07_range_search",
-    "a17_s08_pq_adc": "s08_pq_adc",
-    "a18_s09_kmeans_step": "s09_kmeans_step",
-    "a19_s11_ann_recall_audit": "s11_ann_recall_audit",
-    "a20_s12_knn_graph": "s12_knn_graph",
-    "a21_s13_kmeans_convergence": "s13_kmeans_convergence",
-    "a22_s14_quantized_recall": "s14_quantized_recall",
-    "a23_s15_coreset_prototypes": "s15_coreset_prototypes",
-    "a24_s16_bitext_mining": "s16_bitext_mining",
-    "a25_s17_ivf_multiprobe": "s17_ivf_multiprobe",
-    "a26_st02_stream_sessions": "st02_stream_sessions",
-    "a27_st03_stream_dedup": "st03_stream_dedup",
-    "a28_st06_stream_sliding_windows": "st06_stream_sliding_windows",
-    "a29_st08_stream_left_enrich_stub": "st08_stream_left_enrich_stub",
-    "a30_st09_stream_complete_counts": "st09_stream_complete_counts",
-    "a31_t01_token_stats": "t01_token_stats",
-    "a32_t02_term_frequencies": "t02_term_frequencies",
-    "a33_t03_quality_by_lang": "t03_quality_by_lang",
-    "a34_t05_bigram_counts": "t05_bigram_counts",
-    "a35_t08_hash_sample": "t08_hash_sample",
-    "a36_t11_bigram_pmi": "t11_bigram_pmi",
-    "a37_t13_stratified_split": "t13_stratified_split",
-    "a38_t15_bpe_pair_counts": "t15_bpe_pair_counts",
-    "a39_t17_unigram_perplexity": "t17_unigram_perplexity",
-    "a40_t20_trigram_langid": "t20_trigram_langid",
-    "a41_t23_count_min_heavy_hitters": "t23_count_min_heavy_hitters",
-    "a42_t25_quality_filter_report": "t25_quality_filter_report",
-    "a43_t28_pii_redaction": "t28_pii_redaction",
-    "a44_t32_lm_quality_score": "t32_lm_quality_score",
-    "a45_x01_term_search": "x01_term_search",
-    "a46_x02_tfidf": "x02_tfidf",
-    "a47_x04_phrase_match": "x04_phrase_match",
-    "a48_x06_fuzzy_match": "x06_fuzzy_match",
-    "a49_x07_search_highlight": "x07_search_highlight",
-    "a50_x08_boolean_retrieval": "x08_boolean_retrieval",
+    # Round-11 slate (VERDICT r10 #2): all 50 round-10 aliases are
+    # externally green in CORRECTNESS_r10.json — retired on proof.
+    # After r10, 59 registry entries have ZERO external driver rows
+    # (union of CORRECTNESS_r0*.json, aNN_ prefixes stripped). This
+    # slate covers 50 of them, prioritized per the verdict: x12 (the
+    # newest code), s01/s02, the full remaining t-family (14), and 33
+    # of the 42 unsampled q-shapes. The 9 deferred to round 12 are the
+    # simplest scalar/set-op shapes (q25_in_subquery,
+    # q26_union_all_stats, q27_regexp_like, q29_date_arithmetic,
+    # q30_null_semantics, q32_array_agg, q39_large_orders,
+    # q44_order_priority, q54_string_agg), all judge-sweep-green.
+    "a01_x12_analyzed_search": "x12_analyzed_search",
+    "a02_s01_knn_bruteforce": "s01_knn_bruteforce",
+    "a03_s02_lsh_ann": "s02_lsh_ann",
+    "a04_t04_language_score": "t04_language_score",
+    "a05_t06_normalize": "t06_normalize",
+    "a06_t07_token_histogram": "t07_token_histogram",
+    "a07_t09_trigram_repetition": "t09_trigram_repetition",
+    "a08_t10_lexical_diversity": "t10_lexical_diversity",
+    "a09_t12_length_deciles": "t12_length_deciles",
+    "a10_t16_zipf_fit": "t16_zipf_fit",
+    "a11_t19_regex_tokenizer_counts": "t19_regex_tokenizer_counts",
+    "a12_t21_chunk_overlap": "t21_chunk_overlap",
+    "a13_t22_source_sampling_weights": "t22_source_sampling_weights",
+    "a14_t24_source_divergence": "t24_source_divergence",
+    "a15_t26_ngram_novelty": "t26_ngram_novelty",
+    "a16_t27_vocab_growth": "t27_vocab_growth",
+    "a17_t29_repetition_signals": "t29_repetition_signals",
+    "a18_q33_range_frame": "q33_range_frame",
+    "a19_q35_returned_items": "q35_returned_items",
+    "a20_q36_nested_assembly": "q36_nested_assembly",
+    "a21_q37_unpivot": "q37_unpivot",
+    "a22_q40_global_sales_opportunity": "q40_global_sales_opportunity",
+    "a23_q41_min_cost_per_group": "q41_min_cost_per_group",
+    "a24_q43_bag_setops": "q43_bag_setops",
+    "a25_q45_volume_shipping": "q45_volume_shipping",
+    "a26_q47_product_profit": "q47_product_profit",
+    "a27_q48_ship_delay_class": "q48_ship_delay_class",
+    "a28_q49_promo_revenue": "q49_promo_revenue",
+    "a29_q50_disjunctive_join": "q50_disjunctive_join",
+    "a30_q55_regexp_token_extract": "q55_regexp_token_extract",
+    "a31_q56_posexplode_tokens": "q56_posexplode_tokens",
+    "a32_q57_filtered_aggs": "q57_filtered_aggs",
+    "a33_q58_map_functions": "q58_map_functions",
+    "a34_q60_array_ops": "q60_array_ops",
+    "a35_q61_rolling_time_window": "q61_rolling_time_window",
+    "a36_q62_nested_windows": "q62_nested_windows",
+    "a37_q63_quantile_buckets": "q63_quantile_buckets",
+    "a38_q64_custdist": "q64_custdist",
+    "a39_q66_try_functions": "q66_try_functions",
+    "a40_q69_nth_value_offsets": "q69_nth_value_offsets",
+    "a41_q71_null_ordering_topk": "q71_null_ordering_topk",
+    "a42_q72_forecast_revenue": "q72_forecast_revenue",
+    "a43_q73_important_parts": "q73_important_parts",
+    "a44_q74_top_supplier": "q74_top_supplier",
+    "a45_q75_supplier_part_relation": "q75_supplier_part_relation",
+    "a46_q76_small_quantity_revenue": "q76_small_quantity_revenue",
+    "a47_q77_promotion_suppliers": "q77_promotion_suppliers",
+    "a48_q78_ratio_to_report": "q78_ratio_to_report",
+    "a49_q79_heterogeneous_feed": "q79_heterogeneous_feed",
+    "a50_q81_skew_join_aqe": "q81_skew_join_aqe",
 }
 
 
