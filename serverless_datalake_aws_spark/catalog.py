@@ -10,6 +10,7 @@ metastore; temp views are enough for the test harness.
 from __future__ import annotations
 
 import logging
+import os
 import re
 from dataclasses import dataclass
 from pathlib import Path
@@ -19,18 +20,30 @@ from pyspark.sql import functions as F
 
 log = logging.getLogger(__name__)
 
-# Per-session scan cache: (sf_dir, name) -> DataFrame. The fixture dirs
-# are immutable, so re-running spark.read.parquet per query call only
-# repeats the file listing + footer schema read (~0.2 s of every bench
-# number at sf0.1). A metastore-backed catalog amortizes exactly this
-# via its shared file index; temp-view harnesses get it here. Keyed
-# weakly on the session so a stopped/recreated session never serves
-# stale plans.
+# Per-session scan cache: (sf_dir, name, dir-mtime) -> DataFrame. The
+# fixture dirs are immutable, so re-running spark.read.parquet per query
+# call only repeats the file listing + footer schema read (~0.2 s of
+# every bench number at sf0.1). A metastore-backed catalog amortizes
+# exactly this via its shared file index; temp-view harnesses get it
+# here. Keyed weakly on the session so a stopped/recreated session never
+# serves stale plans, and on the dataset path's mtime so an in-session
+# fixture regeneration (testdata rebuild) invalidates naturally — a
+# rewrite replaces the .parquet dir, bumping its mtime (ADVICE r10).
+# `clear_scan_cache()` is the explicit escape hatch for exotic rewrites
+# that preserve mtime.
 from weakref import WeakKeyDictionary
 
-_SCAN_CACHE: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+_SCAN_CACHE: "WeakKeyDictionary[SparkSession, dict[tuple, DataFrame]]" = (
     WeakKeyDictionary()
 )
+
+
+def clear_scan_cache(spark: SparkSession | None = None) -> None:
+    """Drop cached table scans — for one session, or all of them."""
+    if spark is None:
+        _SCAN_CACHE.clear()
+    else:
+        _SCAN_CACHE.pop(spark, None)
 
 TABLES = (
     "region",
@@ -68,7 +81,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # execution time, and a later caller may execute the lazy plan
     pin_parquet_confs(spark, events=(name == "events"))
     cache = _SCAN_CACHE.setdefault(spark, {})
-    key = (sf_dir, name)
+    # mtime in the key: regeneration rewrites the dataset path, so a
+    # stale entry is simply never hit again (one stat per call — noise
+    # next to the file listing the hit saves)
+    try:
+        mtime = os.stat(f"{sf_dir}/{name}.parquet").st_mtime_ns
+    except OSError:
+        mtime = -1
+    key = (sf_dir, name, mtime)
     if key not in cache:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "events":

@@ -92,6 +92,36 @@ def _strip_uri(p: str) -> str:
     return p
 
 
+def _make_ts_micros():
+    """Build the ONE datetime→exact-unix-micros converter shared by the
+    driver-side `_canon` and the executor-side footer closure.
+
+    EXACT integer micros: datetime.timestamp() routes through a float64
+    whose ~0.24 µs resolution at current epochs can come back 1 µs low
+    under int() truncation — a window bound built from this image would
+    then disagree with an engine's exact MIN/MAX by one microsecond
+    sliver. timedelta division is exact integer arithmetic.
+
+    Factory-nested on purpose: the returned closure's qualified name
+    (`_make_ts_micros.<locals>._ts_micros`) is not importable, so
+    cloudpickle ships it BY VALUE inside `collect_file_stats`' worker
+    closures — preserving that function's no-module-import-on-workers
+    guarantee while the epoch arithmetic lives in exactly one place
+    (ADVICE r10)."""
+    import datetime as _d
+
+    def _ts_micros(value: "_d.datetime") -> int:
+        if value.tzinfo is None:
+            value = value.replace(tzinfo=_d.timezone.utc)
+        epoch = _d.datetime(1970, 1, 1, tzinfo=_d.timezone.utc)
+        return (value - epoch) // _d.timedelta(microseconds=1)
+
+    return _ts_micros
+
+
+_ts_micros = _make_ts_micros()
+
+
 def _canon(value):
     """Canonicalize a predicate bound to the stats table's string image:
     timestamps → unix micros, dates → epoch days, bool → int. Returns
@@ -99,16 +129,7 @@ def _canon(value):
     if isinstance(value, bool):
         return "int", int(value)
     if isinstance(value, _dt.datetime):
-        if value.tzinfo is None:
-            value = value.replace(tzinfo=_dt.timezone.utc)
-        # EXACT integer micros: datetime.timestamp() routes through a
-        # float64 whose ~0.24 µs resolution at current epochs can come
-        # back 1 µs low under int() truncation — a window bound built
-        # from this image would then disagree with an engine's exact
-        # MIN/MAX by one microsecond sliver. timedelta division is
-        # exact integer arithmetic.
-        epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
-        return "int", (value - epoch) // _dt.timedelta(microseconds=1)
+        return "int", _ts_micros(value)
     if isinstance(value, _dt.date):
         return "int", (value - _dt.date(1970, 1, 1)).days
     if isinstance(value, int):
@@ -143,6 +164,11 @@ def collect_file_stats(
     # import it. Nested + stdlib/pyarrow-only = self-contained closure.
     import datetime as _dt  # noqa: F811 — rebind locally for the closure
     import os  # noqa: F811
+
+    # the shared exact-micros converter, captured as a closure variable:
+    # itself a factory-made closure, so it too ships by value (see
+    # _make_ts_micros)
+    ts_micros = _ts_micros
 
     def _stat_rows_for_file(path: str) -> list[tuple]:
         """Footer-only per-file stats: aggregate row-group min/max/nulls
@@ -210,12 +236,7 @@ def collect_file_stats(
             return None, None
         if lt.startswith("TIMESTAMP"):
             if isinstance(value, _dt.datetime):
-                if value.tzinfo is None:
-                    value = value.replace(tzinfo=_dt.timezone.utc)
-                # exact integer micros (see _canon): the float64
-                # timestamp() image can be 1 µs low after truncation
-                epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
-                return "int", (value - epoch) // _dt.timedelta(microseconds=1)
+                return "int", ts_micros(value)
             return "int", int(value)
         if lt.startswith("DATE"):
             if isinstance(value, _dt.datetime):

@@ -200,3 +200,75 @@ def test_crawl_merges_evolved_schemas(spark, tmp_path):
     assert set(t.columns) == {"id", "name", "score"}
     rows = {r["id"]: (r["name"], r["score"]) for r in t.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_scan_cache_invalidates_on_regeneration(spark, tmp_path):
+    """ADVICE r10: the per-session scan cache must not serve a stale
+    plan after a fixture dir is regenerated in-session. The key carries
+    the dataset path's mtime, so a rewrite (new dir contents) misses."""
+    import os
+    import shutil
+    import time
+
+    from serverless_datalake_aws_spark.catalog import clear_scan_cache
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    ds = sf / "orders.parquet"
+    spark.range(3).toDF("o_orderkey").write.parquet(str(ds))
+    first = table(spark, str(sf), "orders")
+    assert first.count() == 3
+    assert table(spark, str(sf), "orders") is first  # cache hit
+
+    # regenerate: different row count AND schema
+    shutil.rmtree(ds)
+    spark.range(5).selectExpr(
+        "id as o_orderkey", "id * 2 as o_custkey"
+    ).write.parquet(str(ds))
+    # dir mtime granularity can be coarse; force a distinct mtime like a
+    # real regeneration minutes later would have
+    t = time.time() + 2
+    os.utime(ds, (t, t))
+    fresh = table(spark, str(sf), "orders")
+    assert fresh is not first
+    assert fresh.count() == 5
+    assert set(fresh.columns) == {"o_orderkey", "o_custkey"}
+
+    # explicit escape hatch drops the entry even without an mtime bump
+    again = table(spark, str(sf), "orders")
+    assert again is fresh
+    clear_scan_cache(spark)
+    assert table(spark, str(sf), "orders") is not fresh
+
+
+def test_ts_micros_closure_ships_by_value(tmp_path):
+    """The shared exact-micros converter must unpickle in a process
+    where this package is NOT importable — collect_file_stats' worker
+    closures depend on that (the external harness may run Python
+    workers from a cwd without the repo on sys.path)."""
+    import datetime as dt
+    import subprocess
+    import sys
+
+    import cloudpickle
+
+    from serverless_datalake_aws_spark.sources.stats import _ts_micros
+
+    pkl = tmp_path / "tsm.pkl"
+    pkl.write_bytes(cloudpickle.dumps(_ts_micros))
+    want = _ts_micros(dt.datetime(2024, 3, 1, 12, 0, 0, 123457))
+    got = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import pickle, datetime, sys; "
+            "sys.path = [p for p in sys.path if p not in ('', '/root/repo')]; "
+            f"f = pickle.load(open({str(pkl)!r}, 'rb')); "
+            "print(f(datetime.datetime(2024, 3, 1, 12, 0, 0, 123457)))",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        check=True,
+    ).stdout.strip()
+    assert int(got) == want == 1709294400123457
