@@ -2584,12 +2584,21 @@ class DataLakeEngine:
         path = self.vector_index_path(name)
         version = f"v-{uuid.uuid4().hex[:12]}"
         base = f"{path}/{version}"
+        # stage under a dot-prefixed name and rename to v-* only when
+        # the build is complete (ADVICE r10): vacuum never treats a
+        # dot-staging dir as a reclaimable version, so even
+        # vacuum_vector_index(grace_seconds=0) racing an in-flight
+        # build cannot rmtree its half-written dir. Same-directory
+        # rename = one atomic metadata op on the local FS this path
+        # already requires (remote roots rejected above).
+        staging = f"{path}/.staging-{version}"
         assigned = VX.nearest_centroid(src, cent_rows)
-        assigned.write.partitionBy("cid").parquet(f"{base}/cells")
+        assigned.write.partitionBy("cid").parquet(f"{staging}/cells")
         self.spark.createDataFrame(
             cent_rows, "cid long, embedding array<float>"
-        ).coalesce(1).write.parquet(f"{base}/codebook")
-        n = self.spark.read.parquet(f"{base}/cells").count()  # footer count
+        ).coalesce(1).write.parquet(f"{staging}/codebook")
+        n = self.spark.read.parquet(f"{staging}/cells").count()  # footer count
+        os.rename(staging, base)
         ptr = Path(path, "_LATEST")
         prev = None
         if ptr.exists():
@@ -2634,11 +2643,15 @@ class DataLakeEngine:
         ages from its `.superseded.<version>` tombstone (touched at
         pointer-swap time — aging from the dir's last write would
         delete a long-lived version the instant it was superseded,
-        under any reader still scanning it); an un-tombstoned orphan
-        (crashed build that never published) ages from its newest write
-        mtime, which a live in-flight writer keeps fresh — so neither a
-        reader's grace window nor a live writer's staging dir is pulled
-        out from under them. Returns reclaimed paths."""
+        under any reader still scanning it); an un-tombstoned `v-*`
+        orphan (build crashed in the rename→pointer-swap window) ages
+        from its newest write mtime. In-flight builds stage under
+        `.staging-v-*` and rename at publish (ADVICE r10), so even
+        `grace_seconds=0` cannot touch a live build; crashed staging
+        debris is reclaimed only past the fixed `VECTOR_GC_GRACE` —
+        deliberately NOT the per-call `grace_seconds`, which callers
+        drop to 0 to force-expire published versions, not to assert
+        no build is running. Returns reclaimed paths."""
         import os
         import shutil
 
@@ -2693,6 +2706,16 @@ class DataLakeEngine:
                 # tombstone whose version dir is already gone: debris
                 if not (path / entry.name[len(".superseded.") :]).exists():
                     entry.unlink(missing_ok=True)
+                continue
+            if entry.is_dir() and entry.name.startswith(".staging-"):
+                # crashed-build staging debris: reclaim only past the
+                # FIXED grace (a live build keeps its newest mtime
+                # fresh; grace_seconds=0 means "expire published
+                # versions now", never "no build is running")
+                newest = _newest_mtime(entry)
+                if newest is not None and now - newest > self.VECTOR_GC_GRACE:
+                    shutil.rmtree(entry, ignore_errors=True)
+                    reclaimed.append(str(entry))
                 continue
             if not (is_version or is_ptr_tmp):
                 continue

@@ -246,3 +246,39 @@ def test_grace_counts_from_supersession_not_last_write(spark, engine):
     # explicit vacuum past grace reclaims dir AND tombstone
     engine.vacuum_vector_index(grace_seconds=0)
     assert not v1.exists() and not tomb.exists()
+
+
+def test_vacuum_zero_grace_spares_inflight_staging_dir(spark, engine):
+    """ADVICE r10: builds stage under `.staging-v-*` and rename to
+    `v-*` at publish, so vacuum(grace_seconds=0) racing an in-flight
+    build must NOT rmtree its half-written staging dir; crashed
+    staging debris is reclaimed only past the fixed VECTOR_GC_GRACE."""
+    import os
+    import pathlib
+    import time
+    import uuid
+
+    emb = _emb(spark)
+    engine.build_vector_index(emb, n_cells=2)
+    root = pathlib.Path(engine.vector_index_path("default"))
+    # no staging dir survives a successful build
+    assert not [p for p in root.iterdir() if p.name.startswith(".staging-")]
+
+    # simulate a concurrent build mid-write: fresh mtimes
+    live = root / f".staging-v-{uuid.uuid4().hex[:12]}"
+    (live / "cells").mkdir(parents=True)
+    (live / "cells" / "part-0.parquet").write_bytes(b"x")
+    assert engine.vacuum_vector_index(grace_seconds=0) == []
+    assert live.exists()
+
+    # crashed build long dead: every mtime past the fixed grace
+    old = time.time() - engine.VECTOR_GC_GRACE - 60
+    for dirpath, _dirs, files in os.walk(live):
+        os.utime(dirpath, (old, old))
+        for f in files:
+            os.utime(os.path.join(dirpath, f), (old, old))
+    reclaimed = {pathlib.Path(p).name for p in engine.vacuum_vector_index(grace_seconds=0)}
+    assert reclaimed == {live.name}
+    assert not live.exists()
+    # the published version is untouched throughout
+    assert pathlib.Path(engine._vector_current("default")).exists()
