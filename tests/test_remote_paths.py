@@ -145,3 +145,49 @@ def test_remote_grants_session_scoped_with_loud_warning(remote):
     remote.ingest_batch(SAMPLES[:1], data_type="sales", owner="alice")
     sess = remote.as_principal("alice")
     assert sess.search_metadata(data_type="sales").count() == 1
+
+
+def test_is_remote_inventory_is_mechanically_enforced():
+    """VERDICT r10 #6: the COVERAGE.md object-store branch inventory is
+    a hand-written table — this test fails when an `is_remote` branch
+    exists in the package whose enclosing function is absent from the
+    inventory section, so the table cannot silently go stale as code
+    changes. Pure-definition lines (`is_remote = ...`) are not
+    branches and are exempt."""
+    import ast
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parents[1]
+    coverage = (pkg / "COVERAGE.md").read_text()
+    m = re.search(
+        r"## Object-store \(`is_remote`\) branch inventory.*?(?=\n## |\Z)",
+        coverage,
+        re.S,
+    )
+    assert m, "COVERAGE.md lost its is_remote inventory section"
+    inventory = m.group(0)
+
+    missing = []
+    for rel in ("engine.py", "access.py"):
+        src_path = pkg / "serverless_datalake_aws_spark" / rel
+        src = src_path.read_text()
+        spans = [
+            (n.lineno, n.end_lineno, n.name)
+            for n in ast.walk(ast.parse(src))
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        ]
+        for i, line in enumerate(src.splitlines(), 1):
+            if "is_remote" not in line:
+                continue
+            if re.search(r"is_remote\s*=(?!=)", line):
+                continue  # definition, not a branch
+            chain = {name for (a, b, name) in spans if a <= i <= b}
+            if not chain:
+                chain = {"<module>"}
+            if not any(name in inventory for name in chain):
+                missing.append(f"{rel}:{i} (in {sorted(chain)}): {line.strip()}")
+    assert not missing, (
+        "is_remote branches missing from COVERAGE.md inventory "
+        "(add a table row for each):\n" + "\n".join(missing)
+    )
