@@ -20,20 +20,20 @@ from pyspark.sql import functions as F
 
 log = logging.getLogger(__name__)
 
-# Per-session scan cache: (sf_dir, name, dir-mtime) -> DataFrame. The
+# Per-session scan cache: (sf_dir, name) -> (dir-mtime, DataFrame). The
 # fixture dirs are immutable, so re-running spark.read.parquet per query
 # call only repeats the file listing + footer schema read (~0.2 s of
 # every bench number at sf0.1). A metastore-backed catalog amortizes
 # exactly this via its shared file index; temp-view harnesses get it
 # here. Keyed weakly on the session so a stopped/recreated session never
-# serves stale plans, and on the dataset path's mtime so an in-session
-# fixture regeneration (testdata rebuild) invalidates naturally — a
-# rewrite replaces the .parquet dir, bumping its mtime (ADVICE r10).
-# `clear_scan_cache()` is the explicit escape hatch for exotic rewrites
-# that preserve mtime.
+# serves stale plans; the stored mtime is compared on every hit so an
+# in-session fixture regeneration (testdata rebuild) REPLACES the entry
+# — the stale plan is evicted, not retained beside its successor
+# (ADVICE r10 + r11 review). `clear_scan_cache()` is the explicit
+# escape hatch for exotic rewrites that preserve mtime.
 from weakref import WeakKeyDictionary
 
-_SCAN_CACHE: "WeakKeyDictionary[SparkSession, dict[tuple, DataFrame]]" = (
+_SCAN_CACHE: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], tuple[int, DataFrame]]]" = (
     WeakKeyDictionary()
 )
 
@@ -81,20 +81,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # execution time, and a later caller may execute the lazy plan
     pin_parquet_confs(spark, events=(name == "events"))
     cache = _SCAN_CACHE.setdefault(spark, {})
-    # mtime in the key: regeneration rewrites the dataset path, so a
-    # stale entry is simply never hit again (one stat per call — noise
-    # next to the file listing the hit saves)
+    # mtime compared on every hit: regeneration rewrites the dataset
+    # path, so a stale entry is replaced in place (one stat per call —
+    # noise next to the file listing the hit saves)
     try:
         mtime = os.stat(f"{sf_dir}/{name}.parquet").st_mtime_ns
     except OSError:
         mtime = -1
-    key = (sf_dir, name, mtime)
-    if key not in cache:
+    key = (sf_dir, name)
+    hit = cache.get(key)
+    if hit is None or hit[0] != mtime:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "events":
             df = normalize_events_ts(df)
-        cache[key] = df
-    return cache[key]
+        cache[key] = (mtime, df)
+        return df
+    return hit[1]
 
 
 def pin_parquet_confs(spark: SparkSession, events: bool = False) -> None:

@@ -2643,15 +2643,17 @@ class DataLakeEngine:
         ages from its `.superseded.<version>` tombstone (touched at
         pointer-swap time — aging from the dir's last write would
         delete a long-lived version the instant it was superseded,
-        under any reader still scanning it); an un-tombstoned `v-*`
-        orphan (build crashed in the rename→pointer-swap window) ages
-        from its newest write mtime. In-flight builds stage under
-        `.staging-v-*` and rename at publish (ADVICE r10), so even
-        `grace_seconds=0` cannot touch a live build; crashed staging
-        debris is reclaimed only past the fixed `VECTOR_GC_GRACE` —
-        deliberately NOT the per-call `grace_seconds`, which callers
-        drop to 0 to force-expire published versions, not to assert
-        no build is running. Returns reclaimed paths."""
+        under any reader still scanning it) and honors the per-call
+        grace. EVERYTHING ELSE — `.staging-v-*` build staging,
+        un-tombstoned `v-*` dirs (a build inside its rename→pointer-
+        publish window, or a crash there), `._LATEST.*` pointer temps
+        mid-os.replace — ages from its newest write mtime against the
+        FIXED `VECTOR_GC_GRACE`, deliberately NOT the per-call value:
+        callers drop `grace_seconds` to 0 to force-expire published
+        versions, not to assert no build is running, and a zero-grace
+        vacuum racing a publisher must never delete the dir the
+        pointer is about to reference (ADVICE r10 + the r11 review's
+        rename-window finding). Returns reclaimed paths."""
         import os
         import shutil
 
@@ -2720,7 +2722,19 @@ class DataLakeEngine:
             if not (is_version or is_ptr_tmp):
                 continue
             age = _age_of(entry, is_version)
-            if age is None or age < grace:
+            # ONLY tombstoned versions honor the per-call grace (the
+            # caller's "expire superseded versions now" intent). An
+            # un-tombstoned v-* dir or a ._LATEST.* temp may be a build
+            # in its rename→pointer-publish window — milliseconds wide,
+            # but a grace_seconds=0 vacuum racing it would delete the
+            # dir A is about to point _LATEST at (every later search
+            # then FileNotFounds). Crash debris of either kind waits
+            # for the fixed grace, same as .staging-* above.
+            tombstoned = (
+                is_version and (path / f".superseded.{entry.name}").exists()
+            )
+            floor = grace if tombstoned else max(grace, self.VECTOR_GC_GRACE)
+            if age is None or age < floor:
                 continue
             if is_version:
                 shutil.rmtree(entry, ignore_errors=True)

@@ -770,21 +770,27 @@ def _p234(t: str, m) -> str:
         return f"substr({t}, 1, length({t}) - {n}){tail}"
 
     def stem(n: int) -> str:
+        # Porter's condition is evaluated on the stem preceding the
+        # FULL matched suffix — n is the suffix length, which for
+        # rules like tional->tion EXCEEDS the trimmed length (r11
+        # review: measuring the post-trim string inflated m with the
+        # retained fragment, firing e.g. really->real where Porter's
+        # m('re')=0 leaves 'realli')
         return f"substr({t}, 1, length({t}) - {n})"
 
     return f"""CASE
       WHEN {t} LIKE '%ational' AND {m(stem(7))} > 0 THEN {cut(7, 'ate')}
       WHEN {t} LIKE '%ization' AND {m(stem(7))} > 0 THEN {cut(7, 'ize')}
-      WHEN {t} LIKE '%fulness' AND {m(stem(4))} > 0 THEN {cut(4)}
-      WHEN {t} LIKE '%iveness' AND {m(stem(4))} > 0 THEN {cut(4)}
-      WHEN {t} LIKE '%ousness' AND {m(stem(4))} > 0 THEN {cut(4)}
-      WHEN {t} LIKE '%tional' AND {m(stem(2))} > 0 THEN {cut(2)}
+      WHEN {t} LIKE '%fulness' AND {m(stem(7))} > 0 THEN {cut(4)}
+      WHEN {t} LIKE '%iveness' AND {m(stem(7))} > 0 THEN {cut(4)}
+      WHEN {t} LIKE '%ousness' AND {m(stem(7))} > 0 THEN {cut(4)}
+      WHEN {t} LIKE '%tional' AND {m(stem(6))} > 0 THEN {cut(2)}
       WHEN {t} LIKE '%biliti' AND {m(stem(6))} > 0 THEN {cut(6, 'ble')}
       WHEN {t} LIKE '%iviti' AND {m(stem(5))} > 0 THEN {cut(5, 'ive')}
-      WHEN {t} LIKE '%aliti' AND {m(stem(3))} > 0 THEN {cut(3)}
-      WHEN {t} LIKE '%entli' AND {m(stem(2))} > 0 THEN {cut(2)}
-      WHEN {t} LIKE '%ousli' AND {m(stem(2))} > 0 THEN {cut(2)}
-      WHEN {t} LIKE '%alli' AND {m(stem(2))} > 0 THEN {cut(2)}
+      WHEN {t} LIKE '%aliti' AND {m(stem(5))} > 0 THEN {cut(3)}
+      WHEN {t} LIKE '%entli' AND {m(stem(5))} > 0 THEN {cut(2)}
+      WHEN {t} LIKE '%ousli' AND {m(stem(5))} > 0 THEN {cut(2)}
+      WHEN {t} LIKE '%alli' AND {m(stem(4))} > 0 THEN {cut(2)}
       WHEN {t} LIKE '%ness' AND {m(stem(4))} > 0 THEN {cut(4)}
       WHEN {t} LIKE '%ment' AND {m(stem(4))} > 1 THEN {cut(4)}
       ELSE {t}

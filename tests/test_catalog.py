@@ -247,13 +247,20 @@ def test_ts_micros_closure_ships_by_value(tmp_path):
     closures depend on that (the external harness may run Python
     workers from a cwd without the repo on sys.path)."""
     import datetime as dt
+    import pathlib
     import subprocess
     import sys
 
     import cloudpickle
 
+    import serverless_datalake_aws_spark
     from serverless_datalake_aws_spark.sources.stats import _ts_micros
 
+    # the dir whose presence on sys.path makes the package importable —
+    # derived, not hardcoded, so the test keeps its point in any checkout
+    repo_dir = str(
+        pathlib.Path(serverless_datalake_aws_spark.__file__).resolve().parents[1]
+    )
     pkl = tmp_path / "tsm.pkl"
     pkl.write_bytes(cloudpickle.dumps(_ts_micros))
     want = _ts_micros(dt.datetime(2024, 3, 1, 12, 0, 0, 123457))
@@ -262,7 +269,10 @@ def test_ts_micros_closure_ships_by_value(tmp_path):
             sys.executable,
             "-c",
             "import pickle, datetime, sys; "
-            "sys.path = [p for p in sys.path if p not in ('', '/root/repo')]; "
+            f"sys.path = [p for p in sys.path if p not in ('', {repo_dir!r})]; "
+            "import importlib.util; "
+            "assert importlib.util.find_spec('serverless_datalake_aws_spark') "
+            "is None, 'package still importable - test would be vacuous'; "
             f"f = pickle.load(open({str(pkl)!r}, 'rb')); "
             "print(f(datetime.datetime(2024, 3, 1, 12, 0, 0, 123457)))",
         ],

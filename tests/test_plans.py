@@ -631,3 +631,44 @@ def test_porter_measure_cross_engine(spark):
     }
     assert got_spark == expected
     assert got_duck == expected
+
+
+def test_porter_p234_conditions_measure_presuffix_stem(spark):
+    """r11 review: _p234's m-conditions must evaluate on the stem
+    preceding the FULL matched suffix (Porter's rule), not the
+    post-trim string — 'realli' must survive (m('re')=0) while
+    'radicalli' reduces (m('radic')>0); outcomes pinned to the
+    reference Porter stemmer for every suffix in the table, on BOTH
+    engines."""
+    import duckdb
+
+    from serverless_datalake_aws_spark.plans.search import (
+        _m_duck,
+        _m_spark,
+        _p234,
+    )
+
+    cases = {
+        "realli": "realli", "relational": "relate", "rational": "rational",
+        "conditional": "condition", "hopefulness": "hopeful",
+        "effectiveness": "effective", "sensibiliti": "sensible",
+        "sensitiviti": "sensitive", "formaliti": "formal",
+        "differentli": "different", "analogousli": "analogous",
+        "radicalli": "radical", "goodness": "good",
+        "adjustment": "adjust", "cement": "cement",
+        "tional": "tional", "vital": "vital",
+    }
+    words = sorted(cases)
+    got_spark = {
+        r["w"]: r["s"]
+        for r in spark.createDataFrame([(w,) for w in words], "w string")
+        .selectExpr("w", _p234("w", _m_spark) + " as s")
+        .collect()
+    }
+    con = duckdb.connect()
+    got_duck = {
+        w: con.execute(f"SELECT {_p234(repr(w), _m_duck)}").fetchone()[0]
+        for w in words
+    }
+    assert got_spark == cases
+    assert got_duck == cases

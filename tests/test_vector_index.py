@@ -163,10 +163,26 @@ def test_reader_survives_rebuild(spark, engine):
     assert old_reader.count() == 3  # old files still on disk
 
 
+def _age_tree(p, seconds_ago):
+    """Force every mtime under p (and p itself) into the past."""
+    import os
+    import time
+
+    old = time.time() - seconds_ago
+    targets = [str(p)]
+    for dirpath, _dirs, files in os.walk(p):
+        targets.append(dirpath)
+        targets.extend(os.path.join(dirpath, f) for f in files)
+    for t in targets:
+        os.utime(t, (old, old))
+
+
 def test_vacuum_honors_grace_and_sweeps_orphans(spark, engine):
-    """vacuum reclaims aged-out unreferenced version dirs and stale
-    pointer temps, but leaves anything younger than the grace window
-    (a fresh orphan may be a concurrent in-flight build)."""
+    """vacuum reclaims long-dead unreferenced version dirs and stale
+    pointer temps, but leaves anything younger than the FIXED grace —
+    a fresh un-tombstoned v-* dir may be a publisher inside its
+    rename→pointer-swap window, so the per-call grace (even 0) never
+    applies to it (r11 review: rename-window finding)."""
     import pathlib
     import uuid
 
@@ -178,13 +194,75 @@ def test_vacuum_honors_grace_and_sweeps_orphans(spark, engine):
     (orphan / "cells" / "part-0.parquet").write_bytes(b"x")
     stale_tmp = root / "._LATEST.deadbeef"
     stale_tmp.write_text("{}")
-    # within grace: both survive (in-flight build / unexpired reader)
+    # fresh: both survive ANY per-call grace, including 0 (the orphan
+    # may be a build about to publish its pointer)
     assert engine.vacuum_vector_index(grace_seconds=3600) == []
+    assert engine.vacuum_vector_index(grace_seconds=0) == []
     assert orphan.exists() and stale_tmp.exists()
-    # past grace: both reclaimed, live version untouched
+    # past the fixed grace: both reclaimed, live version untouched
+    _age_tree(orphan, engine.VECTOR_GC_GRACE + 60)
+    _age_tree(stale_tmp, engine.VECTOR_GC_GRACE + 60)
     reclaimed = {pathlib.Path(p).name for p in engine.vacuum_vector_index(grace_seconds=0)}
     assert reclaimed == {orphan.name, stale_tmp.name}
     assert not orphan.exists() and not stale_tmp.exists()
+    assert pathlib.Path(engine._vector_current("default")).exists()
+
+
+def test_concurrent_vacuums_reclaim_exactly_once_without_error(spark, engine):
+    """VERDICT r10 #5: two vacuums racing over the same aged debris
+    must neither raise (stat/unlink/rmtree all tolerate losing the
+    race) nor corrupt the live version; together they reclaim
+    everything exactly once-or-more (idempotent union)."""
+    import pathlib
+    import threading
+    import uuid
+
+    emb = _emb(spark)
+    engine.build_vector_index(emb, n_cells=2)
+    root = pathlib.Path(engine.vector_index_path("default"))
+    debris = []
+    for _ in range(6):
+        orphan = root / f"v-{uuid.uuid4().hex[:12]}"
+        (orphan / "cells").mkdir(parents=True)
+        for j in range(20):
+            (orphan / "cells" / f"part-{j}.parquet").write_bytes(b"x" * 256)
+        _age_tree(orphan, engine.VECTOR_GC_GRACE + 60)
+        debris.append(orphan)
+    errors, results = [], []
+
+    def _run():
+        try:
+            results.append(engine.vacuum_vector_index(grace_seconds=0))
+        except Exception as exc:  # noqa: BLE001 — the assertion target
+            errors.append(exc)
+
+    threads = [threading.Thread(target=_run) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    assert all(not d.exists() for d in debris)
+    assert pathlib.Path(engine._vector_current("default")).exists()
+    # a search still works after the race
+    assert engine.vector_search([1.0] * 8, k=1).count() >= 0
+
+
+def test_zero_grace_vacuum_spares_publish_window_dir(spark, engine):
+    """A renamed-but-not-yet-pointed v-* dir (the publisher is between
+    os.rename and the _LATEST swap) must survive vacuum(grace=0): the
+    simulated window dir has fresh mtimes and no tombstone."""
+    import pathlib
+    import uuid
+
+    emb = _emb(spark)
+    engine.build_vector_index(emb, n_cells=2)
+    root = pathlib.Path(engine.vector_index_path("default"))
+    window = root / f"v-{uuid.uuid4().hex[:12]}"
+    (window / "cells").mkdir(parents=True)
+    (window / "cells" / "part-0.parquet").write_bytes(b"x")
+    assert engine.vacuum_vector_index(grace_seconds=0) == []
+    assert window.exists()
     assert pathlib.Path(engine._vector_current("default")).exists()
 
 
