@@ -330,6 +330,20 @@ def prune_files(
     Evaluation is a metadata-scale DataFrame filter; only matching
     file paths are collected (the file list any scan must enumerate
     anyway)."""
+    keep, _indexed = _prune_with_inventory(stats, column, lo, hi)
+    return sorted(keep)
+
+
+def _prune_with_inventory(
+    stats: DataFrame,
+    column: str,
+    lo=None,
+    hi=None,
+) -> tuple[set, set]:
+    """(kept files, ALL indexed files) in ONE collect — `pruned_scan`
+    needs both, and issuing prune_files + a separate distinct-files
+    collect costs two metadata jobs where one suffices (the r10 m07
+    job-dispatch wall; both results are the same #files-scale rows)."""
     all_files = stats.select("file").distinct()
     s = stats.filter(F.col("column") == column)
     k_lo = _canon(lo) if lo is not None else None
@@ -352,11 +366,22 @@ def prune_files(
                 kind.isin("int", "float")
                 & (_cast_for(kind, F.col("min_v")) > F.lit(float(k_hi[1])))
             )
-    dropped = s.filter(
-        F.col("min_v").isNotNull() & F.col("max_v").isNotNull() & drop
-    ).select("file")
-    keep = all_files.join(dropped, "file", "left_anti")
-    return sorted(_strip_uri(r["file"]) for r in keep.collect())
+    dropped = (
+        s.filter(F.col("min_v").isNotNull() & F.col("max_v").isNotNull() & drop)
+        .select("file")
+        .withColumn("_dropped", F.lit(True))
+    )
+    flags = all_files.join(dropped, "file", "left").select(
+        "file", F.coalesce(F.col("_dropped"), F.lit(False)).alias("_dropped")
+    )
+    keep: set = set()
+    indexed: set = set()
+    for r in flags.collect():
+        f = _strip_uri(r["file"])
+        indexed.add(f)
+        if not r["_dropped"]:
+            keep.add(f)
+    return keep, indexed
 
 
 def pruned_scan(
@@ -376,8 +401,7 @@ def pruned_scan(
     lo = _session_tz_aware(spark, lo)
     hi = _session_tz_aware(spark, hi)
     on_disk = set(list_parquet_files(root))
-    indexed = {_strip_uri(r["file"]) for r in stats.select("file").distinct().collect()}
-    keep = set(prune_files(stats, column, lo, hi))
+    keep, indexed = _prune_with_inventory(stats, column, lo, hi)
     # keep ∩ on_disk: a stale index may name files a rewrite deleted —
     # passing them to the reader would crash the scan instead of
     # failing open (the never-indexed union below covers the rewrite's
