@@ -2594,9 +2594,15 @@ class DataLakeEngine:
         staging = f"{path}/.staging-{version}"
         assigned = VX.nearest_centroid(src, cent_rows)
         assigned.write.partitionBy("cid").parquet(f"{staging}/cells")
+        # single-slice parallelize, NOT createDataFrame(...).coalesce(1):
+        # a driver-local createDataFrame pickles into defaultParallelism
+        # (~32) slices, and coalesce(1) then replays all of them through
+        # ONE Python worker task serially — measured 5-8 s for 8 rows vs
+        # ~0.4 s for an explicit one-slice RDD (r11 m13 build profile)
         self.spark.createDataFrame(
-            cent_rows, "cid long, embedding array<float>"
-        ).coalesce(1).write.parquet(f"{staging}/codebook")
+            self.spark.sparkContext.parallelize(cent_rows, 1),
+            "cid long, embedding array<float>",
+        ).write.parquet(f"{staging}/codebook")
         n = self.spark.read.parquet(f"{staging}/cells").count()  # footer count
         os.rename(staging, base)
         ptr = Path(path, "_LATEST")
