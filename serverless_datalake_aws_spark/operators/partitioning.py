@@ -102,13 +102,24 @@ PartitionSpec = tuple[PartitionField, ...]
 
 
 def hidden_write(
-    df: DataFrame, path: str, spec: PartitionSpec, mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    spec: PartitionSpec,
+    mode: str = "overwrite",
+    distribute: bool = True,
 ) -> None:
     """Derive the partition columns and hive-partition the write. The
     derived columns live only in directory names; the data files carry
     the original schema plus the partition columns Spark strips on
     read — so a plain `spark.read.parquet(path)` sees original + the
-    spec'd names, and `hidden_scan` hides the spec'd names again."""
+    spec'd names, and `hidden_scan` hides the spec'd names again.
+
+    `distribute=True` (default) shuffles on the derived partition
+    columns before the write — without it every upstream task opens a
+    writer per partition dir it touches, producing tasks × dirs files
+    (the small-files explosion that kills both this write and every
+    later scan at scale; Iceberg calls the same fix a 'write
+    distribution mode' of hash). One exchange buys ~1 file per dir."""
     for f in spec:
         if f.name in df.columns:
             raise ValueError(
@@ -118,7 +129,10 @@ def hidden_write(
     out = df
     for f in spec:
         out = out.withColumn(f.name, f.apply(F.col(f.source), dtypes[f.source]))
-    out.write.mode(mode).partitionBy(*[f.name for f in spec]).parquet(path)
+    names = [f.name for f in spec]
+    if distribute:
+        out = out.repartition(*[F.col(n) for n in names])
+    out.write.mode(mode).partitionBy(*names).parquet(path)
 
 
 def _typed_lit(v, dtype: str) -> Column:
