@@ -121,11 +121,12 @@ def main() -> None:
     # as phantom 1.3x regressions. Instead of trusting round-end
     # sequencing, the bench itself refuses to start measuring until the
     # 1-min loadavg drops below 1.0 (polling up to
-    # $SPARK_GRAFT_BENCH_IDLE_WAIT_S, default 900 s; set 0 to skip while
-    # iterating). If the box never goes idle the record is still taken
-    # but carries "load_contaminated": true so no judge has to infer
-    # contamination from loadavg_start.
-    idle_wait = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_S", "900"))
+    # $SPARK_GRAFT_BENCH_IDLE_WAIT_S, default 600 s — long enough for a
+    # draining sweep, short enough not to trip an external harness
+    # timeout; set 0 to skip while iterating). If the box never goes
+    # idle the record is still taken but carries "load_contaminated":
+    # true so no judge has to infer contamination from loadavg_start.
+    idle_wait = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_S", "600"))
     idle_waited = 0.0
     while idle_waited < idle_wait:
         try:
