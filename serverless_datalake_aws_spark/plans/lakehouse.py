@@ -16,12 +16,24 @@ from __future__ import annotations
 import datetime as dt
 import shutil
 import tempfile
+import time as _time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from serverless_datalake_aws_spark.catalog import table
 from serverless_datalake_aws_spark.plans import query
+
+# Per-invocation phase split for the registration-wall entries
+# (m07/m10/m12/m13), published by bench.py as queries_build/
+# queries_serve (VERDICT r10 #3): these queries deliberately pay an
+# in-query table/index CONSTRUCTION (a one-time registration cost at
+# real scale) before a cheap serving read, and both phases complete
+# inside the callable (results must materialize before the temp
+# workdir vanishes) — so a caller-side call-vs-write split cannot see
+# the boundary. Each entry overwrites its row on every invocation;
+# readers take the value right after the call they timed.
+PHASE_TIMINGS: dict[str, dict[str, float]] = {}
 
 
 @query(
@@ -63,6 +75,7 @@ def m07_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="m07_")
+    t_start = _time.perf_counter()
     try:
         # sticky like catalog.table's conf pins: the driver's plain
         # session writes INT96 timestamps by default, and INT96 carries
@@ -99,6 +112,7 @@ def m07_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_ts = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=min_us)
         lo = min_ts + dt.timedelta(days=1)
         hi = min_ts + dt.timedelta(days=2)
+        t_built = _time.perf_counter()  # clustered copy + stats index done
         out = (
             pruned_scan(spark, f"{work}/events", stats, "ts", lo=lo, hi=hi)
             .filter(F.col("ts") < F.lit(hi))
@@ -115,6 +129,11 @@ def m07_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize before the temp dir disappears
         rows = out.collect()
+        t_end = _time.perf_counter()
+        PHASE_TIMINGS["m07_stats_pruned_scan"] = {
+            "build_s": round(t_built - t_start, 3),
+            "serve_s": round(t_end - t_built, 3),
+        }
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -226,6 +245,7 @@ def m10_hidden_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         PartitionField("user_bucket", "bucket", "user_id", 8),
     )
     work = tempfile.mkdtemp(prefix="m10_")
+    t_start = _time.perf_counter()
     try:
         spark.conf.set(
             "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
@@ -235,6 +255,7 @@ def m10_hidden_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{work}/events",
             spec,
         )
+        t_built = _time.perf_counter()  # hidden-partitioned table landed
         out = (
             hidden_scan(
                 spark,
@@ -251,6 +272,11 @@ def m10_hidden_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_id")
         )
         rows = out.collect()
+        t_end = _time.perf_counter()
+        PHASE_TIMINGS["m10_hidden_partition_scan"] = {
+            "build_s": round(t_built - t_start, 3),
+            "serve_s": round(t_end - t_built, 3),
+        }
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -393,12 +419,14 @@ def m12_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(777).cast("long").alias("cents"),
     )
     work = tempfile.mkdtemp(prefix="m12_")
+    t_start = _time.perf_counter()
     try:
         root = f"{work}/orders_v"
         write_versioned(base.repartitionByRange(8, "id"), root)
         merge_versioned(
             spark, root, updates.unionAll(inserts), key="id"
         )
+        t_built = _time.perf_counter()  # versioned publish + COW merge done
         out = (
             read_versioned(spark, root)
             .groupBy((F.col("id") % 10).alias("bucket"))
@@ -409,6 +437,11 @@ def m12_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("bucket")
         )
         rows = out.collect()
+        t_end = _time.perf_counter()
+        PHASE_TIMINGS["m12_merge_cow"] = {
+            "build_s": round(t_built - t_start, 3),
+            "serve_s": round(t_end - t_built, 3),
+        }
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -493,9 +526,11 @@ def m13_vector_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     work = tempfile.mkdtemp(prefix="m13_")
+    t_start = _time.perf_counter()
     try:
         eng = DataLakeEngine(spark, work)
         eng.build_vector_index(emb, n_cells=_M13_CELLS)
+        t_built = _time.perf_counter()  # IVF index built + published
         qrows = sorted(
             (r["vec_id"], r["embedding"])
             for r in emb.filter(F.col("vec_id") < _M13_NQ)
@@ -508,6 +543,11 @@ def m13_vector_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             nprobe=_M13_NPROBE,
         ).select("query_id", "vec_id", "cid", "score", "rk")
         rows = out.collect()  # materialize before the workdir vanishes
+        t_end = _time.perf_counter()
+        PHASE_TIMINGS["m13_vector_index_search"] = {
+            "build_s": round(t_built - t_start, 3),
+            "serve_s": round(t_end - t_built, 3),
+        }
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
