@@ -316,10 +316,24 @@ class EpochPartitionedTable:
             os.fsync(fh.fileno())
         os.replace(tmp, os.path.join(self.path, "_LATEST"))
 
-    def write(self, df: DataFrame, sub: str, epoch: int) -> None:
-        df.write.mode("overwrite").parquet(
-            f"{self.path}/{sub}/epoch={epoch}"
-        )
+    def write(
+        self,
+        df: DataFrame,
+        sub: str,
+        epoch: int,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """`partition_by` hive-partitions WITHIN the epoch dir (e.g. the
+        near-dup index buckets its shingle table on pmod(doc_id, N) so
+        candidate probes prune directories instead of scanning every
+        epoch); the extra dirs read back as ordinary partition columns
+        alongside `epoch`. A subtable must use the same partition_by on
+        every epoch — mixing flat and partitioned epochs breaks Spark's
+        partition discovery."""
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(f"{self.path}/{sub}/epoch={epoch}")
 
     def _recover_legacy_swap(self, sub: str) -> None:
         """Heal an interrupted legacy migration (read()'s hide →

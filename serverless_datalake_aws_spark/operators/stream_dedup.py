@@ -1,0 +1,214 @@
+"""Near-dup-on-ingest index: the MinHash LSH pipeline maintained as a
+document stream lands (SURVEY §2.9/§2.11 — the streaming form of the
+d04 dedup path; backs `st15_stream_minhash_index` and
+`tools/probe_stream_neardup_ingest.py`).
+
+Each absorbed micro-batch:
+  1. sketches ITS docs (3-gram shingles → md5 minhash → LSH band keys
+     — d04's exact pipeline, via functions.text),
+  2. self-joins its band keys for within-batch candidates
+     (hot-band-capped) and probes the persisted band index for
+     cross-batch candidates,
+  3. verifies candidates with exact Jaccard ≥ `jaccard` over the
+     shingle sets,
+  4. appends its bands/shingles and the new pairs to the index.
+
+So every near-dup pair surfaces exactly once — the moment its SECOND
+member arrives — and history is never re-SKETCHED.
+
+Scale contract (what grows with history, measured in
+tools/probe_stream_neardup_ingest.py; SCALE.md round-11):
+- The sketch pass and within-batch self-join are |batch|-local.
+- The cross-batch probe scans the accumulated BAND INDEX — 8-byte
+  keys + ids, ~1% of corpus bytes — the honest inverted-index cost.
+- The Jaccard verify needs SHINGLE SETS, i.e. corpus-scale payload.
+  With `prune_history=True` (default) the history shingle read is
+  pruned to exactly the candidate doc_ids: shingles land hive-
+  partitioned on `tb = pmod(doc_id, toks_buckets)`, and the probe
+  filters on literal (tb, doc_id) lists so Spark prunes partition
+  dirs and row groups instead of re-reading every historical
+  document's shingles per batch. `prune_history=False` keeps the
+  naive O(corpus)-per-batch scan — it exists so the probe can
+  measure what the pruning buys.
+
+State rides EpochPartitionedTable (epoch-partitioned overwrites + an
+atomic pointer), so absorption is idempotent per epoch: a foreachBatch
+retry (side effects are at-least-once) overwrites its own epoch's
+pairs/bands/toks instead of duplicating them, and a crash mid-absorb
+leaves the uncommitted epoch invisible.
+
+Assumes doc_ids are unique across the stream (same contract as the
+exact-dedup front door, st13): re-ingesting an id would verify its
+pairs against whichever shingle copy the pruned read kept.
+
+The reference has no streaming surface at all (its ingest is
+one-Lambda-per-object, reference `lambda-function.py`); this operator
+is the Spark-native upgrade path SURVEY §2.9 prescribes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serverless_datalake_aws_spark.functions import text as TX
+from serverless_datalake_aws_spark.operators.banding import (
+    capped_band_self_join,
+)
+from serverless_datalake_aws_spark.operators.incremental import (
+    EpochPartitionedTable,
+)
+
+
+def sketch_batch(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(bands, toks) for one micro-batch — d04's exact sketch pipeline
+    (3-gram shingles, md5 minhash, LSH band keys) over `batch`
+    (columns doc_id, text)."""
+    d = batch.select(
+        "doc_id",
+        F.array_distinct(TX.word_ngrams("text", n=3)).alias("toks"),
+    ).withColumn(
+        "hs", F.transform("toks", lambda t: TX.token_hash(t) % TX.MINHASH_P)
+    )
+    bands = d.select(
+        "doc_id",
+        F.explode(TX.lsh_band_keys(TX.minhash_mins(F.col("hs")))).alias(
+            "band_key"
+        ),
+    )
+    return bands, d.select("doc_id", "toks")
+
+
+class MinHashIngestIndex:
+    """Maintained MinHash LSH near-dup index over a document stream.
+
+    `absorb(batch, epoch_id)` is the foreachBatch body; `pairs()`
+    reads the committed pair set (None before the first commit).
+    """
+
+    # above this many candidate history ids per batch, the pruned read
+    # switches from literal IN-lists (partition-dir + row-group
+    # pruning) to a broadcast semi-join (no driver-side list, full
+    # index scan but no shuffle of history) — the degenerate-corpus
+    # escape hatch, not the designed hot path
+    MAX_INLIST = 100_000
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        jaccard: float = 0.6,
+        prune_history: bool = True,
+        toks_buckets: int = 32,
+    ):
+        self.spark = spark
+        self.state = EpochPartitionedTable(spark, path)
+        self.jaccard = jaccard
+        self.prune_history = prune_history
+        self.toks_buckets = toks_buckets
+
+    def committed(self) -> int:
+        return self.state.committed()
+
+    def pairs(self) -> DataFrame | None:
+        return self.state.read("pairs", upto=self.state.committed())
+
+    def _history_toks(
+        self, high: int, cand: DataFrame, batch_toks: DataFrame
+    ) -> DataFrame | None:
+        """Shingle rows for exactly the HISTORY side of `cand` —
+        candidate ids minus the current batch's ids. Returns None when
+        nothing is needed (first epoch, or no cross-batch candidate)."""
+        old = self.state.read("toks", upto=high)
+        if old is None:
+            return None
+        if not self.prune_history:
+            return old.drop("tb") if "tb" in old.columns else old
+        need = (
+            cand.select(F.col("doc1").alias("doc_id"))
+            .unionByName(cand.select(F.col("doc2").alias("doc_id")))
+            .distinct()
+            .join(batch_toks.select("doc_id"), "doc_id", "left_anti")
+        )
+        ids = [r["doc_id"] for r in need.collect()]  # candidate-bounded
+        if not ids:
+            return None
+        if len(ids) <= self.MAX_INLIST and "tb" in old.columns:
+            buckets = sorted({i % self.toks_buckets for i in ids})
+            return (
+                old.filter(
+                    F.col("tb").isin(buckets) & F.col("doc_id").isin(ids)
+                ).drop("tb")
+            )
+        pruned = old.join(F.broadcast(need), "doc_id", "semi")
+        return pruned.drop("tb") if "tb" in pruned.columns else pruned
+
+    def absorb(self, batch: DataFrame, epoch_id: int) -> None:
+        if epoch_id <= self.state.committed():
+            return  # retry of an absorbed epoch
+        bands_b, toks_b = sketch_batch(batch)
+        bands_b = bands_b.cache()
+        # toks_b is read up to 3x (both jac sides + the epoch write);
+        # each uncached read re-runs the batch shingle pass
+        toks_b = toks_b.cache()
+        high = self.state.committed()
+        old_bands = self.state.read("bands", upto=high)
+        # cache=False: this absorb owns the ONE cache on bands_b (the
+        # helper's internal cache leaked one block-manager entry per
+        # epoch that nothing released)
+        within = capped_band_self_join(
+            bands_b, "band_key", "doc_id", cache=False
+        )
+        if old_bands is not None:
+            cross = (
+                bands_b.join(
+                    old_bands.withColumnRenamed("doc_id", "old_id"),
+                    "band_key",
+                )
+                .select(
+                    F.least("doc_id", "old_id").alias("doc1"),
+                    F.greatest("doc_id", "old_id").alias("doc2"),
+                )
+            )
+            cand = within.select("doc1", "doc2").unionByName(cross)
+        else:
+            cand = within.select("doc1", "doc2")
+        # cached: reused by the pruned-id collection AND the jac join,
+        # and its lineage holds the band self-join + index probe
+        cand = cand.dropDuplicates(["doc1", "doc2"]).cache()
+        try:
+            old_toks = self._history_toks(high, cand, toks_b)
+            avail = (
+                toks_b if old_toks is None
+                else toks_b.unionByName(old_toks)
+            )
+            t1 = avail.select(
+                F.col("doc_id").alias("doc1"), F.col("toks").alias("t1")
+            )
+            t2 = avail.select(
+                F.col("doc_id").alias("doc2"), F.col("toks").alias("t2")
+            )
+            inter = F.size(F.array_intersect("t1", "t2")).cast("double")
+            jac = inter / (F.size("t1") + F.size("t2") - inter)
+            pairs = (
+                cand.join(t1, "doc1")
+                .join(t2, "doc2")
+                .withColumn("_jac_raw", jac)
+                .filter(F.col("_jac_raw") >= self.jaccard)
+                .select("doc1", "doc2", F.round("_jac_raw", 4).alias("jac"))
+            )
+            self.state.write(pairs, "pairs", epoch_id)
+            self.state.write(bands_b, "bands", epoch_id)
+            self.state.write(
+                toks_b.withColumn(
+                    "tb", F.pmod(F.col("doc_id"), F.lit(self.toks_buckets))
+                ),
+                "toks",
+                epoch_id,
+                partition_by=["tb"],
+            )
+            self.state.commit(epoch_id)
+        finally:
+            bands_b.unpersist()
+            toks_b.unpersist()
+            cand.unpersist()

@@ -992,26 +992,6 @@ def st14_stream_maintained_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def _st15_prepare(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(bands, toks) for one micro-batch — d04's exact sketch pipeline
-    (3-gram shingles, md5 minhash, LSH band keys) over the batch."""
-    from serverless_datalake_aws_spark.functions import text as TX
-
-    d = batch.select(
-        "doc_id",
-        F.array_distinct(TX.word_ngrams("text", n=3)).alias("toks"),
-    ).withColumn(
-        "hs", F.transform("toks", lambda t: TX.token_hash(t) % TX.MINHASH_P)
-    )
-    bands = d.select(
-        "doc_id",
-        F.explode(TX.lsh_band_keys(TX.minhash_mins(F.col("hs")))).alias(
-            "band_key"
-        ),
-    )
-    return bands, d.select("doc_id", "toks")
-
-
 @query(
     "st15_stream_minhash_index",
     oracle=__import__(
@@ -1044,17 +1024,19 @@ def st15_stream_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the batch ground truth.
 
     Scale: per batch the sketch pass is |batch|-local; the index probe
-    shuffles (doc_id, band_key) rows only (shingles re-attach to
-    SURVIVING candidates); index growth is |docs| × bands rows."""
+    shuffles (doc_id, band_key) rows only; the Jaccard verify reads
+    history SHINGLES pruned to exactly the candidate doc_ids (the
+    shingle table is hive-bucketed on pmod(doc_id, N), so the probe
+    prunes partition dirs + row groups instead of re-scanning the
+    corpus per batch — operators/stream_dedup.MinHashIngestIndex,
+    measured before/after in tools/probe_stream_neardup_ingest.py);
+    index growth is |docs| × bands rows."""
     import shutil
     import tempfile
 
     from serverless_datalake_aws_spark.catalog import table
-    from serverless_datalake_aws_spark.operators.banding import (
-        capped_band_self_join,
-    )
-    from serverless_datalake_aws_spark.operators.incremental import (
-        EpochPartitionedTable,
+    from serverless_datalake_aws_spark.operators.stream_dedup import (
+        MinHashIngestIndex,
     )
 
     work = tempfile.mkdtemp(prefix="st15_")
@@ -1066,63 +1048,7 @@ def st15_stream_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .repartition(4)
             .write.parquet(src)
         )
-        ept = EpochPartitionedTable(spark, f"{work}/state")
-
-        def _absorb(batch: DataFrame, eid: int) -> None:
-            if eid <= ept.committed():
-                return  # retry of an absorbed epoch
-            bands_b, toks_b = _st15_prepare(batch)
-            bands_b = bands_b.cache()
-            high = ept.committed()
-            old_bands = ept.read("bands", upto=high)
-            old_toks = ept.read("toks", upto=high)
-            # cache=False: this absorb owns the ONE cache on bands_b
-            # (the helper's internal cache leaked one block-manager
-            # entry per epoch that nothing released)
-            within = capped_band_self_join(
-                bands_b, "band_key", "doc_id", cache=False
-            )
-            if old_bands is not None:
-                cross = (
-                    bands_b.join(
-                        old_bands.withColumnRenamed("doc_id", "old_id"),
-                        "band_key",
-                    )
-                    .select(
-                        F.least("doc_id", "old_id").alias("doc1"),
-                        F.greatest("doc_id", "old_id").alias("doc2"),
-                    )
-                )
-                cand = within.select("doc1", "doc2").unionByName(cross)
-            else:
-                cand = within.select("doc1", "doc2")
-            cand = cand.dropDuplicates(["doc1", "doc2"])
-            all_toks = (
-                toks_b if old_toks is None
-                else toks_b.unionByName(old_toks)
-            )
-            t1 = all_toks.select(
-                F.col("doc_id").alias("doc1"), F.col("toks").alias("t1")
-            )
-            t2 = all_toks.select(
-                F.col("doc_id").alias("doc2"), F.col("toks").alias("t2")
-            )
-            inter = F.size(F.array_intersect("t1", "t2")).cast("double")
-            jac = inter / (F.size("t1") + F.size("t2") - inter)
-            pairs = (
-                cand.join(t1, "doc1")
-                .join(t2, "doc2")
-                .withColumn("_jac_raw", jac)
-                .filter(F.col("_jac_raw") >= 0.6)
-                .select("doc1", "doc2", F.round("_jac_raw", 4).alias("jac"))
-            )
-            try:
-                ept.write(pairs, "pairs", eid)
-                ept.write(bands_b, "bands", eid)
-                ept.write(toks_b, "toks", eid)
-                ept.commit(eid)
-            finally:
-                bands_b.unpersist()  # even when a write/commit raises
+        index = MinHashIngestIndex(spark, f"{work}/state")
 
         stream = (
             spark.readStream.format("parquet")
@@ -1131,13 +1057,15 @@ def st15_stream_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .load(src)
         )
         q = (
-            stream.writeStream.foreachBatch(_absorb)
+            stream.writeStream.foreachBatch(
+                lambda batch, eid: index.absorb(batch, eid)
+            )
             .option("checkpointLocation", f"{work}/ckpt")
             .trigger(availableNow=True)
             .start()
         )
         _drain(q, 300)
-        out = ept.read("pairs", upto=ept.committed())
+        out = index.pairs()
         if out is None:
             return spark.createDataFrame(
                 [], "doc1 long, doc2 long, jac double"
