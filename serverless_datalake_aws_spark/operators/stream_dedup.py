@@ -212,3 +212,118 @@ class MinHashIngestIndex:
             bands_b.unpersist()
             toks_b.unpersist()
             cand.unpersist()
+
+
+class CosineIngestIndex:
+    """Maintained SemDeDup index over an embedding stream — the
+    EMBEDDING sibling of MinHashIngestIndex (backs
+    `st20_stream_semantic_dedup`): each absorbed micro-batch
+    cluster-assigns against frozen `seeds`, finds ε-similar pairs
+    within the batch and against the persisted index, and appends its
+    vectors.
+
+    Scale contract: candidate joins carry the CLUSTER KEY, so pair
+    work is Σ|c_batch|·|c_index| per touched cluster, never all-pairs
+    — and with `prune_history=True` (default) the history side is
+    also PRUNED TO THE BATCH'S CLUSTERS before the scan: vectors land
+    hive-partitioned on cid, the probe filters on the batch's literal
+    cid list, and Spark skips every untouched cluster's directories.
+    Without it every batch re-reads the whole accumulated vector
+    table (corpus-scale I/O) just to throw most of it away in the
+    join."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        seeds: list[tuple[int, list[float]]],
+        threshold: float,
+        prune_history: bool = True,
+    ):
+        self.spark = spark
+        self.state = EpochPartitionedTable(spark, path)
+        self.seeds = seeds
+        self.threshold = threshold
+        self.prune_history = prune_history
+
+    def committed(self) -> int:
+        return self.state.committed()
+
+    def pairs(self) -> DataFrame | None:
+        return self.state.read("pairs", upto=self.state.committed())
+
+    def _eps_pairs(self, left: DataFrame, right: DataFrame) -> DataFrame:
+        """ε-similar (vec1 < vec2) pairs across two assigned sides,
+        joined on the cluster key only."""
+        from serverless_datalake_aws_spark.functions import vector as VX
+
+        a = left.select(
+            F.col("cid").alias("_cid"),
+            F.col("vec_id").alias("_id1"),
+            F.col("embedding").alias("_e1"),
+            F.col("nrm").alias("_n1"),
+        )
+        b = right.select(
+            F.col("cid").alias("_cid"),
+            F.col("vec_id").alias("_id2"),
+            F.col("embedding").alias("_e2"),
+            F.col("nrm").alias("_n2"),
+        )
+        cos = F.round(
+            VX.dot(F.col("_e1"), F.col("_e2")) / (F.col("_n1") * F.col("_n2")),
+            6,
+        )
+        return (
+            a.join(b, "_cid")
+            .filter(
+                (F.col("_id1") != F.col("_id2"))
+                & (F.col("_n1") > 0)
+                & (F.col("_n2") > 0)
+            )
+            .select(
+                F.least("_id1", "_id2").alias("vec1"),
+                F.greatest("_id1", "_id2").alias("vec2"),
+                cos.alias("cos"),
+            )
+            .filter(F.col("cos") >= self.threshold)
+            .dropDuplicates(["vec1", "vec2"])
+        )
+
+    def _history_vecs(self, high: int, assigned: DataFrame) -> DataFrame | None:
+        """History vectors pruned to the batch's clusters (the cid list
+        is bounded by len(seeds), so it collects and prunes as literal
+        partition filters)."""
+        old = self.state.read("vecs", upto=high)
+        if old is None:
+            return None
+        if not self.prune_history:
+            return old
+        cids = [r["cid"] for r in assigned.select("cid").distinct().collect()]
+        if not cids:
+            return None
+        return old.filter(F.col("cid").isin(cids))
+
+    def absorb(self, batch: DataFrame, epoch_id: int) -> None:
+        from serverless_datalake_aws_spark.functions import vector as VX
+
+        if epoch_id <= self.state.committed():
+            return  # retry of an absorbed epoch
+        assigned = VX.nearest_centroid(batch, self.seeds).cache()
+        try:
+            high = self.state.committed()
+            old = self._history_vecs(high, assigned)
+            pairs = self._eps_pairs(assigned, assigned)
+            if old is not None:
+                pairs = pairs.unionByName(
+                    self._eps_pairs(assigned, old)
+                ).dropDuplicates(["vec1", "vec2"])
+            self.state.write(pairs, "pairs", epoch_id)
+            self.state.write(
+                assigned.select("vec_id", "embedding", "nrm", "cid"),
+                "vecs",
+                epoch_id,
+                partition_by=["cid"],
+            )
+            self.state.commit(epoch_id)
+        finally:
+            assigned.unpersist()

@@ -1448,16 +1448,19 @@ def st20_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the cluster key bounds the candidate join exactly as s18's
     clusters bound the batch op (cost Σ|c_batch|·|c_index|, never
-    all-pairs); at production width feed the candidates through s18's
+    all-pairs), and the history side is PRUNED TO THE BATCH'S CLUSTERS
+    before the scan (the vector state is hive-partitioned on cid and
+    probed with literal cid filters — operators/stream_dedup.
+    CosineIngestIndex — so untouched clusters' directories are never
+    read); at production width feed the candidates through s18's
     per-cluster applyInPandas matmul instead of the expression-level
     dot used here at fixture scale."""
     import shutil
     import tempfile
 
     from serverless_datalake_aws_spark.catalog import table
-    from serverless_datalake_aws_spark.functions import vector as VX
-    from serverless_datalake_aws_spark.operators.incremental import (
-        EpochPartitionedTable,
+    from serverless_datalake_aws_spark.operators.stream_dedup import (
+        CosineIngestIndex,
     )
 
     work = tempfile.mkdtemp(prefix="st20_")
@@ -1471,64 +1474,9 @@ def st20_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         src = f"{work}/emb_shards"
         emb.select("vec_id", "embedding").repartition(4).write.parquet(src)
-        ept = EpochPartitionedTable(spark, f"{work}/state")
-
-        def _pairs(left: DataFrame, right: DataFrame) -> DataFrame:
-            """ε-similar (vec1 < vec2) pairs across two assigned sides,
-            joined on the cluster key only."""
-            a = left.select(
-                F.col("cid").alias("_cid"),
-                F.col("vec_id").alias("_id1"),
-                F.col("embedding").alias("_e1"),
-                F.col("nrm").alias("_n1"),
-            )
-            b = right.select(
-                F.col("cid").alias("_cid"),
-                F.col("vec_id").alias("_id2"),
-                F.col("embedding").alias("_e2"),
-                F.col("nrm").alias("_n2"),
-            )
-            cos = F.round(
-                VX.dot(F.col("_e1"), F.col("_e2"))
-                / (F.col("_n1") * F.col("_n2")),
-                6,
-            )
-            return (
-                a.join(b, "_cid")
-                .filter(
-                    (F.col("_id1") != F.col("_id2"))
-                    & (F.col("_n1") > 0)
-                    & (F.col("_n2") > 0)
-                )
-                .select(
-                    F.least("_id1", "_id2").alias("vec1"),
-                    F.greatest("_id1", "_id2").alias("vec2"),
-                    cos.alias("cos"),
-                )
-                .filter(F.col("cos") >= _ST20_THR)
-                .dropDuplicates(["vec1", "vec2"])
-            )
-
-        def _absorb(batch: DataFrame, eid: int) -> None:
-            if eid <= ept.committed():
-                return  # retry of an absorbed epoch
-            assigned = VX.nearest_centroid(batch, seeds).cache()
-            try:
-                old = ept.read("vecs", upto=ept.committed())
-                pairs = _pairs(assigned, assigned)
-                if old is not None:
-                    pairs = pairs.unionByName(
-                        _pairs(assigned, old)
-                    ).dropDuplicates(["vec1", "vec2"])
-                ept.write(pairs, "pairs", eid)
-                ept.write(
-                    assigned.select("vec_id", "embedding", "nrm", "cid"),
-                    "vecs",
-                    eid,
-                )
-                ept.commit(eid)
-            finally:
-                assigned.unpersist()
+        index = CosineIngestIndex(
+            spark, f"{work}/state", seeds, threshold=_ST20_THR
+        )
 
         stream = (
             spark.readStream.format("parquet")
@@ -1537,13 +1485,15 @@ def st20_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .load(src)
         )
         q = (
-            stream.writeStream.foreachBatch(_absorb)
+            stream.writeStream.foreachBatch(
+                lambda batch, eid: index.absorb(batch, eid)
+            )
             .option("checkpointLocation", f"{work}/ckpt")
             .trigger(availableNow=True)
             .start()
         )
         _drain(q, 300)
-        out = ept.read("pairs", upto=ept.committed())
+        out = index.pairs()
         if out is None:
             return spark.createDataFrame(
                 [], "vec1 long, vec2 long, cos double"

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from serverless_datalake_aws_spark.operators.stream_dedup import (
+    CosineIngestIndex,
     MinHashIngestIndex,
     sketch_batch,
 )
@@ -135,6 +136,83 @@ def test_pruned_history_read_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "tb" in plan.split(
         "PartitionFilters", 1
     )[1].split("]", 1)[0]
+
+
+# --- CosineIngestIndex (st20's operator) ---------------------------
+# 2 seed clusters on opposite axes; vectors 10/11 near seed 0 across
+# epochs, 12/13 near seed 1 within one epoch, 14 orthogonal-ish noise.
+_SEEDS = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+_VECS = {
+    10: [0.9, 0.1, 0.0, 0.0],
+    11: [0.95, 0.05, 0.0, 0.0],
+    12: [0.1, 0.9, 0.0, 0.0],
+    13: [0.05, 0.95, 0.0, 0.0],
+    14: [0.0, 0.6, 0.0, 0.8],
+}
+_VEPOCHS = {0: [10, 12, 13], 1: [11, 14]}
+
+
+def _vbatch(spark, epoch: int):
+    rows = [(i, _VECS[i]) for i in _VEPOCHS[epoch]]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _vabsorb_all(spark, path: str, prune: bool) -> set:
+    idx = CosineIngestIndex(
+        spark, path, _SEEDS, threshold=0.9, prune_history=prune
+    )
+    for e in sorted(_VEPOCHS):
+        idx.absorb(_vbatch(spark, e), e)
+    return {
+        (r["vec1"], r["vec2"], r["cos"]) for r in idx.pairs().collect()
+    }
+
+
+def test_cosine_cross_epoch_pairs(spark, tmp_path):
+    got = _vabsorb_all(spark, str(tmp_path / "v"), prune=True)
+    found = {(a, b) for a, b, _ in got}
+    # 10-11 crosses epochs (cluster 0); 12-13 is within epoch 0
+    # (cluster 1); 14 shares cluster 1 but cos(12,14)/cos(13,14) < 0.9
+    assert (10, 11) in found and (12, 13) in found
+    assert not any(14 in p for p in found)
+
+
+def test_cosine_pruned_and_unpruned_agree(spark, tmp_path):
+    assert _vabsorb_all(
+        spark, str(tmp_path / "p"), prune=True
+    ) == _vabsorb_all(spark, str(tmp_path / "u"), prune=False)
+
+
+def test_cosine_retry_is_idempotent(spark, tmp_path):
+    idx = CosineIngestIndex(spark, str(tmp_path / "v"), _SEEDS, 0.9)
+    idx.absorb(_vbatch(spark, 0), 0)
+    idx.absorb(_vbatch(spark, 1), 1)
+    before = sorted((r["vec1"], r["vec2"]) for r in idx.pairs().collect())
+    idx.absorb(_vbatch(spark, 1), 1)
+    assert before == sorted(
+        (r["vec1"], r["vec2"]) for r in idx.pairs().collect()
+    )
+
+
+def test_cosine_history_read_prunes_partitions(spark, tmp_path):
+    """The history probe must reach the scan as PartitionFilters on
+    cid — a batch touching one cluster must not read the other
+    clusters' directories."""
+    idx = CosineIngestIndex(spark, str(tmp_path / "v"), _SEEDS, 0.9)
+    idx.absorb(_vbatch(spark, 0), 0)
+    from serverless_datalake_aws_spark.functions import vector as VX
+
+    one_cluster = spark.createDataFrame(
+        [(20, [0.99, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    assigned = VX.nearest_centroid(one_cluster, _SEEDS)
+    hist = idx._history_vecs(0, assigned)
+    assert hist is not None
+    plan = plan_of(hist)
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "cid" in pf
+    # and the pruned read returns only cluster 0's rows
+    assert {r["vec_id"] for r in hist.collect()} == {10}
 
 
 def test_first_epoch_and_no_candidates_paths(spark, tmp_path):

@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Streaming near-dup-ingest scale probe: is per-batch absorb cost
+history-bounded or batch-bounded?
+
+st15's operator (operators/stream_dedup.MinHashIngestIndex) claims the
+per-batch cost is |batch| sketch + an index-scale band probe + a
+CANDIDATE-BOUNDED shingle fetch. The old inline absorb re-scanned
+every historical document's shingle arrays per batch (corpus-scale
+I/O, the part that dies first at 100 TB). This probe measures both:
+
+- fixture: BASES synthetic base docs (same word-generator as
+  tools/scale_probe_100x.py), of which 1-in-50 is a 10-variant
+  near-dup family (original, verbatim copy, 2 one-word deletions, 6
+  shuffles) and the rest are singletons -> ~1.18 x BASES docs with
+  ~17% of them family members — a crawl-like dup rate, NOT the 100%
+  dup density of the d04 probe (which would push every batch past the
+  IN-list cap and into the degenerate semi-join path by design).
+- family members are sharded across K epochs by doc_id hash, so most
+  verified pairs CROSS epochs — the adversarial case for the history
+  read.
+- both modes absorb identical epochs into separate indexes;
+  per-epoch wall, new pairs, and cumulative history size are printed
+  as JSON lines; the two final pair sets are compared (must be equal).
+
+Expected shape: unpruned per-epoch wall grows with accumulated
+history (the corpus-scale toks re-scan); pruned stays ~flat (partition
+-dir + row-group pruned fetch of only the candidate ids). SCALE.md
+round-11 records the run.
+
+Usage:  python tools/probe_stream_neardup_ingest.py [pruned|unpruned]
+Env:    SPARK_GRAFT_PSNI_BASES (default 400000)
+        SPARK_GRAFT_PSNI_EPOCHS (default 10)
+        SPARK_GRAFT_PSNI_DIR (default /tmp/psni)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BASES = int(os.environ.get("SPARK_GRAFT_PSNI_BASES", "400000"))
+EPOCHS = int(os.environ.get("SPARK_GRAFT_PSNI_EPOCHS", "10"))
+OUT = os.environ.get("SPARK_GRAFT_PSNI_DIR", "/tmp/psni")
+VOCAB = 50_000
+FAMILY_EVERY = 50  # 1-in-50 bases is a 10-variant near-dup family
+
+
+def log(obj: dict) -> None:
+    print(json.dumps(obj), flush=True)
+
+
+def build_fixture(spark) -> None:
+    """~1.18 x BASES docs, hive-partitioned by epoch shard."""
+    base = spark.range(BASES).select(F.col("id").alias("base_id"))
+    L = (F.lit(30) + F.pmod(F.col("base_id"), F.lit(40))).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(0), L - 1),
+        lambda i: F.concat(
+            F.lit("w"), F.pmod(F.xxhash64(F.col("base_id"), i), F.lit(VOCAB))
+        ),
+    )
+    doc = base.select("base_id", words.alias("w"))
+    n_var = F.when(
+        F.pmod(F.col("base_id"), F.lit(FAMILY_EVERY)) == 0, F.lit(9)
+    ).otherwise(F.lit(0))
+    r = F.col("r")
+    del_pos = F.pmod(F.xxhash64(F.col("base_id"), r), F.size("w"))
+    deleted = F.filter("w", lambda _, i: i != del_pos)
+    shuffled = F.transform(
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 1),
+                lambda i: F.struct(
+                    F.xxhash64(F.col("base_id"), r, i).alias("k"),
+                    F.element_at("w", (i + 1).cast("int")).alias("t"),
+                ),
+            )
+        ),
+        lambda s: s["t"],
+    )
+    variant = (
+        F.when(r < 2, F.col("w")).when(r < 4, deleted).otherwise(shuffled)
+    )
+    out = (
+        doc.select(
+            "base_id", "w", F.explode(F.sequence(F.lit(0), n_var)).alias("r")
+        )
+        .select(
+            (F.col("base_id") * 10 + r).alias("doc_id"),
+            F.array_join(variant, " ").alias("text"),
+        )
+        .withColumn(
+            "shard",
+            F.pmod(F.xxhash64(F.col("doc_id"), F.lit("shard")), F.lit(EPOCHS)),
+        )
+    )
+    (
+        out.repartition(EPOCHS * 4, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(f"{OUT}/docs")
+    )
+
+
+def run_mode(spark, prune: bool) -> list:
+    from serverless_datalake_aws_spark.operators.stream_dedup import (
+        MinHashIngestIndex,
+    )
+
+    mode = "pruned" if prune else "unpruned"
+    path = f"{OUT}/index_{mode}"
+    shutil.rmtree(path, ignore_errors=True)
+    idx = MinHashIngestIndex(spark, path, prune_history=prune)
+    docs = spark.read.parquet(f"{OUT}/docs")
+    hist = 0
+    for e in range(EPOCHS):
+        batch = docs.filter(F.col("shard") == e).select("doc_id", "text")
+        n = batch.count()  # pre-counted so the wall is absorb-only
+        t0 = time.time()
+        idx.absorb(batch, e)
+        wall = time.time() - t0
+        new_pairs = idx.state.read("pairs", upto=e).count()
+        log(
+            {
+                "probe": "stream_neardup_ingest",
+                "mode": mode,
+                "epoch": e,
+                "batch_rows": n,
+                "hist_docs": hist,
+                "wall_s": round(wall, 2),
+                "pairs_total": new_pairs,
+            }
+        )
+        hist += n
+    return sorted(
+        (r["doc1"], r["doc2"]) for r in idx.pairs().collect()
+    )
+
+
+def main() -> int:
+    modes = sys.argv[1:] or ["unpruned", "pruned"]
+    from serverless_datalake_aws_spark.session import get_session
+
+    spark = get_session(app_name="probe_stream_neardup_ingest")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.isdir(f"{OUT}/docs"):
+        t0 = time.time()
+        build_fixture(spark)
+        log({"probe": "fixture", "built_s": round(time.time() - t0, 1),
+             "docs": spark.read.parquet(f"{OUT}/docs").count()})
+    results = {}
+    for m in modes:
+        results[m] = run_mode(spark, prune=(m == "pruned"))
+        log({"probe": "mode_done", "mode": m, "pairs": len(results[m])})
+    if len(results) == 2:
+        ok = results["pruned"] == results["unpruned"]
+        log({"probe": "equivalence", "equal": ok})
+        return 0 if ok else 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
