@@ -353,6 +353,56 @@ class EpochPartitionedTable:
                 os.replace(legacy, src)  # roll back; migration re-runs
         shutil.rmtree(f"{src}__migrated", ignore_errors=True)
 
+    def compact(
+        self, sub: str, partition_by: list[str] | None = None
+    ) -> bool:
+        """Fold every COMMITTED epoch of `sub` into the single epoch=-1
+        partition (the same slot the legacy-flat fold uses; -1 passes
+        every `epoch <= upto` filter). File-count maintenance for
+        long-lived streams: a maintained index absorbing one epoch per
+        micro-batch accrues one directory per batch, and after a few
+        thousand batches per-batch LISTING dominates the probe cost —
+        compaction restores O(1) directories while the committed
+        pointer, idempotence, and reader semantics stay untouched.
+
+        `partition_by` must repeat the sub's write-time partitioning
+        (e.g. ["tb"] for the near-dup shingle table) so directory
+        pruning survives the fold.
+
+        Single-writer contract: call between absorbs (e.g. from the
+        foreachBatch body, every N epochs) or with the stream stopped.
+        Epoch dirs ABOVE the committed pointer are uncommitted
+        in-flight state; compaction drops them exactly as a crash
+        would, and the stream's checkpoint redelivers those batches.
+
+        Crash-safe via the hide -> publish -> reclaim swap that
+        read()'s legacy fold uses — _recover_legacy_swap heals an
+        interruption at any point on the next read/compact. Returns
+        True if a fold happened."""
+        import os
+        import shutil
+
+        high = self.committed()
+        if high < 0:
+            return False
+        self._recover_legacy_swap(sub)
+        src = f"{self.path}/{sub}"
+        if not os.path.isdir(src):
+            return False
+        if sum(1 for d in os.listdir(src) if d.startswith("epoch=")) <= 1:
+            return False  # already compact
+        df = self.read(sub, upto=high)
+        if df is None:
+            return False
+        # stage the full compacted copy before any destructive step
+        self.write(df, sub + "__migrated", -1, partition_by=partition_by)
+        os.replace(src, f"{src}__legacy")
+        os.makedirs(src)
+        os.replace(f"{self.path}/{sub}__migrated/epoch=-1", f"{src}/epoch=-1")
+        shutil.rmtree(f"{self.path}/{sub}__migrated", ignore_errors=True)
+        shutil.rmtree(f"{src}__legacy", ignore_errors=True)
+        return True
+
     def read(self, sub: str, upto: int) -> DataFrame | None:
         from pyspark.errors import AnalysisException
 

@@ -23,12 +23,18 @@ tools/probe_stream_neardup_ingest.py; SCALE.md round-11):
   keys + ids, ~1% of corpus bytes — the honest inverted-index cost.
 - The Jaccard verify needs SHINGLE SETS, i.e. corpus-scale payload.
   With `prune_history=True` (default) the history shingle read is
-  pruned to exactly the candidate doc_ids: shingles land hive-
-  partitioned on `tb = pmod(doc_id, toks_buckets)`, and the probe
-  filters on literal (tb, doc_id) lists so Spark prunes partition
-  dirs and row groups instead of re-reading every historical
-  document's shingles per batch. `prune_history=False` keeps the
-  naive O(corpus)-per-batch scan — it exists so the probe can
+  pruned to exactly the candidate doc_ids, which buys three things:
+  (1) the verify joins see |candidates| heavy rows instead of
+  |corpus|; (2) the pruned set is BOUNDED, so it caches and the two
+  verify sides share ONE history fetch (unpruned, each side re-scans
+  the corpus — 2 full passes per batch); (3) shingles land hive-
+  partitioned on `tb = pmod(doc_id, toks_buckets)` and the fetch
+  filters on the literal bucket list, so a bucket-sparse candidate
+  set (quiet batches — most of a real stream) skips untouched
+  directories outright. A dup-dense batch whose candidates hit every
+  bucket degrades to one full index scan — the pre-prune cost, never
+  worse. `prune_history=False` keeps the naive O(corpus)-per-batch
+  double scan; it exists so tools/probe_stream_neardup_ingest.py can
   measure what the pruning buys.
 
 State rides EpochPartitionedTable (epoch-partitioned overwrites + an
@@ -86,12 +92,16 @@ class MinHashIngestIndex:
     reads the committed pair set (None before the first commit).
     """
 
-    # above this many candidate history ids per batch, the pruned read
-    # switches from literal IN-lists (partition-dir + row-group
-    # pruning) to a broadcast semi-join (no driver-side list, full
-    # index scan but no shuffle of history) — the degenerate-corpus
-    # escape hatch, not the designed hot path
-    MAX_INLIST = 100_000
+    # above this many candidate history ids per batch, the doc_id
+    # predicate switches from a literal IN-list (row-group prunable,
+    # but a 100k-literal plan costs more to analyze than it saves) to
+    # a broadcast semi-join; the bucket (tb) literal filter — at most
+    # `toks_buckets` values — stays either way, so partition-dir
+    # pruning survives the fallback. Dir pruning bites when the
+    # candidate set is bucket-sparse (the common quiet-batch case);
+    # a dup-dense batch touching every bucket degrades gracefully to
+    # the pre-prune full index scan, never worse.
+    MAX_INLIST = 10_000
 
     def __init__(
         self,
@@ -113,6 +123,16 @@ class MinHashIngestIndex:
     def pairs(self) -> DataFrame | None:
         return self.state.read("pairs", upto=self.state.committed())
 
+    def compact(self) -> None:
+        """Fold committed epochs into one dir per subtable (file-count
+        maintenance for long-lived streams — one dir accrues per
+        micro-batch otherwise). Call between absorbs; the shingle
+        table keeps its doc_id bucketing so the candidate fetch still
+        dir-prunes after the fold."""
+        self.state.compact("pairs")
+        self.state.compact("bands")
+        self.state.compact("toks", partition_by=["tb"])
+
     def _history_toks(
         self, high: int, cand: DataFrame, batch_toks: DataFrame
     ) -> DataFrame | None:
@@ -133,14 +153,14 @@ class MinHashIngestIndex:
         ids = [r["doc_id"] for r in need.collect()]  # candidate-bounded
         if not ids:
             return None
-        if len(ids) <= self.MAX_INLIST and "tb" in old.columns:
+        pruned = old
+        if "tb" in old.columns:
             buckets = sorted({i % self.toks_buckets for i in ids})
-            return (
-                old.filter(
-                    F.col("tb").isin(buckets) & F.col("doc_id").isin(ids)
-                ).drop("tb")
-            )
-        pruned = old.join(F.broadcast(need), "doc_id", "semi")
+            pruned = pruned.filter(F.col("tb").isin(buckets))
+        if len(ids) <= self.MAX_INLIST:
+            pruned = pruned.filter(F.col("doc_id").isin(ids))
+        else:
+            pruned = pruned.join(F.broadcast(need), "doc_id", "semi")
         return pruned.drop("tb") if "tb" in pruned.columns else pruned
 
     def absorb(self, batch: DataFrame, epoch_id: int) -> None:
@@ -176,8 +196,15 @@ class MinHashIngestIndex:
         # cached: reused by the pruned-id collection AND the jac join,
         # and its lineage holds the band self-join + index probe
         cand = cand.dropDuplicates(["doc1", "doc2"]).cache()
+        old_toks = None
         try:
             old_toks = self._history_toks(high, cand, toks_b)
+            if old_toks is not None and self.prune_history:
+                # candidate-bounded, so it FITS — and caching collapses
+                # the two verify-side scans (t1 + t2 below each re-read
+                # the source) into one history fetch. The unpruned path
+                # must not cache: corpus-scale state.
+                old_toks = old_toks.cache()
             avail = (
                 toks_b if old_toks is None
                 else toks_b.unionByName(old_toks)
@@ -212,6 +239,8 @@ class MinHashIngestIndex:
             bands_b.unpersist()
             toks_b.unpersist()
             cand.unpersist()
+            if old_toks is not None and self.prune_history:
+                old_toks.unpersist()
 
 
 class CosineIngestIndex:
@@ -251,6 +280,13 @@ class CosineIngestIndex:
 
     def pairs(self) -> DataFrame | None:
         return self.state.read("pairs", upto=self.state.committed())
+
+    def compact(self) -> None:
+        """Fold committed epochs into one dir per subtable; the vector
+        table keeps its cid partitioning so cluster pruning survives
+        the fold. Call between absorbs (single-writer contract)."""
+        self.state.compact("pairs")
+        self.state.compact("vecs", partition_by=["cid"])
 
     def _eps_pairs(self, left: DataFrame, right: DataFrame) -> DataFrame:
         """ε-similar (vec1 < vec2) pairs across two assigned sides,

@@ -138,6 +138,76 @@ def test_pruned_history_read_prunes_partitions(spark, tmp_path):
     )[1].split("]", 1)[0]
 
 
+def test_compact_folds_epochs_and_keeps_results(spark, tmp_path):
+    """compact() must fold committed epoch dirs to one, preserve the
+    pair set bit-for-bit, keep the shingle table's bucket layout
+    (dir pruning survives), and leave later absorbs correct (new
+    cross-epoch pairs still found against compacted history)."""
+    import os
+
+    path = str(tmp_path / "idx")
+    idx = MinHashIngestIndex(spark, path)
+    idx.absorb(_batch(spark, 0), 0)
+    idx.absorb(_batch(spark, 1), 1)
+    before = sorted(
+        (r["doc1"], r["doc2"], r["jac"]) for r in idx.pairs().collect()
+    )
+    idx.compact()
+    for sub in ("pairs", "bands", "toks"):
+        dirs = [
+            d
+            for d in os.listdir(os.path.join(path, sub))
+            if d.startswith("epoch=")
+        ]
+        assert dirs == ["epoch=-1"], (sub, dirs)
+    assert sorted(
+        (r["doc1"], r["doc2"], r["jac"]) for r in idx.pairs().collect()
+    ) == before
+    # bucket layout survived the fold: tb=* dirs under epoch=-1
+    tdirs = os.listdir(os.path.join(path, "toks", "epoch=-1"))
+    assert any(d.startswith("tb=") for d in tdirs)
+    # absorb after compact: the 3-5 pair (epoch 2 vs compacted epoch 0)
+    idx.absorb(_batch(spark, 2), 2)
+    found = {(r["doc1"], r["doc2"]) for r in idx.pairs().collect()}
+    assert (3, 5) in found and set(before) <= {
+        (r["doc1"], r["doc2"], r["jac"]) for r in idx.pairs().collect()
+    }
+    # idempotence pointer untouched: a retry of epoch 2 is still a no-op
+    n = idx.pairs().count()
+    idx.absorb(_batch(spark, 2), 2)
+    assert idx.pairs().count() == n
+
+
+def test_compact_interrupted_swap_recovers(spark, tmp_path):
+    """A crash between hide and publish must roll back to the
+    pre-compact state on the next read (the _recover_legacy_swap
+    contract, exercised through compact()'s swap)."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "idx")
+    idx = MinHashIngestIndex(spark, path)
+    idx.absorb(_batch(spark, 0), 0)
+    idx.absorb(_batch(spark, 1), 1)
+    before = sorted(
+        (r["doc1"], r["doc2"]) for r in idx.pairs().collect()
+    )
+    # simulate the crash window: src hidden, publish never happened
+    src = os.path.join(path, "pairs")
+    os.replace(src, src + "__legacy")
+    os.makedirs(src)
+    assert sorted(
+        (r["doc1"], r["doc2"]) for r in idx.pairs().collect()
+    ) == before
+    assert not os.path.isdir(src + "__legacy")  # healed
+    # and a compact after healing completes normally
+    idx.compact()
+    assert sorted(
+        (r["doc1"], r["doc2"]) for r in idx.pairs().collect()
+    ) == before
+    shutil.rmtree(path)
+
+
 # --- CosineIngestIndex (st20's operator) ---------------------------
 # 2 seed clusters on opposite axes; vectors 10/11 near seed 0 across
 # epochs, 12/13 near seed 1 within one epoch, 14 orthogonal-ish noise.

@@ -27,7 +27,14 @@ history (the corpus-scale toks re-scan); pruned stays ~flat (partition
 -dir + row-group pruned fetch of only the candidate ids). SCALE.md
 round-11 records the run.
 
-Usage:  python tools/probe_stream_neardup_ingest.py [pruned|unpruned]
+A second experiment, `marginal`, asks the question that actually
+separates the designs: WHAT DOES ONE SMALL BATCH COST AGAINST A BIG
+HISTORY? It seeds the index with shards 1..K-1 in one epoch, then
+absorbs shard 0 split into 8 small slices (~6k docs each), timing
+each slice pruned vs unpruned. Fixed per-batch work is small there,
+so the history term dominates the wall.
+
+Usage:  python tools/probe_stream_neardup_ingest.py [pruned|unpruned|marginal]
 Env:    SPARK_GRAFT_PSNI_BASES (default 400000)
         SPARK_GRAFT_PSNI_EPOCHS (default 10)
         SPARK_GRAFT_PSNI_DIR (default /tmp/psni)
@@ -144,6 +151,119 @@ def run_mode(spark, prune: bool) -> list:
     )
 
 
+def run_marginal(spark) -> None:
+    """Seed a big history in epoch 0, then time SMALL batches against
+    it, pruned vs unpruned — the marginal per-batch cost a long-lived
+    ingest stream actually pays."""
+    from serverless_datalake_aws_spark.operators.stream_dedup import (
+        MinHashIngestIndex,
+    )
+
+    docs = spark.read.parquet(f"{OUT}/docs")
+    seed = docs.filter(F.col("shard") != 0).select("doc_id", "text")
+    small = docs.filter(F.col("shard") == 0).select("doc_id", "text")
+    n_slices = 8
+    sliced = small.withColumn(
+        "slice",
+        F.pmod(F.xxhash64(F.col("doc_id"), F.lit("slice")), F.lit(n_slices)),
+    )
+    for mode in ("unpruned", "pruned"):
+        path = f"{OUT}/index_marg_{mode}"
+        shutil.rmtree(path, ignore_errors=True)
+        idx = MinHashIngestIndex(spark, path, prune_history=(mode == "pruned"))
+        t0 = time.time()
+        idx.absorb(seed, 0)
+        hist = seed.count()
+        log(
+            {
+                "probe": "marginal_seed",
+                "mode": mode,
+                "hist_docs": hist,
+                "seed_wall_s": round(time.time() - t0, 2),
+            }
+        )
+        for s in range(n_slices):
+            batch = sliced.filter(F.col("slice") == s).select(
+                "doc_id", "text"
+            )
+            n = batch.count()
+            t0 = time.time()
+            idx.absorb(batch, s + 1)
+            log(
+                {
+                    "probe": "marginal_batch",
+                    "mode": mode,
+                    "slice": s,
+                    "batch_rows": n,
+                    "hist_docs": hist,
+                    "wall_s": round(time.time() - t0, 2),
+                }
+            )
+            hist += n
+
+
+def run_accounting(spark) -> None:
+    """Rows-fetched accounting against the marginal pruned index: wall
+    time can't show the history-read difference at a scale where the
+    corpus fits the page cache, so count the HEAVY rows each design
+    feeds the verify join for one more small batch."""
+    from serverless_datalake_aws_spark.operators.stream_dedup import (
+        MinHashIngestIndex,
+        sketch_batch,
+    )
+
+    path = f"{OUT}/index_marg_pruned"
+    idx = MinHashIngestIndex(spark, path)
+    high = idx.committed()
+    if high < 0:
+        return
+    docs = spark.read.parquet(f"{OUT}/docs")
+    # a fresh probe batch the index has never seen: re-absorb shard 0
+    # slice 0's docs with shifted ids so families re-collide
+    batch = (
+        docs.filter(F.col("shard") == 0)
+        .filter(
+            F.pmod(F.xxhash64(F.col("doc_id"), F.lit("slice")), F.lit(8)) == 0
+        )
+        .select((F.col("doc_id") + 100_000_000).alias("doc_id"), "text")
+    )
+    bands_b, toks_b = sketch_batch(batch)
+    old_bands = idx.state.read("bands", upto=high)
+    cand = (
+        bands_b.join(
+            old_bands.withColumnRenamed("doc_id", "old_id"), "band_key"
+        )
+        .select(
+            F.least("doc_id", "old_id").alias("doc1"),
+            F.greatest("doc_id", "old_id").alias("doc2"),
+        )
+        .dropDuplicates(["doc1", "doc2"])
+    )
+    fetched = idx._history_toks(high, cand, toks_b)
+    n_fetched = 0 if fetched is None else fetched.count()
+    total = idx.state.read("toks", upto=high).count()
+    need_ids = (
+        cand.select(F.col("doc1").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc2").alias("doc_id")))
+        .distinct()
+        .join(toks_b.select("doc_id"), "doc_id", "left_anti")
+    )
+    buckets = {
+        r["doc_id"] % idx.toks_buckets for r in need_ids.collect()
+    }
+    log(
+        {
+            "probe": "accounting",
+            "batch_rows": batch.count(),
+            "hist_rows_total": total,
+            "hist_rows_fetched_pruned": n_fetched,
+            "hist_rows_unpruned_scans": 2 * total,
+            "buckets_touched": len(buckets),
+            "toks_buckets": idx.toks_buckets,
+        }
+    )
+
+
 def main() -> int:
     modes = sys.argv[1:] or ["unpruned", "pruned"]
     from serverless_datalake_aws_spark.session import get_session
@@ -157,6 +277,13 @@ def main() -> int:
              "docs": spark.read.parquet(f"{OUT}/docs").count()})
     results = {}
     for m in modes:
+        if m == "marginal":
+            run_marginal(spark)
+            run_accounting(spark)
+            continue
+        if m == "accounting":
+            run_accounting(spark)
+            continue
         results[m] = run_mode(spark, prune=(m == "pruned"))
         log({"probe": "mode_done", "mode": m, "pairs": len(results[m])})
     if len(results) == 2:
