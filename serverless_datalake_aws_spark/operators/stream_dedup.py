@@ -47,6 +47,12 @@ Assumes doc_ids are unique across the stream (same contract as the
 exact-dedup front door, st13): re-ingesting an id would verify its
 pairs against whichever shingle copy the pruned read kept.
 
+Layout contract: every epoch of a subtable must share one partition
+scheme (EpochPartitionedTable.write's rule) — state dirs written by
+the pre-r11 inline absorbs (flat toks/vecs epochs) cannot be resumed
+under these operators; start a fresh state dir (st15/st20 build one
+per invocation) or fold the old state manually before switching.
+
 The reference has no streaming surface at all (its ingest is
 one-Lambda-per-object, reference `lambda-function.py`); this operator
 is the Spark-native upgrade path SURVEY §2.9 prescribes.
