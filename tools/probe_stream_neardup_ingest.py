@@ -34,10 +34,22 @@ absorbs shard 0 split into 8 small slices (~6k docs each), timing
 each slice pruned vs unpruned. Fixed per-batch work is small there,
 so the history term dominates the wall.
 
-Usage:  python tools/probe_stream_neardup_ingest.py [pruned|unpruned|marginal]
+A third experiment, `cosine`, measures the EMBEDDING sibling
+(CosineIngestIndex, st20's operator), where the partition key is the
+CLUSTER id — the case where directory pruning genuinely bites: a
+micro-batch touches a handful of clusters, and the history fetch
+skips every other cluster's directories outright (on the MinHash
+side the hash buckets are only sparse for quiet batches).
+
+Usage:  python tools/probe_stream_neardup_ingest.py [pruned|unpruned|marginal|cosine]
 Env:    SPARK_GRAFT_PSNI_BASES (default 400000)
         SPARK_GRAFT_PSNI_EPOCHS (default 10)
         SPARK_GRAFT_PSNI_DIR (default /tmp/psni)
+        SPARK_GRAFT_PSNI_VECS (default 50000, cosine mode — the seed
+        absorb's within-batch self-join is quadratic per cluster at
+        the expression-level dot st20 uses at fixture scale, so the
+        vector corpus stays small; the FETCH accounting, not the pair
+        math, is what this mode measures)
 """
 
 from __future__ import annotations
@@ -264,6 +276,109 @@ def run_accounting(spark) -> None:
     )
 
 
+def run_cosine(spark) -> None:
+    """CosineIngestIndex marginal cost: seed ~95% of a vector corpus,
+    then absorb small batches drawn from FEW clusters and compare the
+    history rows fetched (and wall) pruned vs unpruned. Vectors are
+    the scale_probe_100x replica shape: base vectors x noise replicas,
+    so ε-dups exist and every batch has cross-epoch pairs."""
+    from serverless_datalake_aws_spark.operators.stream_dedup import (
+        CosineIngestIndex,
+    )
+
+    n = int(os.environ.get("SPARK_GRAFT_PSNI_VECS", "50000"))
+    n_seeds = 64
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % n_seeds).alias("b"),  # cluster-structured corpus
+        (F.col("id") / n_seeds).cast("long").alias("r"),
+    )
+    dim = F.sequence(F.lit(0), F.lit(63))
+
+    def unit(*cols):
+        return F.pmod(F.xxhash64(*cols), F.lit(2000)) / 1000.0 - 1.0
+
+    vec = F.transform(
+        dim,
+        lambda d: (
+            unit(F.col("b"), d)
+            + F.when(F.col("r") == 0, F.lit(0.0)).otherwise(
+                unit(F.col("b"), F.col("r"), d) * 0.05
+            )
+        ).cast("float"),
+    )
+    vecs = base.select("vec_id", "b", vec.alias("embedding"))
+    vecs.write.mode("overwrite").parquet(f"{OUT}/vecs")
+    vecs = spark.read.parquet(f"{OUT}/vecs")
+    seeds = [
+        (int(r["vec_id"]) // 1, r["embedding"])
+        for r in vecs.filter(F.col("vec_id") < n_seeds).collect()
+    ]
+    seeds = [(i, emb) for i, (_, emb) in enumerate(sorted(seeds))]
+    # batches: vectors of 4 clusters held out of the seed
+    hot = [3, 17, 42, 63]
+    held = vecs.filter(
+        F.col("b").isin(hot) & (F.col("vec_id") >= n_seeds * 100)
+    )
+    seed_df = vecs.join(held, "vec_id", "left_anti").select(
+        "vec_id", "embedding"
+    )
+    n_slices = 4
+    sliced = held.withColumn(
+        "slice", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_slices))
+    )
+    for mode in ("unpruned", "pruned"):
+        path = f"{OUT}/index_cos_{mode}"
+        shutil.rmtree(path, ignore_errors=True)
+        idx = CosineIngestIndex(
+            spark, path, seeds, threshold=0.95,
+            prune_history=(mode == "pruned"),
+        )
+        t0 = time.time()
+        idx.absorb(seed_df, 0)
+        hist = seed_df.count()
+        log(
+            {
+                "probe": "cosine_seed",
+                "mode": mode,
+                "hist_vecs": hist,
+                "seed_wall_s": round(time.time() - t0, 2),
+            }
+        )
+        for s in range(n_slices):
+            batch = sliced.filter(F.col("slice") == s).select(
+                "vec_id", "embedding"
+            )
+            bn = batch.count()
+            t0 = time.time()
+            idx.absorb(batch, s + 1)
+            wall = time.time() - t0
+            from serverless_datalake_aws_spark.functions import vector as VX
+
+            assigned = VX.nearest_centroid(batch, seeds)
+            fetched = idx._history_vecs(s, assigned)
+            n_fetched = 0 if fetched is None else fetched.count()
+            log(
+                {
+                    "probe": "cosine_batch",
+                    "mode": mode,
+                    "slice": s,
+                    "batch_rows": bn,
+                    "hist_vecs": hist,
+                    "hist_rows_fetched": n_fetched,
+                    "wall_s": round(wall, 2),
+                }
+            )
+            hist += bn
+        log(
+            {
+                "probe": "cosine_done",
+                "mode": mode,
+                "pairs": idx.pairs().count(),
+            }
+        )
+
+
 def main() -> int:
     modes = sys.argv[1:] or ["unpruned", "pruned"]
     from serverless_datalake_aws_spark.session import get_session
@@ -283,6 +398,9 @@ def main() -> int:
             continue
         if m == "accounting":
             run_accounting(spark)
+            continue
+        if m == "cosine":
+            run_cosine(spark)
             continue
         results[m] = run_mode(spark, prune=(m == "pruned"))
         log({"probe": "mode_done", "mode": m, "pairs": len(results[m])})
