@@ -332,8 +332,41 @@ class EpochPartitionedTable:
         partition discovery."""
         w = df.write.mode("overwrite")
         if partition_by:
+            if df.isEmpty():
+                # a PARTITIONED write of an empty frame emits only
+                # _SUCCESS — no schema-bearing data file — and poisons
+                # every later read of the subtable with
+                # UNABLE_TO_INFER_SCHEMA (a flat empty write does emit
+                # a schema file). An absent epoch dir reads identically
+                # (zero rows), so write nothing.
+                return
             w = w.partitionBy(*partition_by)
         w.parquet(f"{self.path}/{sub}/epoch={epoch}")
+
+    def _recover_compact(self, sub: str) -> None:
+        """Heal an interrupted compact() swap. Unlike the legacy fold
+        (which must roll BACK because its staged copy may be partial),
+        compact stages the complete new dir under __cnew before hiding
+        anything, so recovery prefers rolling FORWARD — a reader that
+        lands inside compact's two-rename window publishes the fold
+        rather than resurrecting the old epochs beside it."""
+        import os
+        import shutil
+
+        src = f"{self.path}/{sub}"
+        cnew = f"{src}__cnew"
+        chide = f"{src}__chide"
+        if os.path.isdir(chide):
+            if os.path.isdir(src):
+                shutil.rmtree(chide, ignore_errors=True)  # published
+            elif os.path.isdir(cnew):
+                os.replace(cnew, src)  # roll the publish forward
+                shutil.rmtree(chide, ignore_errors=True)
+            else:
+                os.replace(chide, src)  # staged copy lost: restore old
+        elif os.path.isdir(cnew):
+            # pre-hide crash: src is still live; drop the stage
+            shutil.rmtree(cnew, ignore_errors=True)
 
     def _recover_legacy_swap(self, sub: str) -> None:
         """Heal an interrupted legacy migration (read()'s hide →
@@ -343,6 +376,7 @@ class EpochPartitionedTable:
         import os
         import shutil
 
+        self._recover_compact(sub)
         src = f"{self.path}/{sub}"
         legacy = f"{src}__legacy"
         if os.path.isdir(legacy):
@@ -375,10 +409,16 @@ class EpochPartitionedTable:
         in-flight state; compaction drops them exactly as a crash
         would, and the stream's checkpoint redelivers those batches.
 
-        Crash-safe via the hide -> publish -> reclaim swap that
-        read()'s legacy fold uses — _recover_legacy_swap heals an
-        interruption at any point on the next read/compact. Returns
-        True if a fold happened."""
+        Crash-safe via a staged hide -> publish swap with
+        compact-specific markers (__cnew/__chide): the complete new
+        dir is built BEFORE anything is hidden, so _recover_compact
+        (run by every read/compact) rolls an interruption FORWARD to
+        the finished fold — a reader landing inside the two-rename
+        window publishes the new state instead of resurrecting the
+        old epochs beside it. A cross-process reader racing the
+        pre-hide instant can at worst abort this compact with the
+        original state intact (RuntimeError — retry). Returns True if
+        a fold happened."""
         import os
         import shutil
 
@@ -394,13 +434,45 @@ class EpochPartitionedTable:
         df = self.read(sub, upto=high)
         if df is None:
             return False
-        # stage the full compacted copy before any destructive step
+        # stage the FULL new subtable dir before any destructive step,
+        # then swap with two renames (hide old -> publish new). The
+        # markers are compact-specific (__cnew/__chide, not the legacy
+        # fold's __legacy) and _recover_compact can roll FORWARD from
+        # any crash point — a reader landing inside the two-rename
+        # window heals to the completed fold instead of resurrecting
+        # the old epochs next to it (which would double every row).
         self.write(df, sub + "__migrated", -1, partition_by=partition_by)
-        os.replace(src, f"{src}__legacy")
-        os.makedirs(src)
-        os.replace(f"{self.path}/{sub}__migrated/epoch=-1", f"{src}/epoch=-1")
+        if not os.path.isdir(f"{self.path}/{sub}__migrated/epoch=-1"):
+            # write() skips EMPTY partitioned frames (no schema file);
+            # an all-empty committed fold means there is nothing to
+            # publish — leave the subtable as-is
+            return False
+        cnew = f"{src}__cnew"
+        shutil.rmtree(cnew, ignore_errors=True)
+        os.makedirs(cnew)
+        os.replace(f"{self.path}/{sub}__migrated/epoch=-1", f"{cnew}/epoch=-1")
         shutil.rmtree(f"{self.path}/{sub}__migrated", ignore_errors=True)
-        shutil.rmtree(f"{src}__legacy", ignore_errors=True)
+        chide = f"{src}__chide"
+        os.replace(src, chide)
+        try:
+            os.replace(cnew, src)
+        except FileNotFoundError:
+            # a concurrent reader's _recover_compact got here first:
+            # either it already published cnew as src (done), or it
+            # removed a cnew it saw beside a then-live src (pre-hide
+            # heal) and we lost the staged copy — restore the original
+            # and report the abort; no state is lost or duplicated.
+            if os.path.isdir(os.path.join(src, "epoch=-1")):
+                pass  # rolled forward by the reader
+            elif os.path.isdir(chide):
+                os.replace(chide, src)
+                raise RuntimeError(
+                    f"compact({sub}) aborted by a concurrent reader's "
+                    "recovery; original state restored — retry"
+                )
+            else:
+                raise
+        shutil.rmtree(chide, ignore_errors=True)
         return True
 
     def read(self, sub: str, upto: int) -> DataFrame | None:

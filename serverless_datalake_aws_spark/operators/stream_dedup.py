@@ -72,6 +72,48 @@ from serverless_datalake_aws_spark.operators.incremental import (
 )
 
 
+def _check_meta(path: str, meta: dict) -> None:
+    """Pin the index's layout/semantics parameters to its state dir.
+    The pruned history fetch computes tb = pmod(doc_id, toks_buckets)
+    at READ time — reopening a dir written under a different bucket
+    count would silently filter the WRONG buckets and drop real
+    duplicate pairs (and a different jaccard/threshold/seed set makes
+    the accumulated pair set semantically mixed) — so the first absorb
+    writes `_META` and every construction against existing state must
+    match it exactly."""
+    import json
+    import os
+
+    p = os.path.join(path, "_META")
+    if os.path.exists(p):
+        with open(p) as fh:
+            stored = json.load(fh)
+        if stored != meta:
+            raise ValueError(
+                f"ingest-index state at {path} was written with "
+                f"{stored}; reopening with {meta} would prune or pair "
+                "incorrectly — use the original parameters or a fresh "
+                "state dir"
+            )
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    import json
+    import os
+    import uuid
+
+    p = os.path.join(path, "_META")
+    if os.path.exists(p):
+        return
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f"._META.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, p)
+
+
 def sketch_batch(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(bands, toks) for one micro-batch — d04's exact sketch pipeline
     (3-gram shingles, md5 minhash, LSH band keys) over `batch`
@@ -101,12 +143,12 @@ class MinHashIngestIndex:
     # above this many candidate history ids per batch, the doc_id
     # predicate switches from a literal IN-list (row-group prunable,
     # but a 100k-literal plan costs more to analyze than it saves) to
-    # a broadcast semi-join; the bucket (tb) literal filter — at most
-    # `toks_buckets` values — stays either way, so partition-dir
-    # pruning survives the fallback. Dir pruning bites when the
-    # candidate set is bucket-sparse (the common quiet-batch case);
-    # a dup-dense batch touching every bucket degrades gracefully to
-    # the pre-prune full index scan, never worse.
+    # a semi-join that never collects the ids; the bucket (tb) literal
+    # filter — at most `toks_buckets` values — stays either way, so
+    # partition-dir pruning survives the fallback. Dir pruning bites
+    # when the candidate set is bucket-sparse (the common quiet-batch
+    # case); a dup-dense batch touching every bucket degrades
+    # gracefully to the pre-prune full index scan, never worse.
     MAX_INLIST = 10_000
 
     def __init__(
@@ -122,6 +164,8 @@ class MinHashIngestIndex:
         self.jaccard = jaccard
         self.prune_history = prune_history
         self.toks_buckets = toks_buckets
+        self._meta = {"toks_buckets": toks_buckets, "jaccard": jaccard}
+        _check_meta(path, self._meta)
 
     def committed(self) -> int:
         return self.state.committed()
@@ -156,22 +200,43 @@ class MinHashIngestIndex:
             .distinct()
             .join(batch_toks.select("doc_id"), "doc_id", "left_anti")
         )
-        ids = [r["doc_id"] for r in need.collect()]  # candidate-bounded
-        if not ids:
+        # COUNT before any collect: a degenerate hot band (boilerplate
+        # key shared by the batch and deep history) can make the
+        # candidate set history-sized, and collecting it would OOM the
+        # driver — the whole set only ever comes down when it is small
+        n_need = need.count()
+        if n_need == 0:
             return None
         pruned = old
         if "tb" in old.columns:
-            buckets = sorted({i % self.toks_buckets for i in ids})
+            # the distinct BUCKET list is bounded by toks_buckets
+            # however degenerate the id set, so dir pruning is always
+            # safe to compute
+            buckets = sorted(
+                r["tb"]
+                for r in need.select(
+                    F.pmod(F.col("doc_id"), F.lit(self.toks_buckets))
+                    .cast("int")
+                    .alias("tb")
+                )
+                .distinct()
+                .collect()
+            )
             pruned = pruned.filter(F.col("tb").isin(buckets))
-        if len(ids) <= self.MAX_INLIST:
+        if n_need <= self.MAX_INLIST:
+            ids = [r["doc_id"] for r in need.collect()]
             pruned = pruned.filter(F.col("doc_id").isin(ids))
         else:
-            pruned = pruned.join(F.broadcast(need), "doc_id", "semi")
+            # no broadcast hint: at this size the planner (AQE) should
+            # pick the join side; forcing a broadcast of an unbounded
+            # id set trades a driver OOM for an executor one
+            pruned = pruned.join(need, "doc_id", "semi")
         return pruned.drop("tb") if "tb" in pruned.columns else pruned
 
     def absorb(self, batch: DataFrame, epoch_id: int) -> None:
         if epoch_id <= self.state.committed():
             return  # retry of an absorbed epoch
+        _write_meta(self.state.path, self._meta)
         bands_b, toks_b = sketch_batch(batch)
         bands_b = bands_b.cache()
         # toks_b is read up to 3x (both jac sides + the epoch write);
@@ -206,10 +271,12 @@ class MinHashIngestIndex:
         try:
             old_toks = self._history_toks(high, cand, toks_b)
             if old_toks is not None and self.prune_history:
-                # candidate-bounded, so it FITS — and caching collapses
-                # the two verify-side scans (t1 + t2 below each re-read
-                # the source) into one history fetch. The unpruned path
-                # must not cache: corpus-scale state.
+                # caching collapses the two verify-side scans (t1 + t2
+                # below each re-read the source) into one history
+                # fetch; DataFrame.cache is MEMORY_AND_DISK, so even a
+                # degenerate (hot-band) candidate fetch spills instead
+                # of OOMing. The unpruned path must not cache:
+                # corpus-scale state.
                 old_toks = old_toks.cache()
             avail = (
                 toks_b if old_toks is None
@@ -275,11 +342,25 @@ class CosineIngestIndex:
         threshold: float,
         prune_history: bool = True,
     ):
+        import hashlib
+        import json
+
         self.spark = spark
         self.state = EpochPartitionedTable(spark, path)
         self.seeds = seeds
         self.threshold = threshold
         self.prune_history = prune_history
+        # the stored cids are only meaningful under the EXACT seed set
+        # that assigned them — fingerprint it (6-dp rounding: floats
+        # round-trip identically through parquet at that precision)
+        sig = json.dumps(
+            [[int(c), [round(float(x), 6) for x in e]] for c, e in seeds]
+        )
+        self._meta = {
+            "threshold": round(float(threshold), 6),
+            "seeds_md5": hashlib.md5(sig.encode()).hexdigest(),
+        }
+        _check_meta(path, self._meta)
 
     def committed(self) -> int:
         return self.state.committed()
@@ -350,6 +431,7 @@ class CosineIngestIndex:
 
         if epoch_id <= self.state.committed():
             return  # retry of an absorbed epoch
+        _write_meta(self.state.path, self._meta)
         assigned = VX.nearest_centroid(batch, self.seeds).cache()
         try:
             high = self.state.committed()

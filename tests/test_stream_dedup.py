@@ -138,6 +138,110 @@ def test_pruned_history_read_prunes_partitions(spark, tmp_path):
     )[1].split("]", 1)[0]
 
 
+def test_empty_first_batch_does_not_wedge_index(spark, tmp_path):
+    """A zero-row micro-batch must not poison the index: a PARTITIONED
+    empty parquet write emits no schema-bearing file, and the next
+    batch's history read would die with UNABLE_TO_INFER_SCHEMA (review
+    finding, verified on PySpark 4.1.2). The write layer skips empty
+    partitioned frames instead — an absent epoch dir reads as zero
+    rows."""
+    idx = MinHashIngestIndex(spark, str(tmp_path / "m"))
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    idx.absorb(empty, 0)
+    assert idx.committed() == 0
+    idx.absorb(_batch(spark, 0), 1)
+    idx.absorb(_batch(spark, 1), 2)  # exercises the history read
+    found = {(r["doc1"], r["doc2"]) for r in idx.pairs().collect()}
+    assert (1, 2) in found
+    vidx = CosineIngestIndex(spark, str(tmp_path / "v"), _SEEDS, 0.9)
+    vempty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    vidx.absorb(vempty, 0)
+    vidx.absorb(_vbatch(spark, 0), 1)
+    vidx.absorb(_vbatch(spark, 1), 2)
+    vfound = {(r["vec1"], r["vec2"]) for r in vidx.pairs().collect()}
+    assert (10, 11) in vfound
+
+
+def test_meta_mismatch_refused_on_reopen(spark, tmp_path):
+    """Reopening an index with different layout/semantic parameters
+    must raise: tb = pmod(doc_id, toks_buckets) is computed at read
+    time, so a changed bucket count would silently prune the wrong
+    directories and DROP real duplicate pairs."""
+    import pytest as _pytest
+
+    p = str(tmp_path / "m")
+    idx = MinHashIngestIndex(spark, p, toks_buckets=32)
+    idx.absorb(_batch(spark, 0), 0)
+    with _pytest.raises(ValueError, match="toks_buckets"):
+        MinHashIngestIndex(spark, p, toks_buckets=16)
+    with _pytest.raises(ValueError, match="jaccard"):
+        MinHashIngestIndex(spark, p, jaccard=0.5)
+    MinHashIngestIndex(spark, p)  # matching params reopen fine
+    vp = str(tmp_path / "v")
+    vidx = CosineIngestIndex(spark, vp, _SEEDS, 0.9)
+    vidx.absorb(_vbatch(spark, 0), 0)
+    other_seeds = [(0, [0.0, 0.0, 1.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    with _pytest.raises(ValueError, match="seeds"):
+        CosineIngestIndex(spark, vp, other_seeds, 0.9)
+    with _pytest.raises(ValueError, match="threshold"):
+        CosineIngestIndex(spark, vp, _SEEDS, 0.8)
+    CosineIngestIndex(spark, vp, _SEEDS, 0.9)
+
+
+def test_semi_join_fallback_matches_inlist_path(spark, tmp_path):
+    """Above MAX_INLIST candidate ids the pruned fetch switches to a
+    never-collected semi-join; force the switch (instance-level
+    MAX_INLIST=0) and require bit-identical pairs."""
+    idx = MinHashIngestIndex(spark, str(tmp_path / "s"))
+    idx.MAX_INLIST = 0  # every cross-batch candidate takes the semi path
+    for e in sorted(_EPOCHS):
+        idx.absorb(_batch(spark, e), e)
+    got = {(r["doc1"], r["doc2"], r["jac"]) for r in idx.pairs().collect()}
+    assert got == _ground_truth(spark)
+
+
+def test_compact_crash_windows_roll_forward(spark, tmp_path):
+    """compact()'s staged swap must recover from every crash point
+    WITHOUT resurrecting old epochs beside the fold (which would
+    double every committed row — review finding on the first-cut
+    legacy-style swap)."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "m")
+    idx = MinHashIngestIndex(spark, path)
+    idx.absorb(_batch(spark, 0), 0)
+    idx.absorb(_batch(spark, 1), 1)
+    want = sorted((r["doc1"], r["doc2"]) for r in idx.pairs().collect())
+    src = os.path.join(path, "pairs")
+
+    # (a) pre-hide crash: staged __cnew beside a live src -> stage
+    # dropped, original intact
+    os.makedirs(src + "__cnew")
+    assert sorted(
+        (r["doc1"], r["doc2"]) for r in idx.pairs().collect()
+    ) == want
+    assert not os.path.isdir(src + "__cnew")
+
+    # (b) mid-swap crash: src hidden as __chide, complete __cnew
+    # staged -> recovery publishes the FOLD (roll forward), no
+    # duplicate rows
+    idx.state.compact("pairs")  # produce a real folded layout first
+    assert os.listdir(src) == ["epoch=-1"]
+    shutil.copytree(src, src + "__cnew")
+    os.replace(src, src + "__chide")
+    got = sorted((r["doc1"], r["doc2"]) for r in idx.pairs().collect())
+    assert got == want  # folded once, not doubled
+    assert os.path.isdir(src) and not os.path.isdir(src + "__chide")
+
+    # (c) post-publish crash: stale __chide beside a live src -> reaped
+    shutil.copytree(src, src + "__chide")
+    assert sorted(
+        (r["doc1"], r["doc2"]) for r in idx.pairs().collect()
+    ) == want
+    assert not os.path.isdir(src + "__chide")
+
+
 def test_compact_folds_epochs_and_keeps_results(spark, tmp_path):
     """compact() must fold committed epoch dirs to one, preserve the
     pair set bit-for-bit, keep the shingle table's bucket layout
