@@ -159,11 +159,14 @@ def main() -> None:
     failures: dict[str, str] = {}
     for name in HEADLINE:
         try:
+            spark.sparkContext.setJobDescription(f"bench warmup: {name}")
             qmap[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
                 "overwrite"
             ).save()
         except Exception as exc:  # noqa: BLE001 — record and continue
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+        finally:
+            spark.sparkContext.setJobDescription(None)
 
     # Min of N (default 5) measured runs per query (timeit's rule): single-run
     # numbers at sf0.1 swing 2-3x (fresh file listing, codegen cache,
@@ -185,12 +188,18 @@ def main() -> None:
             from serverless_datalake_aws_spark.plans import lakehouse
 
             samples = []  # (total, build, serve) per run
-            for _ in range(runs):
+            for i in range(runs):
+                # §1.5 of the optimization guide: label every measured
+                # job so UI/event-log time attributes to its bench row
+                spark.sparkContext.setJobDescription(
+                    f"bench: {name} run {i + 1}/{runs}"
+                )
                 t0 = time.time()
                 qmap[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 dt = time.time() - t0
+                spark.sparkContext.setJobDescription(None)
                 phases = lakehouse.PHASE_TIMINGS.get(name) or {}
                 samples.append(
                     (dt, phases.get("build_s", 0.0), phases.get("serve_s", 0.0))

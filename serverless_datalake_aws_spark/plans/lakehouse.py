@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from serverless_datalake_aws_spark.catalog import table
+from serverless_datalake_aws_spark.plancap import stamp as _stamp_plan
 from serverless_datalake_aws_spark.plans import query
 
 # Per-invocation phase split for the registration-wall entries
@@ -128,6 +129,7 @@ def m07_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type")
         )
         # materialize before the temp dir disappears
+        _stamp_plan("m07_stats_pruned_scan:serve", out)
         rows = out.collect()
         t_end = _time.perf_counter()
         PHASE_TIMINGS["m07_stats_pruned_scan"] = {
@@ -271,6 +273,7 @@ def m10_hidden_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("event_id")
         )
+        _stamp_plan("m10_hidden_partition_scan:serve", out)
         rows = out.collect()
         t_end = _time.perf_counter()
         PHASE_TIMINGS["m10_hidden_partition_scan"] = {
@@ -436,6 +439,7 @@ def m12_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("bucket")
         )
+        _stamp_plan("m12_merge_cow:serve", out)
         rows = out.collect()
         t_end = _time.perf_counter()
         PHASE_TIMINGS["m12_merge_cow"] = {
@@ -542,6 +546,7 @@ def m13_vector_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=_M13_TOPK,
             nprobe=_M13_NPROBE,
         ).select("query_id", "vec_id", "cid", "score", "rk")
+        _stamp_plan("m13_vector_index_search:serve", out)
         rows = out.collect()  # materialize before the workdir vanishes
         t_end = _time.perf_counter()
         PHASE_TIMINGS["m13_vector_index_search"] = {
