@@ -37,18 +37,21 @@ from serverless_datalake_aws_spark import plancap  # noqa: E402
 from serverless_datalake_aws_spark.plans import all_queries  # noqa: E402
 from serverless_datalake_aws_spark.session import get_session  # noqa: E402
 
+# Matched against the numbered detail section only ("(3) Exchange"),
+# so each physical node counts exactly once (the tree rendering above
+# the details would double every count).
 COUNTERS = (
-    ("EX", r"\bExchange\b"),
-    ("SMJ", r"\bSortMergeJoin\b"),
-    ("SHJ", r"\bShuffledHashJoin\b"),
-    ("BHJ", r"\bBroadcastHashJoin\b"),
-    ("NLJ", r"\bBroadcastNestedLoopJoin\b"),
-    ("CART", r"\bCartesianProduct\b"),
-    ("PYROW", r"\bBatchEvalPython\b"),
+    ("EX", r"^\(\d+\) Exchange\b"),
+    ("SMJ", r"^\(\d+\) SortMergeJoin\b"),
+    ("SHJ", r"^\(\d+\) ShuffledHashJoin\b"),
+    ("BHJ", r"^\(\d+\) BroadcastHashJoin\b"),
+    ("NLJ", r"^\(\d+\) BroadcastNestedLoopJoin\b"),
+    ("CART", r"^\(\d+\) CartesianProduct\b"),
+    ("PYROW", r"^\(\d+\) BatchEvalPython\b"),
     (
         "PYVEC",
-        r"\bArrowEvalPython\b|\bMapInPandas\b|\bFlatMapGroupsInPandas\b"
-        r"|\bMapInArrow\b|\bFlatMapGroupsInPandasWithState\b|\bPythonMapInArrow\b",
+        r"^\(\d+\) (?:ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"
+        r"|MapInArrow|FlatMapGroupsInPandasWithState|PythonMapInArrow)\b",
     ),
 )
 
@@ -83,7 +86,10 @@ def main() -> int:
             flagged.append(f"{name} ERR")
             continue
         text = "\n".join(texts)
-        counts = {k: len(re.findall(rx, text)) for k, rx in COUNTERS}
+        counts = {
+            k: len(re.findall(rx, text, flags=re.MULTILINE))
+            for k, rx in COUNTERS
+        }
         push = int(
             any(
                 m.group(1).strip() not in ("[]", "")
