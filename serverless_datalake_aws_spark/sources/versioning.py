@@ -323,7 +323,16 @@ def merge_versioned(
             f"merge_versioned requires a parquet versioned table; "
             f"{vdir} holds non-parquet data files"
         )
-    stats = collect_file_stats(spark, vdir, files=files)
+    # materialize the footer stats ONCE: collect_file_stats is a lazy
+    # mapInPandas plan, and the three metadata reads below (overlap
+    # join, stat-less files, indexed-file inventory) would each re-run
+    # the whole footer pass through fresh Python workers (~0.55 s per
+    # re-run at the m12 fixture — 3 passes where 1 suffices). The rows
+    # are metadata-scale (#files × #cols), the same order as the
+    # `files` list this function already holds on the driver.
+    lazy_stats = collect_file_stats(spark, vdir, files=files)
+    stat_rows = lazy_stats.collect()
+    stats = spark.createDataFrame(stat_rows, lazy_stats.schema)
     # canonicalize the source key to the SAME numeric image the stats
     # index stores (stats.py _canon/_canon_arrow): timestamps are unix
     # MICROS and dates are epoch DAYS there — a bare CAST(ts AS DOUBLE)
@@ -374,14 +383,16 @@ def merge_versioned(
     ).select("file").distinct()
     overlap = {r["file"] for r in hit.collect()}
     # fail-open the other way: a file with NO usable key stats might
-    # contain matches — it must be treated as overlapping
-    statless = stats.filter(F.col("column") == key).filter(
-        F.col("min_v").isNull() | F.col("max_v").isNull()
-    )
-    overlap |= {r["file"] for r in statless.select("file").collect()}
-    overlap |= set(files) - {
-        r["file"] for r in stats.select("file").distinct().collect()
+    # contain matches — it must be treated as overlapping. Driver-side
+    # set math over the already-collected metadata rows (zero extra
+    # Spark jobs — these two reads used to be full footer-pass re-runs)
+    overlap |= {
+        r["file"]
+        for r in stat_rows
+        if r["column"] == key
+        and (r["min_v"] is None or r["max_v"] is None)
     }
+    overlap |= set(files) - {r["file"] for r in stat_rows}
     rewrite = overlap if matched in ("update", "delete") else set()
     linked = [f for f in files if f not in rewrite]
 
