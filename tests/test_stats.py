@@ -105,6 +105,33 @@ def test_prune_fail_open_on_stale_index(spark, clustered, stats):
     assert got.count() == 5
 
 
+def test_dropped_only_collect_matches_inventory_semantics(
+    spark, clustered, stats
+):
+    """pruned_scan's r12 restructure collects only the DROPPED set
+    (payload O(excluded files), no join/distinct job). It must choose
+    exactly (keep ∩ on_disk) ∪ (on_disk − indexed), i.e. on_disk −
+    dropped — including surviving a stale index row naming a file a
+    rewrite deleted."""
+    on_disk = set(S.list_parquet_files(clustered))
+    dropped = S._dropped_files(stats, "id", lo=0, hi=500)
+    kept = set(S.prune_files(stats, "id", lo=0, hi=500))
+    indexed = {
+        S._strip_uri(r["file"])
+        for r in stats.select("file").distinct().collect()
+    }
+    assert dropped == indexed - kept  # dropped ⊆ indexed, complement
+    assert on_disk - dropped == (kept & on_disk) | (on_disk - indexed)
+    # stale index entry: point the stats at a path that no longer
+    # exists; the scan must neither crash nor lose rows
+    ghost = stats.limit(0).unionByName(
+        stats.filter(F.col("column") == "id").limit(1)
+    ).withColumn("file", F.lit("/no/such/dir/gone.parquet"))
+    stale = stats.unionByName(ghost)
+    got = S.pruned_scan(spark, clustered, stale, "id", 0, 500)
+    assert got.filter(F.col("id") <= 500).count() == 501
+
+
 def test_prune_open_bounds_and_missing_column(spark, clustered, stats):
     assert len(S.prune_files(stats, "id", lo=19_000)) <= 2
     assert len(S.prune_files(stats, "id", hi=500)) <= 2
