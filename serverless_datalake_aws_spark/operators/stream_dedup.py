@@ -115,6 +115,22 @@ def _write_meta(path: str, meta: dict) -> None:
     os.replace(tmp, p)
 
 
+def _epoch_dirs(path: str, sub: str) -> int:
+    """Number of epoch= partition dirs under a subtable (0 when the
+    subtable does not exist yet) — the listing-cost proxy the
+    compaction cadence triggers on."""
+    import os
+
+    try:
+        return sum(
+            1
+            for d in os.listdir(os.path.join(path, sub))
+            if d.startswith("epoch=")
+        )
+    except FileNotFoundError:
+        return 0
+
+
 def sketch_batch(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(bands, toks) for one micro-batch — d04's exact sketch pipeline
     (3-gram shingles, md5 minhash, LSH band keys) over `batch`
@@ -159,12 +175,22 @@ class MinHashIngestIndex:
         jaccard: float = 0.6,
         prune_history: bool = True,
         toks_buckets: int = 32,
+        compact_every: int | None = 16,
     ):
         self.spark = spark
         self.state = EpochPartitionedTable(spark, path)
         self.jaccard = jaccard
         self.prune_history = prune_history
         self.toks_buckets = toks_buckets
+        # maintenance cadence (VERDICT r11 #2): without it a long-lived
+        # stream accrues one epoch dir per micro-batch and per-batch
+        # LISTING eventually dominates the probe cost; absorb folds the
+        # committed epochs whenever a subtable's dir count crosses this
+        # threshold. None disables (an external maintenance job then
+        # owns compact()). The trigger is DIR COUNT, not epoch number:
+        # it bounds listing cost directly and is robust to epoch-id
+        # gaps from stream restarts.
+        self.compact_every = compact_every
         self._meta = {"toks_buckets": toks_buckets, "jaccard": jaccard}
         _check_meta(path, self._meta)
 
@@ -177,12 +203,28 @@ class MinHashIngestIndex:
     def compact(self) -> None:
         """Fold committed epochs into one dir per subtable (file-count
         maintenance for long-lived streams — one dir accrues per
-        micro-batch otherwise). Call between absorbs; the shingle
-        table keeps its doc_id bucketing so the candidate fetch still
-        dir-prunes after the fold."""
+        micro-batch otherwise). Called from absorb() every
+        `compact_every` epoch dirs, or between absorbs by an external
+        maintenance job; the shingle table keeps its doc_id bucketing
+        so the candidate fetch still dir-prunes after the fold."""
         self.state.compact("pairs")
         self.state.compact("bands")
         self.state.compact("toks", partition_by=["tb"])
+
+    def _maybe_compact(self) -> None:
+        """Opportunistic cadence call at the END of absorb (after the
+        commit, so the fold always includes the epoch just written).
+        Folds everything when the busiest subtable's epoch-dir count
+        crosses the threshold; a concurrent-reader abort
+        (RuntimeError) just defers to the next batch — maintenance
+        must never fail an ingest."""
+        if not self.compact_every:
+            return
+        if _epoch_dirs(self.state.path, "toks") >= self.compact_every:
+            try:
+                self.compact()
+            except RuntimeError:
+                pass
 
     def _history_toks(
         self, high: int, cand: DataFrame, batch_toks: DataFrame
@@ -317,6 +359,7 @@ class MinHashIngestIndex:
             cand.unpersist()
             if old_toks is not None and self.prune_history:
                 old_toks.unpersist()
+        self._maybe_compact()
 
 
 class CosineIngestIndex:
@@ -344,6 +387,7 @@ class CosineIngestIndex:
         seeds: list[tuple[int, list[float]]],
         threshold: float,
         prune_history: bool = True,
+        compact_every: int | None = 16,
     ):
         import hashlib
         import json
@@ -353,6 +397,9 @@ class CosineIngestIndex:
         self.seeds = seeds
         self.threshold = threshold
         self.prune_history = prune_history
+        # dir-count compaction cadence — same contract as
+        # MinHashIngestIndex.compact_every
+        self.compact_every = compact_every
         # the stored cids are only meaningful under the EXACT seed set
         # that assigned them — fingerprint it (6-dp rounding: floats
         # round-trip identically through parquet at that precision)
@@ -374,9 +421,19 @@ class CosineIngestIndex:
     def compact(self) -> None:
         """Fold committed epochs into one dir per subtable; the vector
         table keeps its cid partitioning so cluster pruning survives
-        the fold. Call between absorbs (single-writer contract)."""
+        the fold. Called from absorb() on the dir-count cadence, or
+        between absorbs by an external job (single-writer contract)."""
         self.state.compact("pairs")
         self.state.compact("vecs", partition_by=["cid"])
+
+    def _maybe_compact(self) -> None:
+        if not self.compact_every:
+            return
+        if _epoch_dirs(self.state.path, "vecs") >= self.compact_every:
+            try:
+                self.compact()
+            except RuntimeError:
+                pass
 
     def _eps_pairs(self, left: DataFrame, right: DataFrame) -> DataFrame:
         """ε-similar (vec1 < vec2) pairs across two assigned sides,
@@ -456,3 +513,4 @@ class CosineIngestIndex:
             self.state.commit(epoch_id)
         finally:
             assigned.unpersist()
+        self._maybe_compact()

@@ -408,3 +408,77 @@ def test_first_epoch_and_no_candidates_paths(spark, tmp_path):
     idx.absorb(other, 1)
     assert idx.committed() == 1
     assert idx.pairs().count() == 0
+
+
+def test_compact_cadence_bounds_dirs_and_keeps_results(spark, tmp_path):
+    """absorb()'s dir-count cadence (r12): with compact_every=3 the
+    epoch-dir count stays bounded across many absorbs, and the pair
+    set is bit-identical to a never-compacted index."""
+    import os
+
+    base = str(tmp_path / "c")
+    ref = str(tmp_path / "r")
+    # one doc per epoch, every doc a near-dup of doc 0's text, so
+    # cross-epoch candidates keep exercising the pruned history fetch
+    texts = [
+        (i, _BASE + f" tail{i % 2}") for i in range(8)
+    ]
+    idx = MinHashIngestIndex(spark, base, compact_every=3)
+    off = MinHashIngestIndex(spark, ref, compact_every=None)
+    for e, (i, t) in enumerate(texts):
+        b = spark.createDataFrame([(i, t)], "doc_id long, text string")
+        idx.absorb(b, e)
+        off.absorb(b, e)
+        dirs = sum(
+            1
+            for d in os.listdir(os.path.join(base, "toks"))
+            if d.startswith("epoch=")
+        )
+        assert dirs <= 3, f"epoch {e}: {dirs} dirs"
+    assert sorted(
+        (r["doc1"], r["doc2"], r["jac"]) for r in idx.pairs().collect()
+    ) == sorted(
+        (r["doc1"], r["doc2"], r["jac"]) for r in off.pairs().collect()
+    )
+    # the no-cadence index accrued one dir per epoch (the disease)
+    assert (
+        sum(
+            1
+            for d in os.listdir(os.path.join(ref, "toks"))
+            if d.startswith("epoch=")
+        )
+        == len(texts)
+    )
+
+
+def test_cosine_compact_cadence_bounds_dirs(spark, tmp_path):
+    import os
+
+    base = str(tmp_path / "vc")
+    idx = CosineIngestIndex(
+        spark, base, _SEEDS, threshold=0.9, compact_every=2
+    )
+    vecs = [
+        (30 + i, [1.0, float(i % 2) * 0.01, 0.0, 0.0]) for i in range(6)
+    ]
+    pair_sets = []
+    for e, (vid, v) in enumerate(vecs):
+        b = spark.createDataFrame(
+            [(vid, v)], "vec_id long, embedding array<float>"
+        )
+        idx.absorb(b, e)
+        dirs = sum(
+            1
+            for d in os.listdir(os.path.join(base, "vecs"))
+            if d.startswith("epoch=")
+        )
+        assert dirs <= 2, f"epoch {e}: {dirs} dirs"
+    # all 6 vectors are near-identical: every cross-epoch pair must
+    # have survived the folds
+    got = {(r["vec1"], r["vec2"]) for r in idx.pairs().collect()}
+    want = {
+        (a, b)
+        for a in range(30, 36)
+        for b in range(a + 1, 36)
+    }
+    assert got == want
