@@ -1082,31 +1082,73 @@ def _top_user_fn(key, pdfs, state):
     user_id -> (n, total) across micro-batches (encoded as parallel
     arrays — applyInPandasWithState state schemas are flat structs, so
     the map rides as array columns), emit the argmax-by-total user
-    each batch. Ties break on the smaller user_id."""
+    each batch. Ties break on the smaller user_id.
+
+    The merge is fully vectorized (guide §4.2): state arrays + one
+    groupby-sum per arriving pandas frame, concatenated and re-summed
+    — the pre-r12 body walked every (user, batch-agg) row through
+    iterrows + a Python dict, O(|users|) interpreter work per batch.
+    Summation order per user is unchanged (state row first, then the
+    frames in arrival order — pandas groupby.sum accumulates in row
+    order), so the float image is the one the oracle sees."""
+    import numpy as np
+
+    frames = []
     if state.exists:
-        uids, ns, totals = state.get
-        acc = {u: (n, t) for u, n, t in zip(uids, ns, totals)}
-    else:
-        acc = {}
+        uids0, ns0, totals0 = state.get
+        frames.append(
+            pd.DataFrame(
+                {
+                    "user_id": np.asarray(uids0, dtype=np.int64),
+                    "n": np.asarray(ns0, dtype=np.int64),
+                    "t": np.asarray(totals0, dtype=np.float64),
+                }
+            )
+        )
     for pdf in pdfs:
-        g = pdf.groupby("user_id")["value"].agg(["count", "sum"])
-        for uid, row in g.iterrows():
-            n, t = acc.get(int(uid), (0, 0.0))
-            acc[int(uid)] = (n + int(row["count"]), t + float(row["sum"]))
-    uids = sorted(acc)
-    state.update(
-        (uids, [acc[u][0] for u in uids], [acc[u][1] for u in uids])
+        g = (
+            pdf.groupby("user_id")["value"]
+            .agg(["count", "sum"])
+            .reset_index()
+        )
+        frames.append(
+            pd.DataFrame(
+                {
+                    "user_id": g["user_id"].astype(np.int64),
+                    "n": g["count"].astype(np.int64),
+                    "t": g["sum"].astype(np.float64),
+                }
+            )
+        )
+    acc = (
+        pd.concat(frames, ignore_index=True)
+        .groupby("user_id", sort=True)[["n", "t"]]
+        .sum()
     )
-    # the ROUNDED total is the rank key (oracle orders by round(sum,4)),
-    # so the round must happen in-Python here — _round4's half-away,
-    # never builtin round()'s half-even
-    top = min(acc.items(), key=lambda kv: (-_round4(kv[1][1]), kv[0]))
+    u = acc.index.to_numpy(dtype=np.int64)
+    n = acc["n"].to_numpy(dtype=np.int64)
+    t = acc["t"].to_numpy(dtype=np.float64)
+    state.update((u.tolist(), n.tolist(), t.tolist()))
+    # the ROUNDED total is the rank key (oracle orders by round(sum,4))
+    # and the round must be _round4's exact-decimal half-away — but
+    # running Decimal per user would be the same O(|users|) Python
+    # loop the merge just dropped. A vectorized double-precision
+    # half-away round differs from the exact-decimal one by at most
+    # one 1e-4 quantum, so every possible exact-argmax user sits
+    # within 2e-4 of the vectorized max: shortlist there (normally a
+    # handful of rows), then decide exactly with _round4.
+    r4v = np.floor(np.abs(t) * 1e4 + 0.5) / 1e4 * np.sign(t)
+    cand = np.nonzero(r4v >= r4v.max() - 2e-4)[0]
+    neg_r4, top_uid = min(
+        (-_round4(float(t[i])), int(u[i])) for i in cand
+    )
+    top_i = int(np.nonzero(u == top_uid)[0][0])
     yield pd.DataFrame(
         {
             "event_type": [key[0]],
-            "top_user": [top[0]],
-            "n_events": [top[1][0]],
-            "total_value": [_round4(top[1][1])],
+            "top_user": [top_uid],
+            "n_events": [int(n[top_i])],
+            "total_value": [-neg_r4],
         }
     )
 

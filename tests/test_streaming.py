@@ -286,3 +286,71 @@ def test_curate_incremental_continuous_trigger(spark, tmp_path):
         for r in eng.curate_incremental().collect()
     }
     assert sum(total.values()) == 3
+
+
+def test_top_user_fn_vectorized_matches_reference(spark):
+    """st16's r12-vectorized GroupState body must reproduce the old
+    iterrows/dict semantics exactly: multi-batch merge order, state
+    round-trip arrays sorted by user_id, argmax on the EXACT _round4
+    image with uid tie-break (including totals that straddle a 1e-4
+    rounding boundary and negative totals)."""
+    import pandas as pd
+
+    from serverless_datalake_aws_spark.plans.streaming_queries import (
+        _round4,
+        _top_user_fn,
+    )
+
+    class FakeState:
+        def __init__(self, triple=None):
+            self._t = triple
+
+        @property
+        def exists(self):
+            return self._t is not None
+
+        @property
+        def get(self):
+            return self._t
+
+        def update(self, t):
+            self._t = t
+
+    def reference(prev, frames):
+        acc = dict(prev or {})
+        for pdf in frames:
+            g = pdf.groupby("user_id")["value"].agg(["count", "sum"])
+            for uid, row in g.iterrows():
+                n, t = acc.get(int(uid), (0, 0.0))
+                acc[int(uid)] = (n + int(row["count"]), t + float(row["sum"]))
+        top = min(acc.items(), key=lambda kv: (-_round4(kv[1][1]), kv[0]))
+        return acc, top
+
+    # ties on the rounded image (0.15625 rounds to 0.1563 exactly at
+    # the half boundary), values straddling the quantum, negatives
+    b1 = pd.DataFrame(
+        {"user_id": [1, 2, 3, 1], "value": [0.15625, 0.15625, -5.0, 0.0]}
+    )
+    b2 = pd.DataFrame(
+        {"user_id": [2, 3, 4], "value": [0.00004, 5.0, 0.15629]}
+    )
+    st = FakeState(
+        ([1, 4], [2, 1], [0.1, 0.00001])
+    )
+    out = list(_top_user_fn(("click",), iter([b1, b2]), st))[0]
+    prev = {1: (2, 0.1), 4: (1, 0.00001)}
+    acc, top = reference(prev, [b1, b2])
+    uids = sorted(acc)
+    assert st.get[0] == uids
+    assert st.get[1] == [acc[u][0] for u in uids]
+    assert st.get[2] == [acc[u][1] for u in uids]
+    assert out["top_user"][0] == top[0]
+    assert out["n_events"][0] == top[1][0]
+    assert out["total_value"][0] == _round4(top[1][1])
+    # no-state single-batch path (the declared query's shape)
+    st2 = FakeState()
+    out2 = list(_top_user_fn(("view",), iter([b1]), st2))[0]
+    acc2, top2 = reference(None, [b1])
+    assert out2["top_user"][0] == top2[0]
+    assert out2["total_value"][0] == _round4(top2[1][1])
+    assert st2.get[0] == sorted(acc2)
