@@ -114,67 +114,67 @@ def _load() -> None:
 # s24, Python-DataSource m09/st17, map-state st16, hidden-partition
 # m10, observed-quality st18, version-diff m11, MERGE-COW m12).
 DRIVER_SAMPLE_ALIASES: dict[str, str] = {
-    # Round-11 slate (VERDICT r10 #2): all 50 round-10 aliases are
-    # externally green in CORRECTNESS_r10.json — retired on proof.
-    # After r10, 59 registry entries have ZERO external driver rows
-    # (union of CORRECTNESS_r0*.json, aNN_ prefixes stripped). This
-    # slate covers 50 of them, prioritized per the verdict: x12 (the
-    # newest code), s01/s02, the full remaining t-family (14), and 33
-    # of the 42 unsampled q-shapes. The 9 deferred to round 12 are the
-    # simplest scalar/set-op shapes (q25_in_subquery,
-    # q26_union_all_stats, q27_regexp_like, q29_date_arithmetic,
-    # q30_null_semantics, q32_array_agg, q39_large_orders,
-    # q44_order_priority, q54_string_agg), all judge-sweep-green.
-    "a01_x12_analyzed_search": "x12_analyzed_search",
-    "a02_s01_knn_bruteforce": "s01_knn_bruteforce",
-    "a03_s02_lsh_ann": "s02_lsh_ann",
-    "a04_t04_language_score": "t04_language_score",
-    "a05_t06_normalize": "t06_normalize",
-    "a06_t07_token_histogram": "t07_token_histogram",
-    "a07_t09_trigram_repetition": "t09_trigram_repetition",
-    "a08_t10_lexical_diversity": "t10_lexical_diversity",
-    "a09_t12_length_deciles": "t12_length_deciles",
-    "a10_t16_zipf_fit": "t16_zipf_fit",
-    "a11_t19_regex_tokenizer_counts": "t19_regex_tokenizer_counts",
-    "a12_t21_chunk_overlap": "t21_chunk_overlap",
-    "a13_t22_source_sampling_weights": "t22_source_sampling_weights",
-    "a14_t24_source_divergence": "t24_source_divergence",
-    "a15_t26_ngram_novelty": "t26_ngram_novelty",
-    "a16_t27_vocab_growth": "t27_vocab_growth",
-    "a17_t29_repetition_signals": "t29_repetition_signals",
-    "a18_q33_range_frame": "q33_range_frame",
-    "a19_q35_returned_items": "q35_returned_items",
-    "a20_q36_nested_assembly": "q36_nested_assembly",
-    "a21_q37_unpivot": "q37_unpivot",
-    "a22_q40_global_sales_opportunity": "q40_global_sales_opportunity",
-    "a23_q41_min_cost_per_group": "q41_min_cost_per_group",
-    "a24_q43_bag_setops": "q43_bag_setops",
-    "a25_q45_volume_shipping": "q45_volume_shipping",
-    "a26_q47_product_profit": "q47_product_profit",
-    "a27_q48_ship_delay_class": "q48_ship_delay_class",
-    "a28_q49_promo_revenue": "q49_promo_revenue",
-    "a29_q50_disjunctive_join": "q50_disjunctive_join",
-    "a30_q55_regexp_token_extract": "q55_regexp_token_extract",
-    "a31_q56_posexplode_tokens": "q56_posexplode_tokens",
-    "a32_q57_filtered_aggs": "q57_filtered_aggs",
-    "a33_q58_map_functions": "q58_map_functions",
-    "a34_q60_array_ops": "q60_array_ops",
-    "a35_q61_rolling_time_window": "q61_rolling_time_window",
-    "a36_q62_nested_windows": "q62_nested_windows",
-    "a37_q63_quantile_buckets": "q63_quantile_buckets",
-    "a38_q64_custdist": "q64_custdist",
-    "a39_q66_try_functions": "q66_try_functions",
-    "a40_q69_nth_value_offsets": "q69_nth_value_offsets",
-    "a41_q71_null_ordering_topk": "q71_null_ordering_topk",
-    "a42_q72_forecast_revenue": "q72_forecast_revenue",
-    "a43_q73_important_parts": "q73_important_parts",
-    "a44_q74_top_supplier": "q74_top_supplier",
-    "a45_q75_supplier_part_relation": "q75_supplier_part_relation",
-    "a46_q76_small_quantity_revenue": "q76_small_quantity_revenue",
-    "a47_q77_promotion_suppliers": "q77_promotion_suppliers",
-    "a48_q78_ratio_to_report": "q78_ratio_to_report",
-    "a49_q79_heterogeneous_feed": "q79_heterogeneous_feed",
-    "a50_q81_skew_join_aqe": "q81_skew_join_aqe",
+    # Round-12 slate (VERDICT r11 #3): all 50 round-11 aliases are
+    # externally green in CORRECTNESS_r11.json — retired on proof.
+    # This slate closes cumulative external coverage at 246/246: the
+    # LAST 9 never-driver-sampled shapes (q25-q27, q29, q30, q32,
+    # q39, q44, q54) plus 41 re-greens weighted to the paths the two
+    # optimization rounds touched — the registration-wall family
+    # (m07/m10/m12/m13: hidden_write width pin, merge stats
+    # materialization, dropped-only prune), the maintained-index trio
+    # + cadence (st13/st15/st16/st19/st20), x11/x12 (the r11 Porter
+    # measure), and the bench-headline rows whose numbers the round's
+    # records lean on.
+    "a01_q25_in_subquery": "q25_in_subquery",
+    "a02_q26_union_all_stats": "q26_union_all_stats",
+    "a03_q27_regexp_like": "q27_regexp_like",
+    "a04_q29_date_arithmetic": "q29_date_arithmetic",
+    "a05_q30_null_semantics": "q30_null_semantics",
+    "a06_q32_array_agg": "q32_array_agg",
+    "a07_q39_large_orders": "q39_large_orders",
+    "a08_q44_order_priority": "q44_order_priority",
+    "a09_q54_string_agg": "q54_string_agg",
+    "a10_m07_stats_pruned_scan": "m07_stats_pruned_scan",
+    "a11_m08_bloom_point_lookup": "m08_bloom_point_lookup",
+    "a12_m10_hidden_partition_scan": "m10_hidden_partition_scan",
+    "a13_m11_version_diff": "m11_version_diff",
+    "a14_m12_merge_cow": "m12_merge_cow",
+    "a15_m13_vector_index_search": "m13_vector_index_search",
+    "a16_st13_stream_dedup_index": "st13_stream_dedup_index",
+    "a17_st15_stream_minhash_index": "st15_stream_minhash_index",
+    "a18_st16_stream_top_user_state": "st16_stream_top_user_state",
+    "a19_st19_stream_ivf_cell_index": "st19_stream_ivf_cell_index",
+    "a20_st20_stream_semantic_dedup": "st20_stream_semantic_dedup",
+    "a21_x11_stemmed_search": "x11_stemmed_search",
+    "a22_x12_analyzed_search": "x12_analyzed_search",
+    "a23_q82_dynamic_partition_pruning": "q82_dynamic_partition_pruning",
+    "a24_q01_pricing_summary": "q01_pricing_summary",
+    "a25_q03_shipping_priority": "q03_shipping_priority",
+    "a26_q21_range_join": "q21_range_join",
+    "a27_q24_rank_suite": "q24_rank_suite",
+    "a28_q34_local_supplier_volume": "q34_local_supplier_volume",
+    "a29_q46_market_share": "q46_market_share",
+    "a30_q51_waiting_suppliers": "q51_waiting_suppliers",
+    "a31_q80_running_distinct_approx": "q80_running_distinct_approx",
+    "a32_q81_skew_join_aqe": "q81_skew_join_aqe",
+    "a33_e03_sessionize": "e03_sessionize",
+    "a34_e04_time_hierarchy_rollup": "e04_time_hierarchy_rollup",
+    "a35_e07_linear_interpolation": "e07_linear_interpolation",
+    "a36_e23_asof_join": "e23_asof_join",
+    "a37_d04_minhash_lsh_pairs": "d04_minhash_lsh_pairs",
+    "a38_d05_simhash_pairs": "d05_simhash_pairs",
+    "a39_d18_simhash56_banded_pairs": "d18_simhash56_banded_pairs",
+    "a40_d20_repeated_substring_spans": "d20_repeated_substring_spans",
+    "a41_s01_knn_bruteforce": "s01_knn_bruteforce",
+    "a42_s02_lsh_ann": "s02_lsh_ann",
+    "a43_s05_ivf_ann": "s05_ivf_ann",
+    "a44_s18_semdedup": "s18_semdedup",
+    "a45_s19_pq_adc_ann": "s19_pq_adc_ann",
+    "a46_s21_ivf_pq_ann": "s21_ivf_pq_ann",
+    "a47_s24_sq8_ann_rerank": "s24_sq8_ann_rerank",
+    "a48_p06_curation_pipeline": "p06_curation_pipeline",
+    "a49_t31_sequence_packing": "t31_sequence_packing",
+    "a50_x03_bm25": "x03_bm25",
 }
 
 
