@@ -115,6 +115,47 @@ CONTINUITY_SUBSET = tuple(
 )
 
 
+def _cpu_probe() -> tuple[float, float]:
+    """Fixed host-speed witness: md5 over 64 MB single-thread, and the
+    same work on all cores at once (32 MB/thread) — best of 3 each.
+    hashlib releases the GIL on >2KB updates, so the threaded variant
+    measures effective all-core throughput (incl. hypervisor steal),
+    the regime every 32-way Spark stage runs in. Sampled BEFORE and
+    AFTER the measured runs (ADVICE r11): a mid-bench host-window
+    shift is then visible in-band instead of inferred."""
+    import hashlib
+    import threading
+
+    blk = b"\x00" * (1 << 20)
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = hashlib.md5()
+        for _ in range(64):
+            h.update(blk)
+        samples.append(time.perf_counter() - t0)
+    single = round(min(samples), 4)
+    nthr = os.cpu_count() or 8
+
+    def _hash_mb(n_mb: int) -> None:
+        h = hashlib.md5()
+        for _ in range(n_mb):
+            h.update(blk)
+
+    mt_samples = []
+    for _ in range(3):
+        threads = [
+            threading.Thread(target=_hash_mb, args=(32,)) for _ in range(nthr)
+        ]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        mt_samples.append(time.perf_counter() - t0)
+    return single, round(min(mt_samples), 4)
+
+
 def main() -> None:
     # Self-enforcing idle gate (VERDICT r10 #1): two rounds of official
     # records were taken while a prior sweep was still draining, reading
@@ -147,6 +188,10 @@ def main() -> None:
         la0 = [-1.0, -1.0, -1.0]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # host-speed witness BEFORE any Spark work (the matching post-run
+    # sample lands in env below — a mid-bench window shift shows as
+    # pre/post disagreement)
+    cpu_probe_s_pre, cpu_probe_mt_s_pre = _cpu_probe()
     spark = get_session(app_name="bench")
     qmap = all_queries()
 
@@ -190,16 +235,20 @@ def main() -> None:
             samples = []  # (total, build, serve) per run
             for i in range(runs):
                 # §1.5 of the optimization guide: label every measured
-                # job so UI/event-log time attributes to its bench row
+                # job so UI/event-log time attributes to its bench row.
+                # try/finally (ADVICE r11): a throwing run must not
+                # leave its label on every subsequent query's jobs.
                 spark.sparkContext.setJobDescription(
                     f"bench: {name} run {i + 1}/{runs}"
                 )
-                t0 = time.time()
-                qmap[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                dt = time.time() - t0
-                spark.sparkContext.setJobDescription(None)
+                try:
+                    t0 = time.time()
+                    qmap[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    dt = time.time() - t0
+                finally:
+                    spark.sparkContext.setJobDescription(None)
                 phases = lakehouse.PHASE_TIMINGS.get(name) or {}
                 samples.append(
                     (dt, phases.get("build_s", 0.0), phases.get("serve_s", 0.0))
@@ -245,44 +294,10 @@ def main() -> None:
     # but this host's effective CPU speed swings 1.4-1.7x between
     # hour-scale hypervisor windows at loadavg ~0 (SCALE.md r7, r11) —
     # a slow-window record looks like a code regression and nothing
-    # in-band says otherwise. A fixed single-thread probe (md5 over
-    # 64 MB, best of 3 — deterministic, allocation-free inner loop)
-    # gives every record a relative host-speed number: compare
-    # cpu_probe_s across records before comparing query walls.
-    import hashlib
-    import threading
-
-    blk = b"\x00" * (1 << 20)
-    probe_samples = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        h = hashlib.md5()
-        for _ in range(64):
-            h.update(blk)
-        probe_samples.append(time.perf_counter() - t0)
-    cpu_probe_s = round(min(probe_samples), 4)
-    # parallel variant — hashlib releases the GIL on >2KB updates, so
-    # N threads measure effective N-way throughput (incl. steal), the
-    # regime every 32-way Spark stage actually runs in
-    nthr = os.cpu_count() or 8
-
-    def _hash_mb(n_mb: int) -> None:
-        h = hashlib.md5()
-        for _ in range(n_mb):
-            h.update(blk)
-
-    mt_samples = []
-    for _ in range(3):
-        threads = [
-            threading.Thread(target=_hash_mb, args=(32,)) for _ in range(nthr)
-        ]
-        t0 = time.perf_counter()
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        mt_samples.append(time.perf_counter() - t0)
-    cpu_probe_mt_s = round(min(mt_samples), 4)
+    # in-band says otherwise. Compare cpu_probe_s across records
+    # before comparing query walls; compare the _pre/post pair within
+    # a record to spot a mid-bench window shift.
+    cpu_probe_s, cpu_probe_mt_s = _cpu_probe()
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -348,13 +363,23 @@ def main() -> None:
             # single-thread md5-over-64MB floor and the same work on
             # all cores at once (32MB/thread), best of 3 each; ~2x the
             # usual value = the host window is ~2x slow — discount
-            # wall comparisons against records with a smaller probe
+            # wall comparisons against records with a smaller probe.
+            # _pre = before session startup, plain = after all
+            # measurement; disagreement flags a mid-bench shift.
+            "cpu_probe_s_pre": cpu_probe_s_pre,
+            "cpu_probe_mt_s_pre": cpu_probe_mt_s_pre,
             "cpu_probe_s": cpu_probe_s,
             "cpu_probe_mt_s": cpu_probe_mt_s,
         },
     }
     if la0[0] >= 1.0:
         out["load_contaminated"] = True
+    if os.environ.get("SPARK_GRAFT_CAPTURE_PLANS"):
+        # plan-capture stamps render explain('formatted') INSIDE the
+        # registration-wall queries' timed serve regions — a record
+        # taken this way is instrumented, not comparable (ADVICE r11);
+        # say so in-band instead of relying on the operator's memory
+        out["plan_capture_active"] = True
     if failures:
         out["failed"] = failures
     print(json.dumps(out))

@@ -18,8 +18,6 @@ paths pay nothing. With the env var set, the plan string lands in
 
 from __future__ import annotations
 
-import contextlib
-import io
 import os
 
 CAPTURED: dict[str, str] = {}
@@ -32,10 +30,16 @@ def enabled() -> bool:
 
 
 def stamp(key: str, df) -> None:
-    """Record df's explain('formatted') under `key` when capturing."""
+    """Record df's explain('formatted') under `key` when capturing.
+
+    The string comes straight from the JVM
+    (queryExecution().explainString) rather than hijacking stdout
+    around df.explain(): redirect_stdout captures EVERY stdout write
+    during plan rendering, so any concurrent stamp (or stray print)
+    would silently interleave into the captured text (ADVICE r11)."""
     if not enabled():
         return
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    CAPTURED[key] = buf.getvalue()
+    jvm = df.sparkSession.sparkContext._jvm
+    CAPTURED[key] = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
