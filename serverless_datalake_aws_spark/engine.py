@@ -2594,16 +2594,43 @@ class DataLakeEngine:
         staging = f"{path}/.staging-{version}"
         assigned = VX.nearest_centroid(src, cent_rows)
         assigned.write.partitionBy("cid").parquet(f"{staging}/cells")
-        # single-slice parallelize, NOT createDataFrame(...).coalesce(1):
-        # a driver-local createDataFrame pickles into defaultParallelism
-        # (~32) slices, and coalesce(1) then replays all of them through
-        # ONE Python worker task serially — measured 5-8 s for 8 rows vs
-        # ~0.4 s for an explicit one-slice RDD (r11 m13 build profile)
-        self.spark.createDataFrame(
-            self.spark.sparkContext.parallelize(cent_rows, 1),
-            "cid long, embedding array<float>",
-        ).write.parquet(f"{staging}/codebook")
-        n = self.spark.read.parquet(f"{staging}/cells").count()  # footer count
+        # the codebook is n_cells driver-local rows bound for a LOCAL
+        # path (remote roots are rejected above): write it with pyarrow
+        # directly instead of dispatching a Spark job. r11 already cut
+        # this from a ~32-slice pickle replay to a one-slice
+        # parallelize (~0.4 s); the remaining cost was pure job
+        # dispatch (~0.35 s for 8 rows — r12 m13 build profile).
+        # int64 + list<float32> reads back as (cid long, embedding
+        # array<float>), the exact schema the Spark write produced.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(f"{staging}/codebook", exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "cid": pa.array(
+                        [c for c, _ in cent_rows], type=pa.int64()
+                    ),
+                    "embedding": pa.array(
+                        [e for _, e in cent_rows],
+                        type=pa.list_(pa.float32()),
+                    ),
+                }
+            ),
+            f"{staging}/codebook/part-00000.parquet",
+        )
+        # row count for lineage: sum the cells' parquet footers driver-
+        # side (metadata-only, the same numbers a Spark count() job
+        # reads — minus the job; ~0.2-0.6 s per build at the fixture)
+        from serverless_datalake_aws_spark.sources.stats import (
+            list_parquet_files,
+        )
+
+        n = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in list_parquet_files(f"{staging}/cells")
+        )
         os.rename(staging, base)
         ptr = Path(path, "_LATEST")
         prev = None
