@@ -107,10 +107,9 @@ CONTINUITY_SUBSET = tuple(
     not in (
         # (the r8 additions s24/m07/d20 joined the subset in r10, each
         # carrying r8+r9 records to be continuous with; m13 joined in
-        # r11 with its r10 record — continuity_subset_r10_total below
-        # keeps the 31-row sum comparable with the r10 record)
-        "m10_hidden_partition_scan",  # added r11, joins r12
-        "m12_merge_cow",  # added r11, joins r12
+        # r11 with its r10 record; m10/m12 joined in r12 with their
+        # r11 records — the continuity_subset_r*_total fields below
+        # keep every prior round's sum comparable)
     )
 )
 
@@ -326,17 +325,38 @@ def main() -> None:
                     "m07_stats_pruned_scan",
                     "d20_repeated_substring_spans",
                     "m13_vector_index_search",
+                    "m10_hidden_partition_scan",
+                    "m12_merge_cow",
                 )
             ),
             3,
         ),
         # apples-to-apples with the r10 record's 31-row subset, before
         # m13 (whose row is ~90% in-query index build) joined in r11
+        # and m10/m12 joined in r12
         "continuity_subset_r10_total": round(
             sum(
                 timings[n]
                 for n in CONTINUITY_SUBSET
-                if n in timings and n != "m13_vector_index_search"
+                if n in timings
+                and n
+                not in (
+                    "m13_vector_index_search",
+                    "m10_hidden_partition_scan",
+                    "m12_merge_cow",
+                )
+            ),
+            3,
+        ),
+        # apples-to-apples with the r11 record's 32-row subset, before
+        # m10/m12 joined in r12
+        "continuity_subset_r11_total": round(
+            sum(
+                timings[n]
+                for n in CONTINUITY_SUBSET
+                if n in timings
+                and n
+                not in ("m10_hidden_partition_scan", "m12_merge_cow")
             ),
             3,
         ),
